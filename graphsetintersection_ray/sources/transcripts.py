@@ -1,0 +1,168 @@
+"""Transcript table sources.
+
+The engine's canonical input (BASELINE.json ``input_hint``) is a Parquet
+table of multi-turn conversation / agent transcripts:
+
+    (conv_id: string, turn_idx: int32, role: string,
+     text: string, tool: string, ts: timestamp)
+
+Two sources:
+
+1. ``derive_transcripts`` — deterministic derivation from the driver's
+   ``events`` table (event_id, ts, user_id, event_type, value, props).
+   Every step is SQL-expressible so the DuckDB oracle can reproduce it
+   exactly (see ``TRANSCRIPTS_SQL``). Semantics: each user's event stream,
+   ordered by (ts, event_id), is chopped into conversations of
+   ``TURNS_PER_CONV`` turns; event_type becomes the tool; role alternates
+   deterministically by event_type class; props is the turn text,
+   preserved byte-for-byte (the per-turn text-equality invariant).
+
+2. ``synth_transcripts`` — seeded synthetic generator for scale benches
+   and tests (no external data; deterministic per conv id, so any scale
+   factor reproduces exactly, in parallel).
+
+Scale notes: the derivation shuffles once (hash by user bucket) and is
+vectorized per bucket — no per-row or per-group Python. Per-turn text is
+carried through untouched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from graphsetintersection_ray.functions.segments import rank_within_groups
+
+TURNS_PER_CONV = 20
+USER_ROLES = ("view", "click", "signup")  # event types mapped to role='user'
+
+# DuckDB-runnable oracle for the derivation (same semantics, same names).
+TRANSCRIPTS_SQL = f"""
+WITH ordered AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+)
+SELECT 'c' || CAST(user_id AS VARCHAR) || '_' || CAST(rn // {TURNS_PER_CONV} AS VARCHAR)
+         AS conv_id,
+       CAST(rn % {TURNS_PER_CONV} AS INTEGER) AS turn_idx,
+       CASE WHEN event_type IN ('view','click','signup') THEN 'user'
+            ELSE 'assistant' END AS role,
+       props AS text,
+       event_type AS tool,
+       ts
+FROM ordered
+"""
+
+
+def _derive_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket derivation; bucket holds whole users."""
+    order = np.lexsort(
+        (batch["event_id"].to_numpy(), batch["ts"].to_numpy(), batch["user_id"].to_numpy())
+    )
+    b = batch.iloc[order]
+    users = b["user_id"].to_numpy()
+    rn = rank_within_groups(users)
+    conv_seq = rn // TURNS_PER_CONV
+    conv_id = (
+        "c" + pd.Series(users, dtype="int64").astype(str)
+        + "_" + pd.Series(conv_seq).astype(str)
+    )
+    role = np.where(b["event_type"].isin(USER_ROLES), "user", "assistant")
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id.to_numpy(object), pa.string()),
+            "turn_idx": pa.array((rn % TURNS_PER_CONV).astype(np.int32)),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(b["props"].to_numpy(object), pa.string()),
+            "tool": pa.array(b["event_type"].to_numpy(object), pa.string()),
+            "ts": pa.Array.from_pandas(b["ts"]),
+        }
+    )
+
+
+def derive_transcripts(
+    events: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """events table → transcript table (one shuffle, vectorized per bucket).
+
+    Hash users into ``num_buckets`` buckets so every user's events land in
+    one group, then derive conversations with one vectorized pass per
+    bucket. At 10^12-turn scale raise ``num_buckets`` so a bucket fits in a
+    worker's heap (buckets are independent — this is the partitioning key
+    for the whole extraction stage).
+    """
+    with_bucket = events.add_column(
+        "bucket",
+        lambda b: (b["user_id"] % num_buckets).astype(np.int32),
+        batch_format="pandas",
+    )
+    return with_bucket.groupby("bucket").map_groups(
+        _derive_bucket, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic generator (deterministic, parallel-safe)
+# ---------------------------------------------------------------------------
+
+_EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def _synth_conv_batch(
+    batch: pd.DataFrame,
+    *,
+    n_tools: int,
+    turns_per_conv: int,
+    seed: int,
+) -> pd.DataFrame:
+    """Generate the turns of each conv id in the batch. Deterministic per
+    conv (Philox keyed by (seed, conv)), so output is identical regardless
+    of batching/parallelism."""
+    convs = batch["id"].to_numpy()
+    frames = []
+    for conv in convs:
+        rng = np.random.Generator(np.random.Philox(key=[seed, int(conv)]))
+        n_turns = int(rng.integers(2, turns_per_conv + 1))
+        # Zipf-ish tool popularity → heavy skew on popular tools (the skew
+        # the engine must handle: hub vertices in the co-occurrence graph).
+        tools_idx = (
+            rng.zipf(1.3, size=n_turns) % n_tools
+        ).astype(np.int64)
+        roles = np.where(np.arange(n_turns) % 2 == 0, "user", "assistant")
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": f"s{conv}",
+                    "turn_idx": np.arange(n_turns, dtype=np.int32),
+                    "role": roles,
+                    "text": [
+                        f"turn {i} of conv {conv} tool {t}"
+                        for i, t in enumerate(tools_idx)
+                    ],
+                    "tool": [f"tool_{t}" for t in tools_idx],
+                    "ts": _EPOCH + (int(conv) * 86_400_000_000 + np.arange(n_turns) * 60_000_000),
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def synth_transcripts(
+    n_convs: int,
+    *,
+    n_tools: int = 200,
+    turns_per_conv: int = 16,
+    seed: int = 42,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic synthetic transcript table of ~n_convs * turns/2 rows."""
+    base = ray.data.range(n_convs, override_num_blocks=override_num_blocks)
+    return base.map_batches(
+        _synth_conv_batch,
+        batch_format="pandas",
+        fn_kwargs=dict(n_tools=n_tools, turns_per_conv=turns_per_conv, seed=seed),
+    )

@@ -1,0 +1,365 @@
+"""Graph construction stages: transcript table → canonical int32 edge table
+→ degree / orientation / CSR adjacency blocks.
+
+Reference parity (all cited into /root/reference/):
+  * dense-ID encoding  = python/trans_graph.py:3-22 ``gen_continuous_id_graph``
+    (external key → contiguous int IDs), rebuilt as a distributed
+    sorted-distinct + dense-rank (one shuffle).
+  * edge sort + dedup  = B3, org_triangle_count.cpp:31-34 / util.cpp:120-124.
+  * CSR build          = B4, org_triangle_count.cpp:39-49 (run-length over
+    sorted edges → per-vertex neighbor segments), rebuilt as a bucketed
+    groupby with ONE vectorized pass per bucket producing an Arrow
+    ``list_<int32>`` adjacency column (offsets ≡ UVertex.start/deg,
+    values ≡ pool_edges).
+  * degree computation = B9, porder.cpp:61-64.
+  * degree-ordered orientation = the skew strategy replacing the
+    reference's layout reordering (porder.cpp deg_order :445-495): orient
+    every undirected edge toward the higher-(degree, id) endpoint so each
+    oriented adjacency list is O(sqrt(m))-bounded — the standard
+    distributed-TC mitigation for hub vertices.
+
+Edge model over transcripts (BASELINE.json north_star: "conv_id↔tool/role
+co-occurrence and turn-adjacency edges"):
+  E1  conv ↔ tool         ('c:<conv>', 't:<tool>')    distinct co-occurrence
+  E2  conv ↔ role         ('c:<conv>', 'r:<role>')    distinct co-occurrence
+  E3  actor(turn k) ↔ actor(turn k+1) within a conversation ordered by
+      turn_idx, actor = 'a:<role>:<tool>'              turn-adjacency
+  E4  tool ↔ tool          ('t:<A>', 't:<B>') for tools co-occurring in the
+      same conversation (the tool-projection edges that make the triangle
+      structure non-trivial)
+All edges canonical (src_key < dst_key lexicographically — the prefixes
+'a:' < 'c:' < 'r:' < 't:' make E1/E2 canonical by construction) and
+globally distinct. Every step is SQL-expressible (see pipelines/queries.py
+oracles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from graphsetintersection_ray.functions.segments import segment_starts
+
+DEFAULT_NUM_PARTITIONS = 32
+
+
+def _conv_bucket(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    batch = batch.copy()
+    batch["bucket"] = (
+        pd.util.hash_array(batch["conv_id"].to_numpy(object)) % num_buckets
+    ).astype(np.int64)
+    return batch
+
+
+def _edges_for_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+    """All four edge families for one bucket of whole conversations,
+    locally deduplicated (partial dedup before the global distinct)."""
+    order = np.lexsort((batch["turn_idx"].to_numpy(), batch["conv_id"].to_numpy(object)))
+    b = batch.iloc[order]
+    conv = b["conv_id"].to_numpy(object)
+    tool = b["tool"].to_numpy(object)
+    role = b["role"].to_numpy(object)
+
+    c_key = np.array(["c:" + c for c in conv], dtype=object)
+    t_key = np.array(["t:" + t for t in tool], dtype=object)
+    r_key = np.array(["r:" + r for r in role], dtype=object)
+    a_key = np.array(["a:" + r + ":" + t for r, t in zip(role, tool)], dtype=object)
+
+    parts = [
+        pd.DataFrame({"src_key": c_key, "dst_key": t_key}),  # E1
+        pd.DataFrame({"src_key": c_key, "dst_key": r_key}),  # E2
+    ]
+
+    # E3: consecutive-turn actor adjacency within each conversation
+    if len(b) > 1:
+        same_conv = conv[1:] == conv[:-1]
+        x, y = a_key[:-1][same_conv], a_key[1:][same_conv]
+        ne = x != y
+        x, y = x[ne], y[ne]
+        lo = np.where(x < y, x, y)
+        hi = np.where(x < y, y, x)
+        parts.append(pd.DataFrame({"src_key": lo, "dst_key": hi}))
+
+    # E4: tool-tool co-occurrence within a conversation (distinct pairs)
+    ct = pd.DataFrame({"conv": conv, "t": t_key}).drop_duplicates()
+    m = ct.merge(ct, on="conv")
+    m = m[m["t_x"] < m["t_y"]]
+    parts.append(pd.DataFrame({"src_key": m["t_x"].to_numpy(), "dst_key": m["t_y"].to_numpy()}))
+
+    out = pd.concat(parts, ignore_index=True).drop_duplicates()
+    return pa.table(
+        {
+            "src_key": pa.array(out["src_key"], pa.string()),
+            "dst_key": pa.array(out["dst_key"], pa.string()),
+        }
+    )
+
+
+def derive_edges(
+    transcripts: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """transcript table → distinct canonical string-keyed edge table
+    (src_key < dst_key). Two shuffles: conv-bucket grouping, global dedup."""
+    bucketed = transcripts.map_batches(
+        _conv_bucket, batch_format="pandas", fn_kwargs=dict(num_buckets=num_buckets)
+    )
+    edges = bucketed.groupby("bucket").map_groups(
+        _edges_for_bucket, batch_format="pandas"
+    )
+    # global exact dedup (B3 semantics): groupby both endpoints, keep keys
+    return (
+        edges.groupby(["src_key", "dst_key"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"src_key": t["src_key"], "dst_key": t["dst_key"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+@ray.remote
+def _block_nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _block_enumerate(tbl: pa.Table, offset: int, key_col: str, id_col: str) -> pa.Table:
+    ids = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int32))
+    return pa.table({key_col: tbl[key_col], id_col: ids})
+
+
+def dense_rank_ids(
+    ds: ray.data.Dataset, key_col: str, id_col: str = "vid"
+) -> ray.data.Dataset:
+    """Globally sorted dense 0-based IDs for the distinct values of key_col.
+
+    = trans_graph.py:3-22 rebuilt distributed: sort the distinct keys, then
+    enumerate blocks with their global offsets (driver work is O(#blocks)
+    only; each block is enumerated by a remote task, so nothing large ever
+    lands on the driver). IDs are assigned in key order, so key order and
+    id order agree — canonical string edges stay canonical as int edges.
+    """
+    sorted_keys = ds.sort(key_col).materialize()
+    refs = sorted_keys.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    out_refs = [
+        _block_enumerate.remote(r, int(off), key_col, id_col)
+        for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def encode_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct endpoint keys → (key, vid:int32) dense mapping."""
+    def _flatten(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pa.concat_arrays(
+                [t["src_key"].combine_chunks(), t["dst_key"].combine_chunks()]
+            )}
+        )
+
+    endpoints = edges.map_batches(_flatten, batch_format="pyarrow")
+    distinct = (
+        endpoints.groupby("key")
+        .count()
+        .map_batches(lambda t: pa.table({"key": t["key"]}), batch_format="pyarrow")
+    )
+    return dense_rank_ids(distinct, "key")
+
+
+def edges_to_ids(
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """String edges ⋈ vertex map (twice) → canonical (src,dst) int32 edges.
+
+    Uses Ray Data's hash join. Because dense ranks are order-preserving,
+    src < dst still holds after mapping.
+    """
+    j1 = edges.join(
+        vertices,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src_key",),
+        right_on=("key",),
+    ).map_batches(
+        lambda t: pa.table({"dst_key": t["dst_key"], "src": t["vid"]}),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        vertices,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst_key",),
+        right_on=("key",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"].cast(pa.int32()),
+                "dst": t["vid"].cast(pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return j2
+
+
+def symmetrize(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonical (src<dst) edges → both directions (the reference stores
+    undirected graphs with both directions materialized, README.md:46-56)."""
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+    )
+    return edges.union(rev)
+
+
+def degrees(sym_edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(v, degree) from the symmetrized edge table (B9, porder.cpp:61-64).
+    Pre-aggregates per batch before the global groupby shuffle."""
+    def _partial(t: pa.Table) -> pa.Table:
+        v, cnt = np.unique(t["src"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int32()), "partial": pa.array(cnt, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        sym_edges.map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("partial", alias_name="degree"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "v": t["v"].cast(pa.int32()),
+                    "degree": t["degree"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def orient_by_degree(
+    edges: ray.data.Dataset,
+    degs: ray.data.Dataset,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> ray.data.Dataset:
+    """Orient canonical edges toward the higher-(degree, id) endpoint.
+
+    The resulting DAG adjacency lists are O(sqrt(m))-bounded — the explicit
+    skew mitigation replacing the reference's degree reordering
+    (porder.cpp:445-495) for distributed triangle counting.
+    """
+    j1 = edges.join(
+        degs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("v",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst"], "deg_src": t["degree"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        degs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("v",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "deg_src": t["deg_src"],
+                "deg_dst": t["degree"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        ds_ = t["deg_src"].to_numpy(zero_copy_only=False)
+        dd = t["deg_dst"].to_numpy(zero_copy_only=False)
+        # src stays the tail when (deg_src, src) < (deg_dst, dst)
+        keep = (ds_ < dd) | ((ds_ == dd) & (src < dst))
+        return pa.table(
+            {
+                "src": pa.array(np.where(keep, src, dst), pa.int32()),
+                "dst": pa.array(np.where(keep, dst, src), pa.int32()),
+            }
+        )
+
+    return j2.map_batches(orient, batch_format="pyarrow")
+
+
+def _csr_for_bucket(batch: pd.DataFrame) -> pa.Table:
+    """One vectorized CSR pass per bucket: sort by (src, dst), run-length
+    encode into an Arrow list column (B3+B4 semantics, dedup included)."""
+    src = batch["src"].to_numpy()
+    dst = batch["dst"].to_numpy()
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if len(src):
+        keep = np.empty(len(src), dtype=bool)
+        keep[0] = True
+        np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
+        src, dst = src[keep], dst[keep]
+    starts = segment_starts(src)
+    bounds = np.append(starts, len(src))
+    u = src[starts] if len(starts) else src[:0]
+    nbrs = pa.ListArray.from_arrays(
+        pa.array(bounds, pa.int32()), pa.array(dst, pa.int32())
+    )
+    return pa.table({"u": pa.array(u, pa.int32()), "nbrs": nbrs})
+
+
+def _csr_for_bucket_packed(batch: pd.DataFrame) -> pa.Table:
+    """Like _csr_for_bucket but emits the neighbor list as little-endian
+    int32 bytes (`nbrs_bin: binary`) — Acero hash joins reject list-typed
+    payload columns, so the joinable CSR encoding is the packed one. The
+    byte blob is the exact analog of the reference's flat `pool_edges`
+    int32 arena segment per vertex (util.hpp:46-51)."""
+    t = _csr_for_bucket(batch)
+    lists = t["nbrs"].combine_chunks()
+    offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    raw = flat.tobytes()
+    blobs = [raw[offs[i] * 4 : offs[i + 1] * 4] for i in range(len(offs) - 1)]
+    return pa.table({"u": t["u"], "nbrs_bin": pa.array(blobs, pa.binary())})
+
+
+def build_csr(
+    sym_edges: ray.data.Dataset,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    packed: bool = False,
+) -> ray.data.Dataset:
+    """Edge table → (u:int32, nbrs:list_<int32>) sorted deduped adjacency,
+    hash-partitioned by u (bucket = u % P, the partitioning key every
+    downstream stage reuses). With ``packed=True`` the list is emitted as
+    an int32-bytes binary column (join-transportable)."""
+    bucketed = sym_edges.map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(
+                t["src"].to_numpy(zero_copy_only=False) % num_partitions, pa.int32()
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    fn = _csr_for_bucket_packed if packed else _csr_for_bucket
+    return bucketed.groupby("bucket").map_groups(fn, batch_format="pandas")
