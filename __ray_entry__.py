@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (transcript derivation → edge graph
+→ exact triangle count + converged PageRank summary) on sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full registry from
+``graphsetintersection_ray.pipelines.queries``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,48 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _quiet() -> None:
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the transcript-derived link
+    graph, run exact TC + converged PageRank + CC, return a per-vertex
+    summary table (v, score, component, triangles)."""
+    _quiet()
+    import pandas as pd
+
+    from graphsetintersection_ray.pipelines.graph import build_graph
+    from graphsetintersection_ray.pipelines import iterative as it
+    from graphsetintersection_ray.pipelines.triangle import per_vertex_triangles
+
+    art = build_graph(SF_SMOKE)
+    pr, _ = it.pagerank(art, tol=1e-6, resume=False)
+    cc, _ = it.connected_components(art, resume=False)
+    tri = per_vertex_triangles(art.oriented, num_partitions=art.num_partitions)
+
+    out = (
+        pr.to_pandas()
+        .merge(cc.to_pandas(), on="v")
+        .merge(tri.to_pandas(), on="v", how="left")
+    )
+    out["triangles"] = out["triangles"].fillna(0).astype("int64")
+    return out.sort_values("v").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    _quiet()
+    from graphsetintersection_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graphsetintersection_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

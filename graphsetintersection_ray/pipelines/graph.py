@@ -1,0 +1,100 @@
+"""Graph pipeline orchestration: transcripts → all graph artifacts, cached.
+
+One call builds (and caches, per (source, num_partitions)) everything the
+queries share: the string edge table, the dense vertex encoding, canonical
+int32 edges, symmetric edges, degrees, the degree-oriented DAG, and the
+hash-partitioned CSR directory the superstep engine loads. Materialized
+once so the driver's repeated ``queries()[name](sf_dir)`` calls don't
+re-shuffle the build for every query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+
+import ray.data as rd
+
+from graphsetintersection_ray.sources.transcripts import derive_transcripts
+from graphsetintersection_ray.stages import graph_build as gb
+
+DEFAULT_PARTITIONS = 8
+
+
+@dataclass
+class GraphArtifacts:
+    transcripts: rd.Dataset
+    edges_str: rd.Dataset
+    vertices: rd.Dataset
+    edges: rd.Dataset       # canonical (src < dst) int32
+    sym: rd.Dataset         # both directions
+    degrees: rd.Dataset
+    oriented: rd.Dataset    # degree-ordered DAG
+    csr_path: str
+    n_vertices: int
+    n_edges: int
+    num_partitions: int
+    fingerprint: str
+
+
+_CACHE: dict[tuple, GraphArtifacts] = {}
+
+
+def transcripts_from_sf(sf_dir: str) -> rd.Dataset:
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return derive_transcripts(events)
+
+
+def build_graph_from_transcripts(
+    transcripts: rd.Dataset,
+    cache_key: str,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    workdir: str | None = None,
+) -> GraphArtifacts:
+    key = (cache_key, num_partitions)
+    if key in _CACHE:
+        return _CACHE[key]
+    transcripts = transcripts.materialize()
+    edges_str = gb.derive_edges(transcripts).materialize()
+    vertices = gb.encode_vertices(edges_str).materialize()
+    edges = gb.edges_to_ids(edges_str, vertices, num_partitions).materialize()
+    sym = gb.symmetrize(edges).materialize()
+    degs = gb.degrees(sym).materialize()
+    oriented = gb.orient_by_degree(edges, degs, num_partitions).materialize()
+    n_vertices = vertices.count()
+    n_edges = edges.count()
+    fingerprint = f"{cache_key}:p{num_partitions}:{n_vertices}v:{n_edges}e"
+    if workdir is None:
+        workdir = os.path.join(
+            "/tmp/gsi_graphs", hashlib.md5(fingerprint.encode()).hexdigest()[:16]
+        )
+    csr_path = os.path.join(workdir, "csr")
+    if not os.path.isdir(csr_path):
+        gb.write_partitioned_csr(sym, csr_path, num_partitions)
+    art = GraphArtifacts(
+        transcripts=transcripts,
+        edges_str=edges_str,
+        vertices=vertices,
+        edges=edges,
+        sym=sym,
+        degrees=degs,
+        oriented=oriented,
+        csr_path=csr_path,
+        n_vertices=n_vertices,
+        n_edges=n_edges,
+        num_partitions=num_partitions,
+        fingerprint=fingerprint,
+    )
+    _CACHE[key] = art
+    return art
+
+
+def build_graph(
+    sf_dir: str, num_partitions: int = DEFAULT_PARTITIONS
+) -> GraphArtifacts:
+    return build_graph_from_transcripts(
+        transcripts_from_sf(sf_dir),
+        cache_key=os.path.abspath(sf_dir),
+        num_partitions=num_partitions,
+    )

@@ -1,0 +1,87 @@
+"""PageRank / connected components / label propagation entry points.
+
+Thin wrappers wiring GraphArtifacts into the partitioned BSP engine
+(state/superstep.py). Semantics (per BASELINE.json north_star — the
+reference has no PageRank/LP; CC discovery semantics appear in its
+SlashBurn BFS, porder.cpp:1052-1075):
+
+  * PageRank: power iteration, damping 0.85, on the symmetrized edge
+    table; converges at global max per-vertex delta < tol (1e-6 default).
+  * CC: min-label propagation to fixpoint — component id = min vertex id.
+  * Label propagation: same min-rule fixpoint, kept as its own query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+from graphsetintersection_ray.state.superstep import SuperstepEngine
+
+_ENGINES: dict[tuple, SuperstepEngine] = {}
+
+
+def engine_for(art: GraphArtifacts, ckpt_dir: str | None = None) -> SuperstepEngine:
+    key = (art.csr_path, art.num_partitions, ckpt_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = SuperstepEngine(
+            art.csr_path,
+            art.num_partitions,
+            ckpt_dir=ckpt_dir,
+            graph_fingerprint=art.fingerprint,
+        )
+    return _ENGINES[key]
+
+
+def pagerank(
+    art: GraphArtifacts,
+    max_iters: int = 100,
+    tol: float = 1e-6,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    round_to: int | None = None,
+) -> tuple[pa.Table, dict]:
+    eng = engine_for(art, ckpt_dir)
+    stats = eng.pagerank(max_iters=max_iters, tol=tol, resume=resume,
+                         checkpoint_every=1 if ckpt_dir else 0)
+    t = eng.collect_state()
+    score = t["state"].to_numpy(zero_copy_only=False)
+    if round_to is not None:
+        score = np.round(score, round_to)
+    out = pa.table(
+        {"v": t["v"].cast(pa.int32()), "score": pa.array(score, pa.float64())}
+    )
+    return out, stats
+
+
+def connected_components(
+    art: GraphArtifacts,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+) -> tuple[pa.Table, dict]:
+    eng = engine_for(art, ckpt_dir)
+    stats = eng.connected_components(
+        resume=resume, checkpoint_every=1 if ckpt_dir else 0
+    )
+    t = eng.collect_state()
+    out = pa.table(
+        {"v": t["v"].cast(pa.int32()), "component": t["state"].cast(pa.int64())}
+    )
+    return out, stats
+
+
+def label_propagation(
+    art: GraphArtifacts,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+) -> tuple[pa.Table, dict]:
+    eng = engine_for(art, ckpt_dir)
+    stats = eng.label_propagation(
+        resume=resume, checkpoint_every=1 if ckpt_dir else 0
+    )
+    t = eng.collect_state()
+    out = pa.table(
+        {"v": t["v"].cast(pa.int32()), "label": t["state"].cast(pa.int64())}
+    )
+    return out, stats

@@ -129,9 +129,32 @@ def _block_nrows(tbl: pa.Table) -> int:
 
 
 @ray.remote
-def _block_enumerate(tbl: pa.Table, offset: int, key_col: str, id_col: str) -> pa.Table:
+def _block_enumerate(
+    tbl: pa.Table, offset: int, keep_cols: list, id_col: str
+) -> pa.Table:
     ids = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int32))
-    return pa.table({key_col: tbl[key_col], id_col: ids})
+    return pa.table({c: tbl[c] for c in keep_cols} | {id_col: ids})
+
+
+def enumerate_sorted(
+    sorted_ds: ray.data.Dataset, keep_cols: list, id_col: str
+) -> ray.data.Dataset:
+    """Attach a global 0-based row number to an already-sorted dataset.
+
+    Distributed: driver work is O(#blocks) — per-block row counts are
+    fetched by cheap remote tasks, prefix offsets computed on the driver,
+    and each block is enumerated by its own remote task; nothing large
+    lands on the driver.
+    """
+    mat = sorted_ds.materialize()
+    refs = mat.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    out_refs = [
+        _block_enumerate.remote(r, int(off), keep_cols, id_col)
+        for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def dense_rank_ids(
@@ -140,20 +163,11 @@ def dense_rank_ids(
     """Globally sorted dense 0-based IDs for the distinct values of key_col.
 
     = trans_graph.py:3-22 rebuilt distributed: sort the distinct keys, then
-    enumerate blocks with their global offsets (driver work is O(#blocks)
-    only; each block is enumerated by a remote task, so nothing large ever
-    lands on the driver). IDs are assigned in key order, so key order and
-    id order agree — canonical string edges stay canonical as int edges.
+    enumerate blocks with their global offsets. IDs are assigned in key
+    order, so key order and id order agree — canonical string edges stay
+    canonical as int edges.
     """
-    sorted_keys = ds.sort(key_col).materialize()
-    refs = sorted_keys.to_arrow_refs()
-    counts = ray.get([_block_nrows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    out_refs = [
-        _block_enumerate.remote(r, int(off), key_col, id_col)
-        for r, off in zip(refs, offsets)
-    ]
-    return ray.data.from_arrow_refs(out_refs)
+    return enumerate_sorted(ds.sort(key_col), [key_col], id_col)
 
 
 def encode_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -363,3 +377,27 @@ def build_csr(
     )
     fn = _csr_for_bucket_packed if packed else _csr_for_bucket
     return bucketed.groupby("bucket").map_groups(fn, batch_format="pandas")
+
+
+def write_partitioned_csr(
+    sym_edges: ray.data.Dataset,
+    path: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> str:
+    """Build the CSR and persist it as hash-partitioned Parquet
+    (``<path>/bucket=p/``). This is the durable graph state the superstep
+    engine's PartitionWorkers load once per actor — and the first
+    checkpoint of any iterative run (resume skips the whole graph build
+    if the CSR directory already exists)."""
+    csr = build_csr(sym_edges, num_partitions=num_partitions)
+    with_bucket = csr.map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(
+                t["u"].to_numpy(zero_copy_only=False) % num_partitions, pa.int32()
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    with_bucket.write_parquet(path, partition_cols=["bucket"])
+    return path

@@ -1,0 +1,190 @@
+"""End-to-end graph pipeline tests (SURVEY.md §5 test plan).
+
+Oracles: DuckDB SQL for the derivation chain; brute-force O(V^3) for
+triangles; dense NumPy power iteration for PageRank; union-find for CC.
+"""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def art(ray_session):
+    from graphsetintersection_ray.pipelines.graph import build_graph
+
+    return build_graph(SF, num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def sym_df(art):
+    return art.sym.to_pandas()
+
+
+def test_transcripts_match_sql_oracle(ray_session):
+    import duckdb
+
+    from graphsetintersection_ray.pipelines.graph import transcripts_from_sf
+    from graphsetintersection_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+    tdf = transcripts_from_sf(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    odf = con.execute(TRANSCRIPTS_SQL).df()
+    a = tdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = odf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b[a.columns.tolist()]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_per_turn_text_preserved(ray_session):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — texts are the events' props, unchanged."""
+    import duckdb
+
+    from graphsetintersection_ray.pipelines.graph import transcripts_from_sf
+
+    tdf = transcripts_from_sf(SF).to_pandas()
+    con = duckdb.connect()
+    src = con.execute(
+        f"SELECT props FROM '{SF}/events.parquet' ORDER BY props"
+    ).df()["props"]
+    got = tdf["text"].sort_values().reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got, src.reset_index(drop=True), check_names=False
+    )
+
+
+def test_edges_canonical_and_distinct(art):
+    edf = art.edges.to_pandas()
+    assert (edf.src < edf.dst).all()
+    assert not edf.duplicated().any()
+    # dense ids: 0..n-1
+    vdf = art.vertices.to_pandas()
+    assert sorted(vdf.vid.tolist()) == list(range(len(vdf)))
+
+
+def test_degree_sum(art, sym_df):
+    ddf = art.degrees.to_pandas()
+    assert ddf.degree.sum() == len(sym_df)
+    assert len(ddf) == art.n_vertices
+
+
+def test_triangle_count_vs_bruteforce(art):
+    from graphsetintersection_ray.pipelines.triangle import (
+        global_triangle_count,
+        per_vertex_triangles,
+    )
+
+    edf = art.edges.to_pandas()
+    E = set(map(tuple, edf.values.tolist()))
+    V = sorted(set(edf.src) | set(edf.dst))
+    per_v = {}
+    total = 0
+    for a, b, c in itertools.combinations(V, 3):
+        if (a, b) in E and (a, c) in E and (b, c) in E:
+            total += 1
+            for x in (a, b, c):
+                per_v[x] = per_v.get(x, 0) + 1
+    assert global_triangle_count(art.oriented, num_partitions=4) == total
+    pv = per_vertex_triangles(art.oriented, num_partitions=4).to_pandas()
+    assert dict(zip(pv.v, pv.triangles)) == per_v
+
+
+def test_pagerank_allclose_numpy(art, sym_df):
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    pr, stats = it.pagerank(art, tol=1e-6, resume=False)
+    prd = pr.to_pandas().sort_values("v").reset_index(drop=True)
+    N = art.n_vertices
+    A = np.zeros((N, N))
+    A[sym_df.dst, sym_df.src] = 1.0
+    M = A / A.sum(axis=0)[None, :]
+    s = np.full(N, 1.0 / N)
+    for _ in range(500):
+        s2 = 0.15 / N + 0.85 * (M @ s)
+        if np.abs(s2 - s).max() < 1e-6:
+            s = s2
+            break
+        s = s2
+    assert np.allclose(prd.score.to_numpy(), s, atol=1e-6)
+    assert abs(prd.score.sum() - 1.0) < 1e-9
+
+
+def _union_find_components(sym_df, n):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(sym_df.src, sym_df.dst):
+        a, b = find(s), find(d)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comp = np.array([find(v) for v in range(n)])
+    return pd.Series(range(n)).groupby(comp).transform("min").to_numpy()
+
+
+def test_cc_and_labelprop_exact(art, sym_df):
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    minid = _union_find_components(sym_df, art.n_vertices)
+    cc, _ = it.connected_components(art, resume=False)
+    ccd = cc.to_pandas().sort_values("v").reset_index(drop=True)
+    np.testing.assert_array_equal(ccd.component.to_numpy(), minid)
+    lp, _ = it.label_propagation(art, resume=False)
+    lpd = lp.to_pandas().sort_values("v").reset_index(drop=True)
+    np.testing.assert_array_equal(lpd.label.to_numpy(), minid)
+
+
+def test_checkpoint_resume(art, tmp_path):
+    """Kill after superstep k, resume from checkpoint → identical result."""
+    from graphsetintersection_ray.state.superstep import SuperstepEngine
+
+    ck = str(tmp_path / "ckpt")
+    e1 = SuperstepEngine(
+        art.csr_path, art.num_partitions, ckpt_dir=ck,
+        graph_fingerprint=art.fingerprint,
+    )
+    e1.pagerank(max_iters=5, tol=0.0, resume=False, checkpoint_every=1)
+    partial = e1.collect_state().to_pandas().sort_values("v")
+    assert e1.latest_complete_iter("pagerank") == 4
+
+    # fresh engine ("restarted job") resumes at iter 5 and finishes
+    e2 = SuperstepEngine(
+        art.csr_path, art.num_partitions, ckpt_dir=ck,
+        graph_fingerprint=art.fingerprint,
+    )
+    e2.pagerank(max_iters=30, tol=0.0, resume=True, checkpoint_every=1)
+    resumed = e2.collect_state().to_pandas().sort_values("v")
+
+    # uninterrupted 30-iteration run for comparison
+    e3 = SuperstepEngine(
+        art.csr_path, art.num_partitions, ckpt_dir=None,
+        graph_fingerprint=art.fingerprint,
+    )
+    e3.pagerank(max_iters=30, tol=0.0, resume=False)
+    full = e3.collect_state().to_pandas().sort_values("v")
+
+    np.testing.assert_allclose(
+        resumed.state.to_numpy(), full.state.to_numpy(), rtol=0, atol=0
+    )
+    # and the 5-iter partial differs (the resume really continued)
+    assert not np.allclose(partial.state.to_numpy(), full.state.to_numpy())
+
+
+def test_synth_transcripts_deterministic(ray_session):
+    from graphsetintersection_ray.sources.transcripts import synth_transcripts
+
+    a = synth_transcripts(50, seed=7).to_pandas()
+    b = synth_transcripts(50, seed=7, override_num_blocks=13).to_pandas()
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
