@@ -25,6 +25,15 @@ import numpy as np
 
 GALLOP_SKEW = 32  # reference: set_operation.cpp:912-913
 
+
+def round_half_away(x, decimals: int = 6):
+    """Round-half-away-from-zero, matching SQL ROUND() semantics —
+    np.round is half-even (banker's) and disagrees with DuckDB on exact
+    boundary ratios like 105/128 at 6 decimals."""
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
 # ---------------------------------------------------------------------------
 # Single-pair kernels (K1/K13/K9 + A1/A2 semantics)
 # ---------------------------------------------------------------------------

@@ -232,6 +232,102 @@ def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
 
 
 # --------------------------------------------------------------------------
+# Data-pipeline queries (documents / embeddings tables)
+# --------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _embs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_count(sf_dir: str):
+    from graphsetintersection_ray.stages.text import token_count
+
+    return _docs(sf_dir).map_batches(token_count, batch_format="pandas")
+
+
+def q_text_quality(sf_dir: str):
+    from graphsetintersection_ray.stages.text import TextQualityScorer
+
+    return _docs(sf_dir).map_batches(
+        TextQualityScorer, batch_format="pandas", concurrency=2
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from graphsetintersection_ray.stages.text import lang_id
+
+    return _docs(sf_dir).map_batches(lang_id, batch_format="pandas")
+
+
+def q_fingerprint(sf_dir: str):
+    from graphsetintersection_ray.stages.text import fingerprint
+
+    return _docs(sf_dir).map_batches(fingerprint, batch_format="pandas")
+
+
+def q_dedup_exact(sf_dir: str):
+    from graphsetintersection_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_jaccard_pairs(sf_dir: str):
+    from graphsetintersection_ray.stages.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidates verified by exact Jaccard — equals
+    q_jaccard_pairs up to LSH recall (no SQL oracle; pytest measures
+    recall against the exact pairs)."""
+    from graphsetintersection_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from graphsetintersection_ray.stages.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_knn_topk(sf_dir: str):
+    from graphsetintersection_ray.stages.similarity import brute_force_topk
+
+    return brute_force_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_knn_lsh(sf_dir: str):
+    from graphsetintersection_ray.stages.similarity import lsh_topk
+
+    return lsh_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_embedding_dups(sf_dir: str):
+    from graphsetintersection_ray.stages.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_embs(sf_dir), threshold=0.4)
+
+
+def q_media_metadata(sf_dir: str):
+    from graphsetintersection_ray.stages.multimodal import (
+        MediaMetadata,
+        attach_binary_payload,
+    )
+
+    payloads = attach_binary_payload(_docs(sf_dir))
+    return payloads.map_batches(
+        MediaMetadata, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
 
@@ -251,7 +347,66 @@ QUERIES = {
     "leaf_count": q_leaf_count,
     "degree_order": q_degree_order,
     "bignode_select": q_bignode_select,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_topk": q_knn_topk,
+    "knn_lsh": q_knn_lsh,
+    "embedding_dups": q_embedding_dups,
+    "media_metadata": q_media_metadata,
 }
+
+_STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
+
+_LANG_SCORES_SQL = """
+ls AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    (CASE WHEN regexp_matches(lt, '\\bthe\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\band\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bof\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bis\\b') THEN 1 ELSE 0 END) AS s_en,
+    (CASE WHEN regexp_matches(lt, '\\bder\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bdie\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bund\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bist\\b') THEN 1 ELSE 0 END) AS s_de,
+    (CASE WHEN regexp_matches(lt, '\\bel\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\blos\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\by\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bes\\b') THEN 1 ELSE 0 END) AS s_es,
+    (CASE WHEN regexp_matches(lt, '\\ble\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bla\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\bet\\b') THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lt, '\\best\\b') THEN 1 ELSE 0 END) AS s_fr
+  FROM ls
+)
+"""
+
+_SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9_]+') AS ws
+  FROM documents
+),
+sh3 AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM sh3
+    UNION ALL
+    SELECT doc_id, array_to_string(ws, ' ') AS s FROM toks
+      WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
 
 ORACLE_SQL = {
     "transcripts": TRANSCRIPTS_SQL,
@@ -333,5 +488,85 @@ SELECT v, CAST(min(w) AS BIGINT) AS label FROM reach GROUP BY v"""
 )
 SELECT v, degree FROM ranked
 WHERE before_me < 0.5 * (SELECT sum(degree) FROM deg)"""
+    ),
+    "token_count": (
+        "SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) "
+        "AS n_tokens FROM documents"
+    ),
+    "text_quality": f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n_tokens,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0 END, 6) AS alpha_ratio,
+  round(CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) > 0
+        THEN CAST(len(regexp_extract_all(text, '\\b({_STOP_ALTERNATION})\\b'))
+             AS DOUBLE) / len(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+        ELSE 0 END, 6) AS stopword_ratio,
+  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1)
+        * least(CAST(1.0 AS DOUBLE),
+                len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) / 100.0),
+        6) AS quality
+FROM documents""",
+    "lang_id": "WITH "
+    + _LANG_SCORES_SQL
+    + """
+SELECT doc_id,
+  CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+    WHEN s_fr > 0 THEN 'fr'
+    ELSE 'und'
+  END AS lang_pred
+FROM sc""",
+    "fingerprint": (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS fp FROM documents"
+    ),
+    "dedup_exact": (
+        "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+    ),
+    "jaccard_pairs": "WITH "
+    + _SHINGLES_SQL
+    + """,
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""",
+    "knn_topk": """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 10),
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_cosine_similarity(q.emb, n.emb) AS sim
+  FROM q, n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim FROM ranked WHERE rk <= 5""",
+    "embedding_dups": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""",
+    "media_metadata": (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+        "md5(text) AS checksum FROM documents"
     ),
 }

@@ -1,0 +1,124 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Beyond the reference's operator set (per the build spec): token counting,
+quality scoring, language ID, document fingerprinting — each a vectorized
+``map_batches`` function over the ``documents`` table. Regexes are
+ASCII-anchored (`[a-zA-Z0-9_]+`) so Python `re` and DuckDB RE2 agree
+exactly — the SQL oracles in pipelines/queries.py recompute every column.
+
+The scorer class (``TextQualityScorer``) is the canonical stateful
+actor-pool stage: regexes compile once per actor in ``__init__``, batches
+stream through ``__call__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from graphsetintersection_ray.functions.kernels import round_half_away
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"[a-zA-Z0-9_]+"
+
+EN_STOPWORDS = ("the", "and", "of", "to", "is")
+
+# language marker words; ties broken by this ordering (first wins)
+LANG_MARKERS = [
+    ("en", ("the", "and", "of", "is")),
+    ("de", ("der", "die", "und", "ist")),
+    ("es", ("el", "los", "y", "es")),
+    ("fr", ("le", "la", "et", "est")),
+]
+
+
+def token_count(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, n_tokens): ASCII-word token count, vectorized."""
+    n = batch["text"].str.count(TOKEN_RE).astype(np.int64)
+    return pa.table(
+        {"doc_id": pa.array(batch["doc_id"], pa.int64()), "n_tokens": pa.array(n)}
+    )
+
+
+class TextQualityScorer:
+    """Actor-pool stage: per-doc quality features.
+
+    quality = alpha_ratio * min(1, n_tokens / 100), rounded to 6 — a
+    deterministic, SQL-reproducible proxy for length/charset quality.
+    """
+
+    def __init__(self) -> None:
+        import re
+
+        self.token_re = re.compile(TOKEN_RE)
+        self.alpha_re = re.compile(r"[^a-zA-Z]")
+        self.stop = set(EN_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        text = batch["text"]
+        n_chars = text.str.len().astype(np.int64)
+        n_tokens = text.str.count(TOKEN_RE).astype(np.int64)
+        n_alpha = text.str.count(r"[a-zA-Z]").astype(np.int64)
+        n_stop = sum(
+            text.str.count(rf"\b{w}\b").astype(np.int64) for w in self.stop
+        )
+        alpha_ratio = round_half_away(
+            np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0), 6
+        )
+        stop_ratio = round_half_away(
+            np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0), 6
+        )
+        quality = round_half_away(
+            (n_alpha / np.maximum(n_chars, 1))
+            * np.minimum(1.0, n_tokens / 100.0),
+            6,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"], pa.int64()),
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+                "quality": pa.array(quality, pa.float64()),
+            }
+        )
+
+
+def lang_id(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, lang_pred): marker-presence n-gram heuristic. Score per
+    language = number of its marker words present; argmax with fixed
+    priority tie-break; 'und' when no marker matches."""
+    text = batch["text"].str.lower()
+    scores = np.zeros((len(batch), len(LANG_MARKERS)), np.int64)
+    for j, (_, markers) in enumerate(LANG_MARKERS):
+        for w in markers:
+            scores[:, j] += text.str.contains(rf"\b{w}\b", regex=True).to_numpy()
+    best = np.argmax(scores, axis=1)  # first max wins = priority order
+    has_any = scores.max(axis=1) > 0
+    langs = np.array([name for name, _ in LANG_MARKERS], dtype=object)
+    pred = np.where(has_any, langs[best], "und")
+    return pa.table(
+        {
+            "doc_id": pa.array(batch["doc_id"], pa.int64()),
+            "lang_pred": pa.array(pred, pa.string()),
+        }
+    )
+
+
+def fingerprint(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, fp): md5 of whitespace-normalized lowercase text —
+    the exact-dedup key (SQL: md5(trim(regexp_replace(lower(text),
+    '\\s+', ' ', 'g'))))."""
+    norm = (
+        batch["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    )
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+    return pa.table(
+        {
+            "doc_id": pa.array(batch["doc_id"], pa.int64()),
+            "fp": pa.array(fps, pa.string()),
+        }
+    )
