@@ -1,0 +1,171 @@
+"""Benchmark harness.
+
+Headline suite (one JSON line to stdout):
+  * sf pipeline  — full transcript→graph build, exact TC, 10 PageRank
+    supersteps, CC to fixpoint on $GRAFT_SF_DIR (default sf0.1).
+  * synth graph  — deterministic synthetic transcript corpus (seeded; no
+    external data) large enough to stress the kernels, same stages.
+  * throughput   — intersections/sec (oriented edges / TC kernel wall) and
+    PageRank edge-traversals/sec (iters x directed edges / PR wall), per
+    BASELINE.json's metric.
+
+--scaling: runs this same bench in TWO fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on identical input and reports both wall
+times plus scaling efficiency — the sandbox evidence for the N→4N
+cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+NUM_PARTITIONS = 16  # fixed across scaling levels: same job, same plan
+SYNTH_CONVS = int(os.environ.get("GRAFT_SYNTH_CONVS", "30000"))
+PR_ITERS = 10
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from graphsetintersection_ray.pipelines.graph import (
+        build_graph_from_transcripts,
+        transcripts_from_sf,
+    )
+    from graphsetintersection_ray.pipelines.iterative import engine_for
+    from graphsetintersection_ray.pipelines.triangle import global_triangle_count
+    from graphsetintersection_ray.sources.transcripts import synth_transcripts
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    transcripts_from_sf(SF_DIR).count()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- sf pipeline -------------------------------------------------------
+    t0 = time.time()
+    art = build_graph_from_transcripts(
+        transcripts_from_sf(SF_DIR),
+        cache_key=f"bench:{SF_DIR}",
+        num_partitions=NUM_PARTITIONS,
+    )
+    queries["sf_graph_build"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tri = global_triangle_count(art.oriented, num_partitions=NUM_PARTITIONS)
+    queries["sf_triangle_count"] = round(time.time() - t0, 3)
+    extras["sf_triangles"] = tri
+    extras["sf_edges"] = art.n_edges
+    extras["sf_vertices"] = art.n_vertices
+
+    eng = engine_for(art)
+    t0 = time.time()
+    eng.pagerank(max_iters=PR_ITERS, tol=0.0, resume=False, checkpoint_every=0)
+    queries["sf_pagerank_10it"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    eng.connected_components(resume=False, checkpoint_every=0)
+    queries["sf_cc"] = round(time.time() - t0, 3)
+
+    # -- synthetic corpus (the scale workload) -----------------------------
+    t0 = time.time()
+    synth = synth_transcripts(SYNTH_CONVS, n_tools=4000, seed=42)
+    sart = build_graph_from_transcripts(
+        synth,
+        cache_key=f"bench:synth:{SYNTH_CONVS}",
+        num_partitions=NUM_PARTITIONS,
+    )
+    queries["synth_graph_build"] = round(time.time() - t0, 3)
+    extras["synth_edges"] = sart.n_edges
+    extras["synth_vertices"] = sart.n_vertices
+
+    t0 = time.time()
+    stri = global_triangle_count(sart.oriented, num_partitions=NUM_PARTITIONS)
+    tc_sec = time.time() - t0
+    queries["synth_triangle_count"] = round(tc_sec, 3)
+    extras["synth_triangles"] = stri
+    # one oriented edge = one sorted-set intersection (reference semantics)
+    extras["intersections_per_sec"] = round(sart.n_edges / max(tc_sec, 1e-9))
+
+    seng = engine_for(sart)
+    t0 = time.time()
+    seng.pagerank(max_iters=PR_ITERS, tol=0.0, resume=False, checkpoint_every=0)
+    pr_sec = time.time() - t0
+    queries["synth_pagerank_10it"] = round(pr_sec, 3)
+    extras["pr_edges_per_sec"] = round(
+        PR_ITERS * 2 * sart.n_edges / max(pr_sec, 1e-9)
+    )
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline suite seconds (graph build + TC + PR + CC, sf + synth)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    for n in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
+    speedup = t_lo / t_hi
+    eff = speedup / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(eff, 3),
+                "queries_8": results[lo_cpus]["queries"],
+                "queries_32": results[hi_cpus]["queries"],
+                "intersections_per_sec_8": results[lo_cpus]["intersections_per_sec"],
+                "intersections_per_sec_32": results[hi_cpus]["intersections_per_sec"],
+                "pr_edges_per_sec_8": results[lo_cpus]["pr_edges_per_sec"],
+                "pr_edges_per_sec_32": results[hi_cpus]["pr_edges_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -58,11 +58,15 @@ def build_graph_from_transcripts(
     transcripts = transcripts.materialize()
     edges_str = gb.derive_edges(transcripts).materialize()
     vertices = gb.encode_vertices(edges_str).materialize()
-    edges = gb.edges_to_ids(edges_str, vertices, num_partitions).materialize()
-    sym = gb.symmetrize(edges).materialize()
-    degs = gb.degrees(sym).materialize()
-    oriented = gb.orient_by_degree(edges, degs, num_partitions).materialize()
     n_vertices = vertices.count()
+    edges = gb.compact_blocks(
+        gb.edges_to_ids(edges_str, vertices, num_partitions, n_vertices=n_vertices)
+    )
+    sym = gb.compact_blocks(gb.symmetrize(edges))
+    degs = gb.degrees(sym).materialize()
+    oriented = gb.compact_blocks(
+        gb.orient_by_degree(edges, degs, num_partitions, n_vertices=n_vertices)
+    )
     n_edges = edges.count()
     fingerprint = f"{cache_key}:p{num_partitions}:{n_vertices}v:{n_edges}e"
     if workdir is None:

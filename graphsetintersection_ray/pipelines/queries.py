@@ -231,6 +231,218 @@ def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
     )
 
 
+def q_comp_ratio(sf_dir: str):
+    """BSR layout-quality metric (R7, porder.cpp:295-351 /
+    bitpack_triangle_count.cpp:66-67): packed (base,state) blocks per edge
+    over the symmetric adjacency; lower = better vertex-ID locality."""
+    art = build_graph(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packs = len(np.unique(src * (1 << 32) + (dst >> 5)))
+        return pa.table(
+            {
+                "packs": pa.array([packs], pa.int64()),
+                "edges": pa.array([len(src)], pa.int64()),
+            }
+        )
+
+    # per-block partials; blocks hold whole src-buckets after the CSR-style
+    # grouping, so pack counts don't double-count across blocks
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    pairs = distinct_by(
+        art.sym.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "pack": pa.array(
+                        t["dst"].to_numpy(zero_copy_only=False) >> 5, pa.int32()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["src", "pack"],
+    )
+    packs = pairs.count()
+    edges = art.sym.count()
+    return pa.table(
+        {
+            "packs": pa.array([packs], pa.int64()),
+            "edges": pa.array([edges], pa.int64()),
+            "comp_ratio": pa.array(
+                [float(np.floor(packs / edges * 1e6 + 0.5) / 1e6)], pa.float64()
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational queries over the star schema (general-engine coverage:
+# joins, grouped aggregates, sort/top-k — SURVEY.md §2.6 checklist)
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with a computed column."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "q": t["l_quantity"].to_pandas(),
+                "rev": rev.to_pandas(),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("q", "sum"), revenue=("rev", "sum"), n=("q", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "l_returnflag": [g["l_returnflag"].iloc[0]],
+                    "l_linestatus": [g["l_linestatus"].iloc[0]],
+                    "sum_qty": [
+                        float(np.floor(g["sum_qty"].sum() * 100 + 0.5) / 100)
+                    ],
+                    "revenue": [
+                        float(np.floor(g["revenue"].sum() * 100 + 0.5) / 100)
+                    ],
+                    "n": [int(g["n"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    return merged
+
+
+def q_customer_revenue(sf_dir: str):
+    """Join pipeline: orders ⋈ customer ⋈ nation → revenue per nation."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    # small sides broadcast (dimension tables)
+    cdf = cust.to_pandas()
+    ndf = nation.to_pandas()
+    c2n = dict(zip(cdf.c_custkey, cdf.c_nationkey))
+    n2name = dict(zip(ndf.n_nationkey, ndf.n_name))
+    import ray as _ray
+
+    ref = _ray.put((c2n, n2name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c2n_, n2name_ = _ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        names = pd.Series(ck).map(c2n_).map(n2name_).to_numpy(object)
+        df = (
+            pd.DataFrame({"n_name": names, "p": price})
+            .groupby("n_name", sort=False)["p"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "n_name": pa.array(df["n_name"], pa.string()),
+                "s": pa.array(df["sum"], pa.float64()),
+                "c": pa.array(df["size"], pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "n_name": [g["n_name"].iloc[0]],
+                    "revenue": [float(np.floor(g["s"].sum() * 100 + 0.5) / 100)],
+                    "n_orders": [int(g["c"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def q_top_parts(sf_dir: str):
+    """Top-10 parts by total lineitem quantity (sort + limit + join)."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                    "q": t["l_quantity"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("l_partkey", sort=False)["q"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(df["l_partkey"], pa.int64()),
+                "partial": pa.array(df["q"], pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("partial", alias_name="total_qty"))
+    )
+    top = totals.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"].cast(pa.int64()),
+                "total_qty": t["total_qty"].cast(pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # --------------------------------------------------------------------------
 # Data-pipeline queries (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -347,6 +559,10 @@ QUERIES = {
     "leaf_count": q_leaf_count,
     "degree_order": q_degree_order,
     "bignode_select": q_bignode_select,
+    "comp_ratio": q_comp_ratio,
+    "lineitem_agg": q_lineitem_agg,
+    "customer_revenue": q_customer_revenue,
+    "top_parts": q_top_parts,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -489,6 +705,33 @@ SELECT v, CAST(min(w) AS BIGINT) AS label FROM reach GROUP BY v"""
 SELECT v, degree FROM ranked
 WHERE before_me < 0.5 * (SELECT sum(degree) FROM deg)"""
     ),
+    "comp_ratio": _with(
+        """pk AS (
+  SELECT count(*) AS packs FROM (
+    SELECT DISTINCT src, dst // 32 AS pack FROM sym)
+),
+ec AS (SELECT count(*) AS edges FROM sym)
+SELECT packs, edges,
+       round(CAST(packs AS DOUBLE) / edges, 6) AS comp_ratio
+FROM pk, ec"""
+    ),
+    "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "customer_revenue": """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name""",
+    "top_parts": """
+SELECT l_partkey, sum(l_quantity) AS total_qty
+FROM lineitem GROUP BY l_partkey
+ORDER BY total_qty DESC, l_partkey LIMIT 10""",
     "token_count": (
         "SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) "
         "AS n_tokens FROM documents"

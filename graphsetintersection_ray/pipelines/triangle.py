@@ -35,14 +35,21 @@ import pyarrow as pa
 
 import ray.data
 
-from graphsetintersection_ray.functions.kernels import pairwise_intersect
 from graphsetintersection_ray.functions.segments import segment_starts
 from graphsetintersection_ray.stages.graph_build import build_csr
 
 
 def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
     """One bucket of (src, dst, nbrs_dst) rows → partial per-vertex triangle
-    counts. Fully vectorized: one pairwise-intersect kernel call."""
+    counts.
+
+    Zero-replication kernel: after sorting by (src, dst), the rows of a src
+    segment ARE N+(src), so side A is the edge list itself keyed by
+    (segment, dst) — one composite int64 key per edge, no per-row copy of
+    the segment (a Σ outdeg² blowup otherwise). Side B (the joined
+    neighbor list of each row's dst) is searched against A with one
+    galloping np.searchsorted — the batched analog of the reference's
+    skew-side galloping kernel (intersection_algos.cpp:88-114)."""
     src = batch["src"].to_numpy()
     dst = batch["dst"].to_numpy()
     nbrs_bin = batch["nbrs_bin"].to_numpy()  # object array of int32-byte blobs
@@ -51,32 +58,34 @@ def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
     )
     order = np.lexsort((dst, src))
     src, dst, nbrs_bin = src[order], dst[order], nbrs_bin[order]
+    n = len(src)
 
-    # Side A: N+(src) = this src segment's dst values, repeated per row.
+    # segment id per row (one segment per distinct src)
     starts = segment_starts(src)
-    bounds = np.append(starts, len(src))
-    seg_of_row = np.searchsorted(bounds, np.arange(len(src)), side="right") - 1
-    offsets_a = np.empty(len(src) + 1, np.int64)
-    offsets_a[:-1] = bounds[seg_of_row]
-    offsets_a[-1] = len(src)
-    # trick: every row's A-list is its whole segment [seg_start, seg_end);
-    # pairwise kernels need per-row (start,end) — build explicit offsets by
-    # flattening segment-per-row (values reused via fancy indexing).
-    row_starts = bounds[seg_of_row]
-    row_ends = bounds[seg_of_row + 1]
-    lens_a = row_ends - row_starts
-    flat_a_idx = np.repeat(row_starts, lens_a) + (
-        np.arange(lens_a.sum()) - np.repeat(np.cumsum(lens_a) - lens_a, lens_a)
+    bounds = np.append(starts, n)
+    lens = np.diff(bounds)
+    seg_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+
+    # Side A: one key per edge — (segment << 32) | dst; sorted by build.
+    keys_a = (seg_of_row << np.int64(32)) | dst.astype(np.int64)
+
+    # Side B: flattened neighbor lists with their row ids.
+    lens_b = (
+        np.fromiter((len(x) for x in nbrs_bin), np.int64, count=len(nbrs_bin)) // 4
     )
-    values_a = dst[flat_a_idx]
-    offsets_a = np.concatenate([[0], np.cumsum(lens_a)])
-
-    # Side B: the joined (packed) neighbor lists of dst.
-    lens_b = np.fromiter((len(x) for x in nbrs_bin), np.int64, count=len(nbrs_bin)) // 4
-    offsets_b = np.concatenate([[0], np.cumsum(lens_b)])
     values_b = np.frombuffer(b"".join(nbrs_bin), dtype="<i4")
+    rows_b = np.repeat(np.arange(n, dtype=np.int64), lens_b)
+    keys_b = (seg_of_row[rows_b] << np.int64(32)) | values_b.astype(np.int64)
 
-    rows, w = pairwise_intersect(offsets_a, values_a, offsets_b, values_b)
+    if len(keys_b) == 0 or n == 0:
+        return pa.table(
+            {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
+        )
+    idx = np.searchsorted(keys_a, keys_b)
+    idx[idx == n] = 0
+    hit = keys_a[idx] == keys_b
+    rows = rows_b[hit]
+    w = values_b[hit]
     # each match closes the triangle (src[row], dst[row], w)
     touched = np.concatenate([src[rows], dst[rows], w]).astype(np.int64)
     if len(touched) == 0:
@@ -89,11 +98,15 @@ def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
     )
 
 
-def per_vertex_triangles(
-    oriented_edges: ray.data.Dataset, num_partitions: int = 32
+def _triangle_partials(
+    oriented_edges: ray.data.Dataset, num_partitions: int
 ) -> ray.data.Dataset:
-    """(v:int32, triangles:int64) for every vertex in >=1 triangle."""
-    csr = build_csr(oriented_edges, num_partitions=num_partitions, packed=True)
+    """(v, partial) per-bucket partial triangle-membership counts."""
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+
+    csr = compact_blocks(
+        build_csr(oriented_edges, num_partitions=num_partitions, packed=True)
+    )
     # LEFT join: an edge whose dst has no out-neighbors must still appear —
     # its dst is a valid member of other sides' N+(src) segments.
     joined = oriented_edges.join(
@@ -113,9 +126,16 @@ def per_vertex_triangles(
         ),
         batch_format="pyarrow",
     )
-    partials = bucketed.groupby("bucket").map_groups(
+    return bucketed.groupby("bucket").map_groups(
         _bucket_triangle_partials, batch_format="pandas"
     )
+
+
+def per_vertex_triangles(
+    oriented_edges: ray.data.Dataset, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """(v:int32, triangles:int64) for every vertex in >=1 triangle."""
+    partials = _triangle_partials(oriented_edges, num_partitions)
     from ray.data.aggregate import Sum
 
     return (
@@ -136,7 +156,11 @@ def per_vertex_triangles(
 def global_triangle_count(
     oriented_edges: ray.data.Dataset, num_partitions: int = 32
 ) -> int:
-    """Exact global triangle count (each triangle touches 3 vertices)."""
-    pv = per_vertex_triangles(oriented_edges, num_partitions=num_partitions)
-    total = pv.sum("triangles")
+    """Exact global triangle count. Each triangle contributes 3 vertex
+    increments to the partials, so the global count needs only a scalar
+    sum — no per-vertex shuffle at all (the distributed analog of the
+    reference's per-thread partial counters + final sum,
+    bitpack_triangle_count.cpp:184-205)."""
+    partials = _triangle_partials(oriented_edges, num_partitions)
+    total = partials.sum("partial")
     return int(total or 0) // 3

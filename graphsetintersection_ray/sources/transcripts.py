@@ -123,32 +123,35 @@ def _synth_conv_batch(
     conv (Philox keyed by (seed, conv)), so output is identical regardless
     of batching/parallelism."""
     convs = batch["id"].to_numpy()
-    frames = []
+    conv_ids, turn_idxs, roles_l, texts, tools_l, tss = [], [], [], [], [], []
     for conv in convs:
         rng = np.random.Generator(np.random.Philox(key=[seed, int(conv)]))
         n_turns = int(rng.integers(2, turns_per_conv + 1))
         # Zipf-ish tool popularity → heavy skew on popular tools (the skew
         # the engine must handle: hub vertices in the co-occurrence graph).
-        tools_idx = (
-            rng.zipf(1.3, size=n_turns) % n_tools
-        ).astype(np.int64)
-        roles = np.where(np.arange(n_turns) % 2 == 0, "user", "assistant")
-        frames.append(
-            pd.DataFrame(
-                {
-                    "conv_id": f"s{conv}",
-                    "turn_idx": np.arange(n_turns, dtype=np.int32),
-                    "role": roles,
-                    "text": [
-                        f"turn {i} of conv {conv} tool {t}"
-                        for i, t in enumerate(tools_idx)
-                    ],
-                    "tool": [f"tool_{t}" for t in tools_idx],
-                    "ts": _EPOCH + (int(conv) * 86_400_000_000 + np.arange(n_turns) * 60_000_000),
-                }
+        tools_idx = (rng.zipf(1.3, size=n_turns) % n_tools).astype(np.int64)
+        ar = np.arange(n_turns)
+        conv_ids.append(np.full(n_turns, f"s{conv}", dtype=object))
+        turn_idxs.append(ar.astype(np.int32))
+        roles_l.append(np.where(ar % 2 == 0, "user", "assistant"))
+        texts.append(
+            np.array(
+                [f"turn {i} of conv {conv} tool {t}" for i, t in enumerate(tools_idx)],
+                dtype=object,
             )
         )
-    return pd.concat(frames, ignore_index=True)
+        tools_l.append(np.array([f"tool_{t}" for t in tools_idx], dtype=object))
+        tss.append(_EPOCH + (int(conv) * 86_400_000_000 + ar * 60_000_000))
+    return pa.table(
+        {
+            "conv_id": pa.array(np.concatenate(conv_ids), pa.string()),
+            "turn_idx": pa.array(np.concatenate(turn_idxs)),
+            "role": pa.array(np.concatenate(roles_l), pa.string()),
+            "text": pa.array(np.concatenate(texts), pa.string()),
+            "tool": pa.array(np.concatenate(tools_l), pa.string()),
+            "ts": pa.array(np.concatenate(tss)),
+        }
+    )
 
 
 def synth_transcripts(

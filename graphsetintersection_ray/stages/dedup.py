@@ -143,18 +143,21 @@ def jaccard_pairs(
             }
         )
 
-    pair_counts = (
-        sh.groupby("shingle")
-        .map_groups(pairs_for_shingle_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
+    from graphsetintersection_ray.stages.shuffle import counted_groups
+
+    pair_counts = counted_groups(
+        sh.groupby("shingle").map_groups(
+            pairs_for_shingle_group, batch_format="pandas"
+        ),
+        ["doc_a", "doc_b"],
+        count_col="i",
     )
 
     def verify(t: pa.Table) -> pa.Table:
         lookup = ray.get(counts_ref)
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
-        inter = t["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        inter = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = np.array([lookup[x] for x in a], np.float64)
         nb = np.array([lookup[x] for x in b], np.float64)
         jac = inter / (na + nb - inter)
@@ -255,16 +258,13 @@ def minhash_lsh_pairs(
             }
         )
 
-    candidates = (
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    candidates = distinct_by(
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
-        .map_batches(
-            lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"]}),
-            batch_format="pyarrow",
-        )
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
     )
 
     # exact-Jaccard verification of the candidate set
@@ -374,20 +374,13 @@ def simhash_near_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             }
         )
 
-    return (
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    # a pair recovered from several bands carries the same full-signature
+    # hamming distance, so the multi-band dedup is a plain distinct
+    return distinct_by(
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .min("hamming")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_a": t["doc_a"],
-                    "doc_b": t["doc_b"],
-                    "hamming": t["min(hamming)"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b", "hamming"],
     )

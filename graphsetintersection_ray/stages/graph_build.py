@@ -110,28 +110,50 @@ def derive_edges(
     edges = bucketed.groupby("bucket").map_groups(
         _edges_for_bucket, batch_format="pandas"
     )
-    # global exact dedup (B3 semantics): groupby both endpoints, keep keys
-    return (
-        edges.groupby(["src_key", "dst_key"])
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"src_key": t["src_key"], "dst_key": t["dst_key"]}
-            ),
-            batch_format="pyarrow",
-        )
-    )
+    # global exact dedup (B3 semantics) via the bucketed distinct path
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    return distinct_by(edges, ["src_key", "dst_key"], num_buckets=num_buckets)
+
+
+def _ensure_arrow(tbl) -> pa.Table:
+    """to_arrow_refs can hand back raw pandas blocks — normalize."""
+    if isinstance(tbl, pd.DataFrame):
+        return pa.Table.from_pandas(tbl, preserve_index=False)
+    return tbl
 
 
 @ray.remote
-def _block_nrows(tbl: pa.Table) -> int:
-    return tbl.num_rows
+def _block_nrows(tbl) -> int:
+    return len(tbl)
+
+
+@ray.remote
+def _block_to_arrow(tbl) -> pa.Table:
+    return _ensure_arrow(tbl)
+
+
+def compact_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize, normalize blocks to Arrow, and drop empty blocks.
+
+    Ray's groupby/map_groups shuffle emits column-less empty pandas blocks
+    for empty partitions; if one of those lands first in a hash-join
+    partition, Acero fails with "No match ... for key field on left side".
+    Join inputs are compacted through this (driver work is O(#blocks))."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    keep = [_block_to_arrow.remote(r) for r, c in zip(refs, counts) if c > 0]
+    if not keep:
+        return mat
+    return ray.data.from_arrow_refs(keep)
 
 
 @ray.remote
 def _block_enumerate(
-    tbl: pa.Table, offset: int, keep_cols: list, id_col: str
+    tbl, offset: int, keep_cols: list, id_col: str
 ) -> pa.Table:
+    tbl = _ensure_arrow(tbl)
     ids = pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int32))
     return pa.table({c: tbl[c] for c in keep_cols} | {id_col: ids})
 
@@ -179,25 +201,50 @@ def encode_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
             )}
         )
 
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
     endpoints = edges.map_batches(_flatten, batch_format="pyarrow")
-    distinct = (
-        endpoints.groupby("key")
-        .count()
-        .map_batches(lambda t: pa.table({"key": t["key"]}), batch_format="pyarrow")
-    )
-    return dense_rank_ids(distinct, "key")
+    return dense_rank_ids(distinct_by(endpoints, ["key"]), "key")
+
+
+# Below this vertex count the key→vid map / degree vector is broadcast via
+# ray.put (a few tens of MB) and joins become map-side lookups; above it the
+# hash-shuffle join path runs. 10^12-turn graphs take the join path.
+BROADCAST_MAX_VERTICES = 2_000_000
 
 
 def edges_to_ids(
     edges: ray.data.Dataset,
     vertices: ray.data.Dataset,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    n_vertices: int | None = None,
 ) -> ray.data.Dataset:
     """String edges ⋈ vertex map (twice) → canonical (src,dst) int32 edges.
 
-    Uses Ray Data's hash join. Because dense ranks are order-preserving,
-    src < dst still holds after mapping.
+    Small side broadcast (``ray.put`` once, ``pd.Index.get_indexer`` per
+    batch) when the vertex map fits; hash-shuffle join otherwise. Because
+    dense ranks are order-preserving, src < dst still holds after mapping.
     """
+    if n_vertices is None:
+        n_vertices = vertices.count()
+    if n_vertices <= BROADCAST_MAX_VERTICES:
+        vdf = vertices.to_pandas()
+        idx = pd.Index(vdf["key"])
+        vids = vdf["vid"].to_numpy()
+        ref = ray.put((idx, vids))
+
+        def lookup(t: pa.Table) -> pa.Table:
+            ix, vv = ray.get(ref)
+            src = vv[ix.get_indexer(t["src_key"].to_pandas())]
+            dst = vv[ix.get_indexer(t["dst_key"].to_pandas())]
+            return pa.table(
+                {
+                    "src": pa.array(src.astype(np.int32)),
+                    "dst": pa.array(dst.astype(np.int32)),
+                }
+            )
+
+        return edges.map_batches(lookup, batch_format="pyarrow")
     j1 = edges.join(
         vertices,
         join_type="inner",
@@ -267,13 +314,39 @@ def orient_by_degree(
     edges: ray.data.Dataset,
     degs: ray.data.Dataset,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    n_vertices: int | None = None,
 ) -> ray.data.Dataset:
     """Orient canonical edges toward the higher-(degree, id) endpoint.
 
     The resulting DAG adjacency lists are O(sqrt(m))-bounded — the explicit
     skew mitigation replacing the reference's degree reordering
-    (porder.cpp:445-495) for distributed triangle counting.
+    (porder.cpp:445-495) for distributed triangle counting. Degree vector
+    broadcast when it fits (dense int64 array indexed by vid); hash joins
+    otherwise.
     """
+    if n_vertices is None:
+        n_vertices = degs.count()
+    if n_vertices <= BROADCAST_MAX_VERTICES:
+        ddf = degs.to_pandas()
+        deg_vec = np.zeros(int(ddf["v"].max()) + 1 if len(ddf) else 0, np.int64)
+        deg_vec[ddf["v"].to_numpy()] = ddf["degree"].to_numpy()
+        ref = ray.put(deg_vec)
+
+        def orient_bc(t: pa.Table) -> pa.Table:
+            dv = ray.get(ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            ds_, dd = dv[src], dv[dst]
+            keep = (ds_ < dd) | ((ds_ == dd) & (src < dst))
+            return pa.table(
+                {
+                    "src": pa.array(np.where(keep, src, dst).astype(np.int32)),
+                    "dst": pa.array(np.where(keep, dst, src).astype(np.int32)),
+                }
+            )
+
+        return edges.map_batches(orient_bc, batch_format="pyarrow")
+
     j1 = edges.join(
         degs,
         join_type="inner",

@@ -1,0 +1,68 @@
+"""Bucketed shuffle helpers.
+
+Ray Data's multi-key ``groupby().aggregate()`` runs on the hash-shuffle
+aggregator-actor path, which costs seconds of fixed startup per stage. For
+the common distinct / counted-group cases we instead hash the key tuple
+into a bounded number of buckets (single-key groupby — cheap path) and do
+the group work vectorized inside each bucket: rows with equal keys always
+land in the same bucket, so bucket-local results are globally correct.
+
+``num_buckets`` bounds shuffle fan-out; raise it so a bucket fits in a
+worker heap at scale (buckets are fully independent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _add_bucket(batch: pd.DataFrame, cols: list[str], num_buckets: int) -> pd.DataFrame:
+    h = np.zeros(len(batch), np.uint64)
+    for c in cols:
+        h ^= pd.util.hash_array(batch[c].to_numpy()) * np.uint64(0x9E3779B97F4A7C15)
+        h = (h << np.uint64(13)) | (h >> np.uint64(51))
+    batch = batch.copy()
+    batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+    return batch
+
+
+def distinct_by(
+    ds: rd.Dataset, cols: list[str], num_buckets: int = 64
+) -> rd.Dataset:
+    """Globally distinct rows over ``cols`` (other columns dropped)."""
+
+    def dedup(g: pd.DataFrame) -> pa.Table:
+        out = g.drop_duplicates(cols)
+        return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+    return (
+        ds.map_batches(
+            _add_bucket, batch_format="pandas",
+            fn_kwargs=dict(cols=cols, num_buckets=num_buckets),
+        )
+        .groupby("__bucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
+def counted_groups(
+    ds: rd.Dataset, cols: list[str], count_col: str = "count", num_buckets: int = 64
+) -> rd.Dataset:
+    """Equivalent of ``groupby(cols).count()`` via the bucket path."""
+
+    def count(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(cols, sort=False).size().reset_index(name=count_col)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(
+            _add_bucket, batch_format="pandas",
+            fn_kwargs=dict(cols=cols, num_buckets=num_buckets),
+        )
+        .groupby("__bucket")
+        .map_groups(count, batch_format="pandas")
+    )

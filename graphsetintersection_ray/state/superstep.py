@@ -45,7 +45,7 @@ def _part_dir(base: str, p: int) -> str:
     return os.path.join(base, f"bucket={p}")
 
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 class PartitionWorker:
     """Holds one hash-partition of the CSR adjacency (vertices with
     ``v % P == p``) plus that partition's per-vertex state vector.
