@@ -37,7 +37,7 @@ def entry() -> Any:
     art = build_graph(SF_SMOKE)
     pr, _ = it.pagerank(art, tol=1e-6, resume=False)
     cc, _ = it.connected_components(art, resume=False)
-    tri = per_vertex_triangles(art.oriented, num_partitions=art.num_partitions)
+    tri = per_vertex_triangles(art.oriented, num_partitions=art.num_partitions, n_vertices=art.n_vertices, n_edges=art.n_edges)
 
     out = (
         pr.to_pandas()

@@ -26,7 +26,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 NUM_PARTITIONS = 16  # fixed across scaling levels: same job, same plan
-SYNTH_CONVS = int(os.environ.get("GRAFT_SYNTH_CONVS", "30000"))
+SYNTH_CONVS = int(os.environ.get("GRAFT_SYNTH_CONVS", "150000"))
 PR_ITERS = 10
 
 
@@ -70,7 +70,7 @@ def run_bench() -> dict:
     queries["sf_graph_build"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    tri = global_triangle_count(art.oriented, num_partitions=NUM_PARTITIONS)
+    tri = global_triangle_count(art.oriented, num_partitions=NUM_PARTITIONS, n_vertices=art.n_vertices, n_edges=art.n_edges)
     queries["sf_triangle_count"] = round(time.time() - t0, 3)
     extras["sf_triangles"] = tri
     extras["sf_edges"] = art.n_edges
@@ -98,7 +98,7 @@ def run_bench() -> dict:
     extras["synth_vertices"] = sart.n_vertices
 
     t0 = time.time()
-    stri = global_triangle_count(sart.oriented, num_partitions=NUM_PARTITIONS)
+    stri = global_triangle_count(sart.oriented, num_partitions=NUM_PARTITIONS, n_vertices=sart.n_vertices, n_edges=sart.n_edges)
     tc_sec = time.time() - t0
     queries["synth_triangle_count"] = round(tc_sec, 3)
     extras["synth_triangles"] = stri

@@ -55,6 +55,32 @@ def pagerank(
     return out, stats
 
 
+def bfs_distances(
+    art: GraphArtifacts,
+    source: int = 0,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+) -> tuple[pa.Table, dict]:
+    """(v, dist) unweighted shortest distances from ``source``; only
+    reachable vertices are returned."""
+    eng = engine_for(art, ckpt_dir)
+    stats = eng.bfs(
+        source, resume=resume, checkpoint_every=1 if ckpt_dir else 0
+    )
+    t = eng.collect_state()
+    dist = t["state"].to_numpy(zero_copy_only=False)
+    keep = dist < (1 << 60)
+    out = pa.table(
+        {
+            "v": pa.array(
+                t["v"].to_numpy(zero_copy_only=False)[keep].astype(np.int32)
+            ),
+            "dist": pa.array(dist[keep].astype(np.int64)),
+        }
+    )
+    return out, stats
+
+
 def connected_components(
     art: GraphArtifacts,
     ckpt_dir: str | None = None,

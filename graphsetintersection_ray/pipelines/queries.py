@@ -117,13 +117,13 @@ def q_degree_table(sf_dir: str):
 
 def q_triangle_count(sf_dir: str):
     art = build_graph(sf_dir)
-    n = global_triangle_count(art.oriented, num_partitions=art.num_partitions)
+    n = global_triangle_count(art.oriented, num_partitions=art.num_partitions, n_vertices=art.n_vertices, n_edges=art.n_edges)
     return pa.table({"triangles": pa.array([n], pa.int64())})
 
 
 def q_triangle_per_vertex(sf_dir: str):
     art = build_graph(sf_dir)
-    return per_vertex_triangles(art.oriented, num_partitions=art.num_partitions)
+    return per_vertex_triangles(art.oriented, num_partitions=art.num_partitions, n_vertices=art.n_vertices, n_edges=art.n_edges)
 
 
 def q_pagerank_fixed(sf_dir: str):
@@ -154,6 +154,14 @@ def q_connected_components(sf_dir: str):
 def q_label_propagation(sf_dir: str):
     art = build_graph(sf_dir)
     out, _ = it.label_propagation(art, resume=False)
+    return out
+
+
+def q_bfs_distances(sf_dir: str):
+    """Unweighted shortest distances from vertex 0 (reference BFS /
+    shortest-distance query workload, porder.cpp:545-584, gen_queries.py)."""
+    art = build_graph(sf_dir)
+    out, _ = it.bfs_distances(art, source=0, resume=False)
     return out
 
 
@@ -229,6 +237,31 @@ def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
             "degree": pa.array(np.concatenate(ds_).astype(np.int64)),
         }
     )
+
+
+def q_vertex_labels(sf_dir: str):
+    """(v, label) entity-type labels (reference S5 load_labels /
+    gen_labels.py made deterministic)."""
+    from graphsetintersection_ray.pipelines.subgraph import vertex_labels
+
+    return vertex_labels(build_graph(sf_dir))
+
+
+def q_subgraph_match(sf_dir: str):
+    """Match counts for the named label-filtered query graphs (reference
+    sm.cpp per-query `ansK=N` output)."""
+    from graphsetintersection_ray.pipelines.subgraph import match_counts_table
+
+    return match_counts_table(build_graph(sf_dir))
+
+
+def q_maximal_cliques(sf_dir: str):
+    """(mc_num, max_clique_size) — degeneracy-order Tomita enumeration
+    (reference mc.cpp:36-47). No SQL oracle (exponential enumeration);
+    pytest checks vs a brute-force Bron-Kerbosch."""
+    from graphsetintersection_ray.pipelines.cliques import clique_stats
+
+    return clique_stats(build_graph(sf_dir))
 
 
 def q_comp_ratio(sf_dir: str):
@@ -556,9 +589,13 @@ QUERIES = {
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
+    "bfs_distances": q_bfs_distances,
     "leaf_count": q_leaf_count,
     "degree_order": q_degree_order,
     "bignode_select": q_bignode_select,
+    "vertex_labels": q_vertex_labels,
+    "subgraph_match": q_subgraph_match,
+    "maximal_cliques": q_maximal_cliques,
     "comp_ratio": q_comp_ratio,
     "lineitem_agg": q_lineitem_agg,
     "customer_revenue": q_customer_revenue,
@@ -688,6 +725,18 @@ SELECT v, CAST(min(w) AS BIGINT) AS component FROM reach GROUP BY v"""
 )
 SELECT v, CAST(min(w) AS BIGINT) AS label FROM reach GROUP BY v"""
     ),
+    "bfs_distances": _with(
+        """walk AS (
+  WITH RECURSIVE w(v, dist) AS (
+    SELECT CAST(0 AS INTEGER), CAST(0 AS BIGINT)
+    UNION
+    SELECT s.dst, w.dist + 1 FROM w JOIN sym s ON s.src = w.v
+    WHERE w.dist < 64  -- cycle guard; must exceed the graph's eccentricity
+  )
+  SELECT v, dist FROM w
+)
+SELECT v, min(dist) AS dist FROM walk GROUP BY v"""
+    ),
     "leaf_count": _with(
         "SELECT count(*) AS leaves FROM deg WHERE degree = 1"
     ),
@@ -704,6 +753,47 @@ SELECT v, CAST(min(w) AS BIGINT) AS label FROM reach GROUP BY v"""
 )
 SELECT v, degree FROM ranked
 WHERE before_me < 0.5 * (SELECT sum(degree) FROM deg)"""
+    ),
+    "vertex_labels": _with(
+        "SELECT vid AS v, CASE substr(key, 1, 1) WHEN 'a' THEN 0 "
+        "WHEN 'c' THEN 1 WHEN 'r' THEN 2 ELSE 3 END AS label FROM verts"
+    ),
+    "subgraph_match": _with(
+        """labv AS (
+  SELECT vid, CASE substr(key, 1, 1) WHEN 'a' THEN 0 WHEN 'c' THEN 1
+              WHEN 'r' THEN 2 ELSE 3 END AS label
+  FROM verts
+),
+c_path AS (
+  SELECT count(*) AS c FROM sym e1
+  JOIN sym e2 ON e2.src = e1.dst
+  JOIN labv l0 ON l0.vid = e1.src
+  JOIN labv l1 ON l1.vid = e1.dst
+  JOIN labv l2 ON l2.vid = e2.dst
+  WHERE l0.label = 1 AND l1.label = 3 AND l2.label = 1
+    AND e2.dst <> e1.src
+),
+c_ttt AS (
+  SELECT count(*) AS c FROM sym a
+  JOIN sym b ON b.src = a.src
+  JOIN sym cc ON cc.src = a.dst AND cc.dst = b.dst
+  JOIN labv l0 ON l0.vid = a.src
+  JOIN labv l1 ON l1.vid = a.dst
+  JOIN labv l2 ON l2.vid = b.dst
+  WHERE l0.label = 3 AND l1.label = 3 AND l2.label = 3
+),
+c_ctt AS (
+  SELECT count(*) AS c FROM sym a
+  JOIN sym b ON b.src = a.src
+  JOIN sym cc ON cc.src = a.dst AND cc.dst = b.dst
+  JOIN labv l0 ON l0.vid = a.src
+  JOIN labv l1 ON l1.vid = a.dst
+  JOIN labv l2 ON l2.vid = b.dst
+  WHERE l0.label = 1 AND l1.label = 3 AND l2.label = 3
+)
+SELECT 'path_ctc' AS query, (SELECT c FROM c_path) AS matches
+UNION ALL SELECT 'tri_ctt', (SELECT c FROM c_ctt)
+UNION ALL SELECT 'tri_ttt', (SELECT c FROM c_ttt)"""
     ),
     "comp_ratio": _with(
         """pk AS (

@@ -98,10 +98,133 @@ def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
     )
 
 
+# Below this edge count the whole oriented CSR (two int arrays) is built on
+# the driver and broadcast once via ray.put — every batch then intersects
+# against object-store-shared arrays with zero join/shuffle. Above it, the
+# hash-join path runs (the 100 TB path: adjacency never leaves the cluster).
+BROADCAST_MAX_EDGES = 20_000_000
+
+
+def _broadcast_wedge_state(oriented_edges: ray.data.Dataset, n_vertices: int):
+    """Degree-rank relabeled DAG state for the wedge-join kernel.
+
+    Relabels vertices by their (degree, id) rank — the reference's degree
+    reordering (R6, porder.cpp:445-495) applied *inside* the kernel — so
+    DAG edges satisfy src < dst numerically and every adjacency list is
+    rank-sorted. Triangle test then reduces to membership of wedge keys in
+    ONE sorted int64 edge-key array. Returns a ray.put ref of
+    (edge_keys, offsets, flat, orig_of_rank).
+    """
+    import ray as _ray
+
+    srcs, dsts = [], []
+    for b in oriented_edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        srcs.append(b["src"].to_numpy(zero_copy_only=False))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+    src = (np.concatenate(srcs) if srcs else np.empty(0, np.int32)).astype(np.int64)
+    dst = (np.concatenate(dsts) if dsts else np.empty(0, np.int32)).astype(np.int64)
+    deg = np.bincount(src, minlength=n_vertices) + np.bincount(
+        dst, minlength=n_vertices
+    )
+    order = np.lexsort((np.arange(n_vertices), deg))  # rank by (deg, id)
+    rank_of = np.empty(n_vertices, np.int64)
+    rank_of[order] = np.arange(n_vertices)
+    src, dst = rank_of[src], rank_of[dst]
+    # orientation used the same (deg, id) order → src < dst after relabel
+    edge_order = np.lexsort((dst, src))
+    src, dst = src[edge_order], dst[edge_order]
+    edge_keys = (src << np.int64(32)) | dst
+    counts = np.bincount(src, minlength=n_vertices)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return _ray.put((edge_keys, offsets, dst, order))
+
+
+def _make_wedge_counter(state_ref):
+    import ray as _ray
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        edge_keys, offsets, flat, orig_of_rank = _ray.get(state_ref)
+        empty = pa.table(
+            {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or len(edge_keys) == 0:
+            return empty
+        # this batch's edges, relabeled to ranks
+        rank_of = np.empty(len(orig_of_rank), np.int64)
+        rank_of[orig_of_rank] = np.arange(len(orig_of_rank))
+        u = rank_of[t["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        v = rank_of[t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        # position of (u,v) in the global sorted edge array = start of its
+        # wedge partners (every w after v in N+(u))
+        pos = np.searchsorted(edge_keys, (u << np.int64(32)) | v)
+        seg_end = offsets[u + 1]
+        lens = seg_end - pos - 1
+        lens = np.maximum(lens, 0)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        # wedge (v, w) for each w in N+(u) after v — each wedge once
+        idx = np.repeat(pos + 1, lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        w = flat[idx]
+        wedge_v = np.repeat(v, lens)
+        wedge_u = np.repeat(u, lens)
+        wkeys = (wedge_v << np.int64(32)) | w
+        widx = np.searchsorted(edge_keys, wkeys)
+        widx[widx == len(edge_keys)] = 0
+        hit = edge_keys[widx] == wkeys
+        if not hit.any():
+            return empty
+        touched_ranks = np.concatenate([wedge_u[hit], wedge_v[hit], w[hit]])
+        touched = orig_of_rank[touched_ranks]
+        # dense ids → bincount beats sort-based np.unique by ~10x here
+        cnt_vec = np.bincount(touched, minlength=len(orig_of_rank))
+        nz = np.flatnonzero(cnt_vec)
+        return pa.table(
+            {
+                "v": pa.array(nz.astype(np.int32)),
+                "partial": pa.array(cnt_vec[nz].astype(np.int64)),
+            }
+        )
+
+    return count_batch
+
+
 def _triangle_partials(
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int,
+    n_vertices: int | None = None,
+    n_edges: int | None = None,
+) -> ray.data.Dataset:
+    """(v, partial) partial triangle-membership counts."""
+    if n_edges is None:
+        n_edges = oriented_edges.count()
+    if n_edges <= BROADCAST_MAX_EDGES:
+        if n_vertices is None:
+            n_vertices = int(
+                oriented_edges.max("src") or 0
+            )
+            n_vertices = max(
+                n_vertices, int(oriented_edges.max("dst") or 0)
+            ) + 1
+        state_ref = _broadcast_wedge_state(oriented_edges, n_vertices)
+        # map_batches parallelism = #blocks, and a materialized small edge
+        # table often lands in ONE block — split it so the kernel fans out
+        n_blocks = max(32, num_partitions * 4)
+        return oriented_edges.repartition(n_blocks).map_batches(
+            _make_wedge_counter(state_ref),
+            batch_format="pyarrow",
+            batch_size=262_144,
+        )
+    return _triangle_partials_join(oriented_edges, num_partitions)
+
+
+def _triangle_partials_join(
     oriented_edges: ray.data.Dataset, num_partitions: int
 ) -> ray.data.Dataset:
-    """(v, partial) per-bucket partial triangle-membership counts."""
+    """Join-based partials — the at-scale path (no broadcast)."""
     from graphsetintersection_ray.stages.graph_build import compact_blocks
 
     csr = compact_blocks(
@@ -132,15 +255,19 @@ def _triangle_partials(
 
 
 def per_vertex_triangles(
-    oriented_edges: ray.data.Dataset, num_partitions: int = 32
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    n_vertices: int | None = None,
+    n_edges: int | None = None,
 ) -> ray.data.Dataset:
     """(v:int32, triangles:int64) for every vertex in >=1 triangle."""
-    partials = _triangle_partials(oriented_edges, num_partitions)
-    from ray.data.aggregate import Sum
+    partials = _triangle_partials(
+        oriented_edges, num_partitions, n_vertices=n_vertices, n_edges=n_edges
+    )
+    from graphsetintersection_ray.stages.shuffle import sum_by
 
     return (
-        partials.groupby("v")
-        .aggregate(Sum("partial", alias_name="triangles"))
+        sum_by(partials, ["v"], "partial", out_col="triangles")
         .map_batches(
             lambda t: pa.table(
                 {
@@ -154,13 +281,18 @@ def per_vertex_triangles(
 
 
 def global_triangle_count(
-    oriented_edges: ray.data.Dataset, num_partitions: int = 32
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    n_vertices: int | None = None,
+    n_edges: int | None = None,
 ) -> int:
     """Exact global triangle count. Each triangle contributes 3 vertex
     increments to the partials, so the global count needs only a scalar
     sum — no per-vertex shuffle at all (the distributed analog of the
     reference's per-thread partial counters + final sum,
     bitpack_triangle_count.cpp:184-205)."""
-    partials = _triangle_partials(oriented_edges, num_partitions)
+    partials = _triangle_partials(
+        oriented_edges, num_partitions, n_vertices=n_vertices, n_edges=n_edges
+    )
     total = partials.sum("partial")
     return int(total or 0) // 3

@@ -292,21 +292,21 @@ def degrees(sym_edges: ray.data.Dataset) -> ray.data.Dataset:
             {"v": pa.array(v, pa.int32()), "partial": pa.array(cnt, pa.int64())}
         )
 
-    from ray.data.aggregate import Sum
+    from graphsetintersection_ray.stages.shuffle import sum_by
 
-    return (
-        sym_edges.map_batches(_partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("partial", alias_name="degree"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "v": t["v"].cast(pa.int32()),
-                    "degree": t["degree"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    return sum_by(
+        sym_edges.map_batches(_partial, batch_format="pyarrow"),
+        ["v"],
+        "partial",
+        out_col="degree",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "v": t["v"].cast(pa.int32()),
+                "degree": t["degree"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 

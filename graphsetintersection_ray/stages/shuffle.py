@@ -49,6 +49,36 @@ def distinct_by(
     )
 
 
+def sum_by(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    val_col: str,
+    out_col: str | None = None,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Equivalent of ``groupby(key_cols).sum(val_col)`` via the bucket
+    path (bucket-local sums are globally correct: equal keys share a
+    bucket)."""
+    out_col = out_col or val_col
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby(key_cols, sort=False)[val_col]
+            .sum()
+            .reset_index(name=out_col)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(
+            _add_bucket, batch_format="pandas",
+            fn_kwargs=dict(cols=key_cols, num_buckets=num_buckets),
+        )
+        .groupby("__bucket")
+        .map_groups(reduce, batch_format="pandas")
+    )
+
+
 def counted_groups(
     ds: rd.Dataset, cols: list[str], count_col: str = "count", num_buckets: int = 64
 ) -> rd.Dataset:

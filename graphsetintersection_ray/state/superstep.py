@@ -93,11 +93,19 @@ class PartitionWorker:
     def num_vertices(self) -> int:
         return int(len(self.u))
 
-    def init_state(self, kind: str, n_total: int) -> None:
+    UNREACHED = np.int64(1 << 60)
+
+    def init_state(self, kind: str, n_total: int, source: int | None = None) -> None:
         if kind == "pagerank":
             self.state = np.full(len(self.u), 1.0 / max(n_total, 1), np.float64)
         elif kind in ("cc", "labelprop"):
             self.state = self.u.astype(np.int64).copy()
+        elif kind == "bfs":
+            self.state = np.full(len(self.u), self.UNREACHED, np.int64)
+            if source is not None:
+                idx = np.searchsorted(self.u, source)
+                if idx < len(self.u) and self.u[idx] == source:
+                    self.state[idx] = 0
         else:
             raise ValueError(kind)
 
@@ -136,10 +144,17 @@ class PartitionWorker:
                 ),
                 np.diff(self.offsets),
             )
-            agg = np.add
+        elif kind == "bfs":
+            # frontier relaxation: dist+1 along every out-edge (monotone
+            # min fixpoint = unweighted shortest distance from the source)
+            per_edge = np.repeat(
+                np.where(
+                    self.state >= self.UNREACHED, self.UNREACHED, self.state + 1
+                ),
+                np.diff(self.offsets),
+            )
         else:  # cc / labelprop: propagate current label, reduce by min
             per_edge = np.repeat(self.state, np.diff(self.offsets))
-            agg = np.minimum
         out = []
         for q in range(self.P):
             sel = self._dst_sel[q]
@@ -274,6 +289,7 @@ class SuperstepEngine:
         converged,
         resume: bool = True,
         checkpoint_every: int = 1,
+        source: int | None = None,
     ) -> dict:
         start_iter = self.latest_complete_iter(algo) if resume else -1
         if start_iter >= 0:
@@ -281,7 +297,10 @@ class SuperstepEngine:
             ray.get([w.load_state.remote(d) for w in self.workers])
         else:
             ray.get(
-                [w.init_state.remote(kind, self.n_total) for w in self.workers]
+                [
+                    w.init_state.remote(kind, self.n_total, source=source)
+                    for w in self.workers
+                ]
             )
         stats = {"iters": 0, "edges_per_iter": 0, "sec_per_iter": []}
         for k in range(start_iter + 1, max_iters):
@@ -355,6 +374,27 @@ class SuperstepEngine:
             lambda rs: sum(r["changed"] for r in rs) == 0,
             resume=resume,
             checkpoint_every=checkpoint_every,
+        )
+
+    def bfs(
+        self,
+        source: int,
+        max_iters: int = 500,
+        resume: bool = True,
+        checkpoint_every: int = 1,
+    ) -> dict:
+        """Unweighted shortest distance from ``source`` to every reachable
+        vertex (the reference's BFS traversal / shortest-distance queries,
+        porder.cpp:545-584, python/gen_queries.py) as a monotone min
+        fixpoint; unreached vertices keep PartitionWorker.UNREACHED."""
+        return self._run(
+            f"bfs_s{source}",
+            "bfs",
+            max_iters,
+            lambda rs: sum(r["changed"] for r in rs) == 0,
+            resume=resume,
+            checkpoint_every=checkpoint_every,
+            source=source,
         )
 
     def collect_state(self) -> pa.Table:

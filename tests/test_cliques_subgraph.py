@@ -1,0 +1,126 @@
+"""Tests for maximal cliques, subgraph matching, and BFS distances."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def art(ray_session):
+    from graphsetintersection_ray.pipelines.graph import build_graph
+
+    return build_graph(SF, num_partitions=4)
+
+
+def _adj_sets(sym_df):
+    adj = {}
+    for s, d in zip(sym_df.src, sym_df.dst):
+        adj.setdefault(s, set()).add(d)
+    return adj
+
+
+def _brute_maximal_cliques(adj):
+    """Reference-free Bron-Kerbosch (no pivot) oracle."""
+    cliques = []
+
+    def bk(r, p, x):
+        if not p and not x:
+            cliques.append(frozenset(r))
+            return
+        for v in list(p):
+            bk(r | {v}, p & adj.get(v, set()), x & adj.get(v, set()))
+            p = p - {v}
+            x = x | {v}
+
+    vs = set(adj)
+    bk(set(), vs, set())
+    return set(cliques)
+
+
+def test_maximal_cliques_vs_bruteforce(art):
+    from graphsetintersection_ray.pipelines.cliques import maximal_cliques
+
+    sym_df = art.sym.to_pandas()
+    adj = _adj_sets(sym_df)
+    expect = _brute_maximal_cliques(adj)
+    got_strs = maximal_cliques(art).to_pandas()["members_str"]
+    got = set(
+        frozenset(int(x) for x in s.split(",")) for s in got_strs
+    )
+    assert got == expect
+    assert len(got_strs) == len(got)  # each clique exactly once
+
+
+def test_degeneracy_order_is_permutation(art):
+    from graphsetintersection_ray.pipelines.cliques import (
+        _sym_csr_arrays,
+        degeneracy_order,
+    )
+
+    offsets, flat = _sym_csr_arrays(art)
+    order = degeneracy_order(offsets, flat)
+    assert sorted(order.tolist()) == list(range(art.n_vertices))
+
+
+def test_subgraph_match_vs_bruteforce(art):
+    from graphsetintersection_ray.pipelines.subgraph import (
+        QUERY_GRAPHS,
+        match_count,
+        vertex_labels,
+    )
+
+    sym_df = art.sym.to_pandas()
+    adj = _adj_sets(sym_df)
+    labels = dict(
+        zip(
+            vertex_labels(art).to_pandas().v,
+            vertex_labels(art).to_pandas().label,
+        )
+    )
+
+    for name, q in QUERY_GRAPHS.items():
+        got = match_count(art, q)
+        # brute force: try all assignments via DFS over candidates
+        def count_from(i, bound):
+            if i == len(q.labels):
+                return 1
+            total = 0
+            before = q.neighbors_before(i)
+            if before:
+                cand = set.intersection(
+                    *[adj.get(bound[j], set()) for j in before]
+                )
+            else:
+                cand = set(labels)
+            for v in cand:
+                if labels.get(v) == q.labels[i] and v not in bound[:i]:
+                    total += count_from(i + 1, bound + [v])
+            return total
+
+        expect = count_from(0, [])
+        assert got == expect, name
+
+
+def test_bfs_distances_vs_bfs(art):
+    from graphsetintersection_ray.pipelines.iterative import bfs_distances
+
+    sym_df = art.sym.to_pandas()
+    adj = _adj_sets(sym_df)
+    # python BFS from 0
+    from collections import deque
+
+    dist = {0: 0}
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        for w in adj.get(u, ()):  # noqa
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                dq.append(w)
+    out, _ = bfs_distances(art, source=0, resume=False)
+    got = dict(zip(out["v"].to_pylist(), out["dist"].to_pylist()))
+    assert got == dist

@@ -90,9 +90,22 @@ def test_triangle_count_vs_bruteforce(art):
             total += 1
             for x in (a, b, c):
                 per_v[x] = per_v.get(x, 0) + 1
+    # broadcast-CSR path (default at this size)
     assert global_triangle_count(art.oriented, num_partitions=4) == total
     pv = per_vertex_triangles(art.oriented, num_partitions=4).to_pandas()
     assert dict(zip(pv.v, pv.triangles)) == per_v
+
+    # join path (the at-scale route) must agree
+    from graphsetintersection_ray.pipelines import triangle as tri_mod
+
+    old = tri_mod.BROADCAST_MAX_EDGES
+    tri_mod.BROADCAST_MAX_EDGES = 0
+    try:
+        assert global_triangle_count(art.oriented, num_partitions=4) == total
+        pv2 = per_vertex_triangles(art.oriented, num_partitions=4).to_pandas()
+        assert dict(zip(pv2.v, pv2.triangles)) == per_v
+    finally:
+        tri_mod.BROADCAST_MAX_EDGES = old
 
 
 def test_pagerank_allclose_numpy(art, sym_df):
