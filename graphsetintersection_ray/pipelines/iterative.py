@@ -22,6 +22,17 @@ from graphsetintersection_ray.state.superstep import SuperstepEngine
 _ENGINES: dict[tuple, SuperstepEngine] = {}
 
 
+def release_engines() -> None:
+    """Kill all cached PartitionWorker actor pools (frees their CPU
+    reservations — call between pipeline stages in benchmarks)."""
+    import ray as _ray
+
+    for eng in _ENGINES.values():
+        for w in eng.workers:
+            _ray.kill(w)
+    _ENGINES.clear()
+
+
 def engine_for(art: GraphArtifacts, ckpt_dir: str | None = None) -> SuperstepEngine:
     key = (art.csr_path, art.num_partitions, ckpt_dir)
     if key not in _ENGINES:

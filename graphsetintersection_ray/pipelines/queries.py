@@ -205,6 +205,50 @@ def q_degree_order(sf_dir: str):
     )
 
 
+def q_hybrid_order(sf_dir: str):
+    """R2 hybrid_bfsdeg (porder.cpp:93-140): renumber by (BFS level from
+    the max-degree hub, degree desc, id) — unreached vertices last."""
+    import ray as _ray
+
+    from graphsetintersection_ray.pipelines.iterative import bfs_distances
+
+    art = build_graph(sf_dir)
+    # hub = max-degree vertex, ties by smallest id
+    hub_df = (
+        art.degrees.sort(["degree", "v"], descending=[True, False])
+        .limit(1)
+        .to_pandas()
+    )
+    hub = int(hub_df["v"].iloc[0])
+    dist, _ = it.bfs_distances(art, source=hub, resume=False)
+    ddf = dist.to_pandas()
+    dist_ref = _ray.put(dict(zip(ddf["v"], ddf["dist"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        lookup = _ray.get(dist_ref)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        d = np.array([lookup.get(x, 1 << 40) for x in v], np.int64)
+        return pa.table(
+            {
+                "v": t["v"],
+                "degree": t["degree"],
+                "dist": pa.array(d),
+                "neg_degree": pa.array(-t["degree"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    ranked = art.degrees.map_batches(attach, batch_format="pyarrow").sort(
+        ["dist", "neg_degree", "v"]
+    )
+    out = gb.enumerate_sorted(ranked, ["v"], "new_id")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"v": t["v"].cast(pa.int32()), "new_id": t["new_id"].cast(pa.int32())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
     """Hub list: smallest set of highest-degree vertices covering
     ``deg_ratio`` of total degree (R8 select_bignode, porder.cpp:353-392;
@@ -592,6 +636,7 @@ QUERIES = {
     "bfs_distances": q_bfs_distances,
     "leaf_count": q_leaf_count,
     "degree_order": q_degree_order,
+    "hybrid_order": q_hybrid_order,
     "bignode_select": q_bignode_select,
     "vertex_labels": q_vertex_labels,
     "subgraph_match": q_subgraph_match,
@@ -743,6 +788,25 @@ SELECT v, min(dist) AS dist FROM walk GROUP BY v"""
     "degree_order": _with(
         "SELECT v, CAST(row_number() OVER (ORDER BY degree DESC, v) - 1 "
         "AS INTEGER) AS new_id FROM deg"
+    ),
+    "hybrid_order": _with(
+        """hub AS (
+  SELECT v FROM deg ORDER BY degree DESC, v LIMIT 1
+),
+walk AS (
+  WITH RECURSIVE w(v, dist) AS (
+    SELECT (SELECT v FROM hub), CAST(0 AS BIGINT)
+    UNION
+    SELECT s.dst, w.dist + 1 FROM w JOIN sym s ON s.src = w.v
+    WHERE w.dist < 64
+  )
+  SELECT v, min(dist) AS dist FROM w GROUP BY v
+)
+SELECT d.v,
+       CAST(row_number() OVER (
+         ORDER BY coalesce(walk.dist, 1099511627776), d.degree DESC, d.v
+       ) - 1 AS INTEGER) AS new_id
+FROM deg d LEFT JOIN walk ON walk.v = d.v""",
     ),
     "bignode_select": _with(
         """ranked AS (
