@@ -131,6 +131,28 @@ def run_bench() -> dict:
         PR_ITERS * 2 * sart.n_edges / max(pr_sec, 1e-9)
     )
 
+    # kernel microbench — the reference's intersection throughput metric
+    # (`ele_per_usec = (|a|+|b|)/µs`, exp/test_intersection_algos.cpp:131-135,
+    # defaults -len 4000000 -skew 1.0 -select 0.1 -dense 0.01)
+    import numpy as np
+
+    from graphsetintersection_ray.functions.kernels import intersect_count_sorted
+
+    rng = np.random.default_rng(42)
+    universe = 400_000_000
+    a = np.sort(
+        rng.choice(universe, size=4_000_000, replace=False).astype(np.int64)
+    )
+    b = np.sort(
+        rng.choice(universe, size=4_000_000, replace=False).astype(np.int64)
+    )
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        intersect_count_sorted(a, b)
+        best = min(best, time.perf_counter() - t0)
+    extras["kernel_ele_per_usec"] = round((len(a) + len(b)) / best / 1e6, 1)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "headline suite seconds (graph build + TC + PR + CC, sf + synth)",
@@ -145,10 +167,33 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
+def _calibrate(n_procs: int, seconds: float = 2.0) -> float:
+    """Pure-CPU throughput actually deliverable to n_procs processes RIGHT
+    NOW. The sandbox host is shared with co-tenants, so the wall-clock
+    ceiling for 32 vs 8 workers varies over time — scaling efficiency is
+    only meaningful relative to this concurrently-measured ceiling."""
+    import multiprocessing as mp
+
+    with mp.Pool(n_procs) as p:
+        return float(sum(p.map(_burn, [seconds] * n_procs)))
+
+
 def run_scaling() -> None:
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     results = {}
+    calib = {}
     for n in (lo_cpus, hi_cpus):
+        calib.setdefault(n, 0.0)
+        calib[n] = max(calib[n], _calibrate(n))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -159,22 +204,25 @@ def run_scaling() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])
+        calib[n] = max(calib[n], _calibrate(n))
     t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
     speedup = t_lo / t_hi
-    eff = speedup / (hi_cpus / lo_cpus)
+    ceiling = calib[hi_cpus] / calib[lo_cpus]
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
+                f"sec_{lo_cpus}": t_lo,
+                f"sec_{hi_cpus}": t_hi,
                 "speedup": round(speedup, 3),
-                "scaling_efficiency": round(eff, 3),
-                "queries_8": results[lo_cpus]["queries"],
-                "queries_32": results[hi_cpus]["queries"],
-                "intersections_per_sec_8": results[lo_cpus]["intersections_per_sec"],
-                "intersections_per_sec_32": results[hi_cpus]["intersections_per_sec"],
-                "pr_edges_per_sec_8": results[lo_cpus]["pr_edges_per_sec"],
-                "pr_edges_per_sec_32": results[hi_cpus]["pr_edges_per_sec"],
+                "scaling_efficiency": round(speedup / (hi_cpus / lo_cpus), 3),
+                "machine_cpu_ceiling_ratio": round(ceiling, 3),
+                "efficiency_vs_ceiling": round(speedup / max(ceiling, 1e-9), 3),
+                f"queries_{lo_cpus}": results[lo_cpus]["queries"],
+                f"queries_{hi_cpus}": results[hi_cpus]["queries"],
+                f"intersections_per_sec_{lo_cpus}": results[lo_cpus]["intersections_per_sec"],
+                f"intersections_per_sec_{hi_cpus}": results[hi_cpus]["intersections_per_sec"],
+                f"pr_edges_per_sec_{lo_cpus}": results[lo_cpus]["pr_edges_per_sec"],
+                f"pr_edges_per_sec_{hi_cpus}": results[hi_cpus]["pr_edges_per_sec"],
             }
         )
     )

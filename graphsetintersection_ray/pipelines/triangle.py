@@ -129,21 +129,37 @@ def _broadcast_wedge_state(oriented_edges: ray.data.Dataset, n_vertices: int):
     order = np.lexsort((np.arange(n_vertices), deg))  # rank by (deg, id)
     rank_of = np.empty(n_vertices, np.int64)
     rank_of[order] = np.arange(n_vertices)
-    src, dst = rank_of[src], rank_of[dst]
-    # orientation used the same (deg, id) order → src < dst after relabel
-    edge_order = np.lexsort((dst, src))
-    src, dst = src[edge_order], dst[edge_order]
-    edge_keys = (src << np.int64(32)) | dst
+    # orientation used the same (deg, id) order → src < dst after relabel;
+    # single-key sort of the composite beats lexsort + gather by ~2x
+    edge_keys = np.sort((rank_of[src] << np.int64(32)) | rank_of[dst])
+    src = edge_keys >> np.int64(32)
+    dst = edge_keys & np.int64(0xFFFFFFFF)
     counts = np.bincount(src, minlength=n_vertices)
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    return _ray.put((edge_keys, offsets, dst, order))
+    # QFilter analog (set_operation.cpp:379-551): a compact hash bitmap
+    # pre-filters wedge probes with ~1 cache line each before the exact
+    # binary search touches the big sorted key array. Bool-scatter +
+    # packbits is ~50x faster than np.bitwise_or.at.
+    bits = np.zeros(1 << BITMAP_BITS, bool)
+    bits[_bitmap_hash(edge_keys)] = True
+    bitmap = np.packbits(bits, bitorder="little")
+    return _ray.put((edge_keys, offsets, dst, order, bitmap))
+
+
+BITMAP_BITS = 27  # 2^27 bits = 16 MiB filter
+
+
+def _bitmap_hash(keys: np.ndarray) -> np.ndarray:
+    return (
+        keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ) >> np.uint64(64 - BITMAP_BITS)
 
 
 def _make_wedge_counter(state_ref):
     import ray as _ray
 
     def count_batch(t: pa.Table) -> pa.Table:
-        edge_keys, offsets, flat, orig_of_rank = _ray.get(state_ref)
+        edge_keys, offsets, flat, orig_of_rank, bitmap = _ray.get(state_ref)
         empty = pa.table(
             {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
         )
@@ -172,9 +188,22 @@ def _make_wedge_counter(state_ref):
         wedge_v = np.repeat(v, lens)
         wedge_u = np.repeat(u, lens)
         wkeys = (wedge_v << np.int64(32)) | w
-        widx = np.searchsorted(edge_keys, wkeys)
+        # stage 1 — bitmap pre-filter (1 byte gather per probe)
+        hp = _bitmap_hash(wkeys)
+        maybe = (bitmap[hp >> np.uint64(3)] & (np.uint8(1) << (hp & np.uint64(7)).astype(np.uint8))) != 0
+        cand = np.flatnonzero(maybe)
+        if len(cand) == 0:
+            return empty
+        # stage 2 — exact membership; probes sorted so successive binary
+        # searches touch neighboring regions of edge_keys (cache-coherent)
+        ckeys = wkeys[cand]
+        probe_order = np.argsort(ckeys, kind="stable")
+        sorted_probes = ckeys[probe_order]
+        widx = np.searchsorted(edge_keys, sorted_probes)
         widx[widx == len(edge_keys)] = 0
-        hit = edge_keys[widx] == wkeys
+        hit_sorted = edge_keys[widx] == sorted_probes
+        hit = np.zeros(len(wkeys), bool)
+        hit[cand[probe_order]] = hit_sorted
         if not hit.any():
             return empty
         touched_ranks = np.concatenate([wedge_u[hit], wedge_v[hit], w[hit]])
