@@ -604,6 +604,38 @@ def q_embedding_dups(sf_dir: str):
     return cosine_dup_pairs(_embs(sf_dir), threshold=0.4)
 
 
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event type (stream-shaped
+    workload over the ordered events log)."""
+    from graphsetintersection_ray.stages.streaming import tumbling_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    return tumbling_window_agg(ev)
+
+
+def q_sessionize(sf_dir: str):
+    """(user_id, n_sessions) with 30-minute-gap session splits."""
+    from graphsetintersection_ray.stages.streaming import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    return sessionize(ev)
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 1-in-20 systematic sample of documents (sampling
+    operator with an exact oracle — seeded random sampling is covered by
+    the synthetic corpus generators)."""
+    docs = _docs(sf_dir)
+    return docs.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(t["doc_id"], 15), 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_media_metadata(sf_dir: str):
     from graphsetintersection_ray.stages.multimodal import (
         MediaMetadata,
@@ -657,6 +689,9 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "embedding_dups": q_embedding_dups,
     "media_metadata": q_media_metadata,
+    "event_windows": q_event_windows,
+    "sessionize": q_sessionize,
+    "sample_docs": q_sample_docs,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -965,5 +1000,23 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""",
     "media_metadata": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
         "md5(text) AS checksum FROM documents"
+    ),
+    "event_windows": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n, round(sum(value), 2) AS value_sum
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "sessionize": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN pts IS NULL
+                     OR ts - pts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id""",
+    "sample_docs": (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 16 = 0"
     ),
 }

@@ -105,6 +105,37 @@ def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
 BROADCAST_MAX_EDGES = 20_000_000
 
 
+@ray.remote
+def _block_degree_partial(tbl, n_vertices: int) -> np.ndarray:
+    import pandas as _pd
+
+    if isinstance(tbl, _pd.DataFrame):
+        src = tbl["src"].to_numpy()
+        dst = tbl["dst"].to_numpy()
+    else:
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    return np.bincount(src, minlength=n_vertices) + np.bincount(
+        dst, minlength=n_vertices
+    )
+
+
+@ray.remote
+def _block_relabel_keys(tbl, rank_of: np.ndarray) -> np.ndarray:
+    import pandas as _pd
+
+    if isinstance(tbl, _pd.DataFrame):
+        src = tbl["src"].to_numpy()
+        dst = tbl["dst"].to_numpy()
+    else:
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    return np.sort(
+        (rank_of[src.astype(np.int64)] << np.int64(32))
+        | rank_of[dst.astype(np.int64)]
+    )
+
+
 def _broadcast_wedge_state(oriented_edges: ray.data.Dataset, n_vertices: int):
     """Degree-rank relabeled DAG state for the wedge-join kernel.
 
@@ -112,26 +143,29 @@ def _broadcast_wedge_state(oriented_edges: ray.data.Dataset, n_vertices: int):
     reordering (R6, porder.cpp:445-495) applied *inside* the kernel — so
     DAG edges satisfy src < dst numerically and every adjacency list is
     rank-sorted. Triangle test then reduces to membership of wedge keys in
-    ONE sorted int64 edge-key array. Returns a ray.put ref of
-    (edge_keys, offsets, flat, orig_of_rank).
+    ONE sorted int64 edge-key array. Per-block work (degree partials,
+    relabel, block-local sort) runs in remote tasks; the driver only sums
+    degree vectors and merges pre-sorted key runs. Returns a ray.put ref
+    of (edge_keys, offsets, flat, orig_of_rank, bitmap).
     """
     import ray as _ray
 
-    srcs, dsts = [], []
-    for b in oriented_edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        srcs.append(b["src"].to_numpy(zero_copy_only=False))
-        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
-    src = (np.concatenate(srcs) if srcs else np.empty(0, np.int32)).astype(np.int64)
-    dst = (np.concatenate(dsts) if dsts else np.empty(0, np.int32)).astype(np.int64)
-    deg = np.bincount(src, minlength=n_vertices) + np.bincount(
-        dst, minlength=n_vertices
+    refs = oriented_edges.materialize().to_arrow_refs()
+    deg_parts = _ray.get(
+        [_block_degree_partial.remote(r, n_vertices) for r in refs]
     )
+    deg = np.sum(deg_parts, axis=0) if deg_parts else np.zeros(n_vertices, np.int64)
     order = np.lexsort((np.arange(n_vertices), deg))  # rank by (deg, id)
     rank_of = np.empty(n_vertices, np.int64)
     rank_of[order] = np.arange(n_vertices)
-    # orientation used the same (deg, id) order → src < dst after relabel;
-    # single-key sort of the composite beats lexsort + gather by ~2x
-    edge_keys = np.sort((rank_of[src] << np.int64(32)) | rank_of[dst])
+    # orientation used the same (deg, id) order → src < dst after relabel
+    rank_ref = _ray.put(rank_of)
+    key_runs = _ray.get([_block_relabel_keys.remote(r, rank_ref) for r in refs])
+    if key_runs:
+        edge_keys = np.concatenate(key_runs)
+        edge_keys.sort()  # in-place merge of pre-sorted runs
+    else:
+        edge_keys = np.empty(0, np.int64)
     src = edge_keys >> np.int64(32)
     dst = edge_keys & np.int64(0xFFFFFFFF)
     counts = np.bincount(src, minlength=n_vertices)

@@ -1,0 +1,101 @@
+"""Stream-shaped operators over the ordered events log.
+
+Ray Data is a batch engine; stream semantics are expressed by treating
+`events` as an ordered, partitioned log: hash users into buckets so each
+user's full history is co-located, sort within the bucket by (user, ts,
+event_id), and compute windows/sessions with one vectorized pass per
+bucket (the pattern recommended for stream-shaped references). Event-time
+only — no watermarks; ordering is the (ts, event_id) total order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from graphsetintersection_ray.functions.segments import segment_starts
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def tumbling_window_agg(events: rd.Dataset) -> rd.Dataset:
+    """Per (event_type, 1-hour tumbling window): event count + value sum.
+    Partial-aggregated per batch before one bucketed grouped sum."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        win = ts.astype("datetime64[h]").astype("datetime64[us]")
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "window_start": win,
+                "n": 1,
+                "value_sum": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("n", "sum"), value_sum=("value_sum", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        out = (
+            g.groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("n", "sum"), value_sum=("value_sum", "sum"))
+            .reset_index()
+        )
+        out["value_sum"] = np.floor(out["value_sum"] * 100 + 0.5) / 100
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from graphsetintersection_ray.stages.shuffle import _add_bucket
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            _add_bucket,
+            batch_format="pandas",
+            fn_kwargs=dict(cols=["event_type"], num_buckets=16),
+        )
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def sessionize(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """(user_id, n_sessions): sessions split at >30-minute gaps in each
+    user's (ts, event_id)-ordered stream."""
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        order = np.lexsort(
+            (b["event_id"].to_numpy(), b["ts"].to_numpy(), b["user_id"].to_numpy())
+        )
+        user = b["user_id"].to_numpy()[order]
+        ts = b["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
+        starts = segment_starts(user)
+        is_start = np.zeros(len(user), bool)
+        is_start[starts] = True
+        gap_break = np.zeros(len(user), bool)
+        if len(user) > 1:
+            gap_break[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        new_session = is_start | gap_break
+        df = pd.DataFrame({"user_id": user, "s": new_session.astype(np.int64)})
+        out = df.groupby("user_id", sort=False)["s"].sum().reset_index(
+            name="n_sessions"
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    bucketed = events.map_batches(
+        lambda b: b.assign(
+            __bucket=(b["user_id"].to_numpy() % num_buckets)
+        ),
+        batch_format="pandas",
+    )
+    return bucketed.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
