@@ -274,12 +274,15 @@ def _triangle_partials(
             ) + 1
         state_ref = _broadcast_wedge_state(oriented_edges, n_vertices)
         # map_batches parallelism = #blocks, and a materialized small edge
-        # table often lands in ONE block — split it so the kernel fans out
+        # table often lands in ONE block — split it so the kernel fans out.
+        # Small batches bound each task's wedge temporaries (~50 MB instead
+        # of ~1 GB): with 32 concurrent tasks, large temporaries thrash
+        # allocation/memory bandwidth and the kernel stops scaling.
         n_blocks = max(32, num_partitions * 4)
         return oriented_edges.repartition(n_blocks).map_batches(
             _make_wedge_counter(state_ref),
             batch_format="pyarrow",
-            batch_size=262_144,
+            batch_size=16_384,
         )
     return _triangle_partials_join(oriented_edges, num_partitions)
 
