@@ -21,6 +21,10 @@ from graphsetintersection_ray.stages import graph_build as gb
 
 DEFAULT_PARTITIONS = 8
 
+# bump when edge-derivation/CSR semantics change: invalidates cached
+# /tmp/gsi_graphs CSR directories from older code
+GRAPH_SCHEMA_VERSION = 2
+
 
 @dataclass
 class GraphArtifacts:
@@ -68,7 +72,10 @@ def build_graph_from_transcripts(
         gb.orient_by_degree(edges, degs, num_partitions, n_vertices=n_vertices)
     )
     n_edges = edges.count()
-    fingerprint = f"{cache_key}:p{num_partitions}:{n_vertices}v:{n_edges}e"
+    fingerprint = (
+        f"v{GRAPH_SCHEMA_VERSION}:{cache_key}:p{num_partitions}:"
+        f"{n_vertices}v:{n_edges}e"
+    )
     if workdir is None:
         workdir = os.path.join(
             "/tmp/gsi_graphs", hashlib.md5(fingerprint.encode()).hexdigest()[:16]
