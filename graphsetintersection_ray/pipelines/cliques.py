@@ -126,12 +126,7 @@ def maximal_cliques(art: GraphArtifacts) -> ray.data.Dataset:
         return pa.table({"members_str": pa.array(strs, pa.string())})
 
     seeds = ray.data.range(art.n_vertices)
-    found = seeds.map_batches(per_seed, batch_format="pyarrow", batch_size=256)
-
-    def add_ids(t: pa.Table) -> pa.Table:
-        return t
-
-    return found.map_batches(add_ids, batch_format="pyarrow")
+    return seeds.map_batches(per_seed, batch_format="pyarrow", batch_size=256)
 
 
 def clique_stats(art: GraphArtifacts) -> pa.Table:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from graphsetintersection_ray.functions.kernels import round_half_away
 from graphsetintersection_ray.pipelines.graph import GraphArtifacts
 from graphsetintersection_ray.state.superstep import SuperstepEngine
 
@@ -59,7 +60,9 @@ def pagerank(
     t = eng.collect_state()
     score = t["state"].to_numpy(zero_copy_only=False)
     if round_to is not None:
-        score = np.round(score, round_to)
+        # SQL ROUND() is half-away-from-zero; np.round is half-even and
+        # disagrees on exactly-representable boundary values
+        score = round_half_away(score, round_to)
     out = pa.table(
         {"v": t["v"].cast(pa.int32()), "score": pa.array(score, pa.float64())}
     )

@@ -314,19 +314,6 @@ def q_comp_ratio(sf_dir: str):
     over the symmetric adjacency; lower = better vertex-ID locality."""
     art = build_graph(sf_dir)
 
-    def partial(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        packs = len(np.unique(src * (1 << 32) + (dst >> 5)))
-        return pa.table(
-            {
-                "packs": pa.array([packs], pa.int64()),
-                "edges": pa.array([len(src)], pa.int64()),
-            }
-        )
-
-    # per-block partials; blocks hold whole src-buckets after the CSR-style
-    # grouping, so pack counts don't double-count across blocks
     from graphsetintersection_ray.stages.shuffle import distinct_by
 
     pairs = distinct_by(
@@ -395,8 +382,6 @@ def q_lineitem_agg(sf_dir: str):
             .reset_index()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
-
-    from ray.data.aggregate import Sum
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -624,7 +609,7 @@ def q_sessionize(sf_dir: str):
 
 
 def q_sample_docs(sf_dir: str):
-    """Deterministic 1-in-20 systematic sample of documents (sampling
+    """Deterministic 1-in-16 systematic sample of documents (sampling
     operator with an exact oracle — seeded random sampling is covered by
     the synthetic corpus generators)."""
     docs = _docs(sf_dir)

@@ -29,6 +29,8 @@ path (bitpack_triangle_count.cpp:143-206), with Ray blocks as the unit.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -102,19 +104,38 @@ def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
 # the driver and broadcast once via ray.put — every batch then intersects
 # against object-store-shared arrays with zero join/shuffle. Above it, the
 # hash-join path runs (the 100 TB path: adjacency never leaves the cluster).
-BROADCAST_MAX_EDGES = 20_000_000
+# Env-overridable so tests/CORRECTNESS can force the join path at sf scale.
+BROADCAST_MAX_EDGES = int(
+    os.environ.get("GRAFT_BROADCAST_MAX_EDGES", 20_000_000)
+)
+
+# Join-path bucket granularity: buckets scale with edge count, NOT with the
+# CSR partition count — at 100 TB a `src % P` bucket would put 1/P of all
+# wedge-carrying edges+neighbor blobs in one pandas map_groups call.
+JOIN_EDGES_PER_BUCKET = int(
+    os.environ.get("GRAFT_JOIN_EDGES_PER_BUCKET", 1_000_000)
+)
+
+
+def _block_src_dst(tbl) -> tuple[np.ndarray, np.ndarray]:
+    """src/dst arrays from a block ref that may be a pandas DataFrame or an
+    Arrow table — including the column-less empty pandas blocks Ray's
+    groupby shuffles emit for empty partitions."""
+    import pandas as _pd
+
+    if len(tbl) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if isinstance(tbl, _pd.DataFrame):
+        return tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    return (
+        tbl["src"].to_numpy(zero_copy_only=False),
+        tbl["dst"].to_numpy(zero_copy_only=False),
+    )
 
 
 @ray.remote
 def _block_degree_partial(tbl, n_vertices: int) -> np.ndarray:
-    import pandas as _pd
-
-    if isinstance(tbl, _pd.DataFrame):
-        src = tbl["src"].to_numpy()
-        dst = tbl["dst"].to_numpy()
-    else:
-        src = tbl["src"].to_numpy(zero_copy_only=False)
-        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    src, dst = _block_src_dst(tbl)
     return np.bincount(src, minlength=n_vertices) + np.bincount(
         dst, minlength=n_vertices
     )
@@ -122,14 +143,7 @@ def _block_degree_partial(tbl, n_vertices: int) -> np.ndarray:
 
 @ray.remote
 def _block_relabel_keys(tbl, rank_of: np.ndarray) -> np.ndarray:
-    import pandas as _pd
-
-    if isinstance(tbl, _pd.DataFrame):
-        src = tbl["src"].to_numpy()
-        dst = tbl["dst"].to_numpy()
-    else:
-        src = tbl["src"].to_numpy(zero_copy_only=False)
-        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    src, dst = _block_src_dst(tbl)
     return np.sort(
         (rank_of[src.astype(np.int64)] << np.int64(32))
         | rank_of[dst.astype(np.int64)]
@@ -146,7 +160,9 @@ def _broadcast_wedge_state(oriented_edges: ray.data.Dataset, n_vertices: int):
     ONE sorted int64 edge-key array. Per-block work (degree partials,
     relabel, block-local sort) runs in remote tasks; the driver only sums
     degree vectors and merges pre-sorted key runs. Returns a ray.put ref
-    of (edge_keys, offsets, flat, orig_of_rank, bitmap).
+    of (edge_keys, offsets, flat, orig_of_rank, rank_of, bitmap) — rank_of
+    ships in the broadcast state so the kernel never rebuilds the O(V)
+    inverse permutation per batch.
     """
     import ray as _ray
 
@@ -177,7 +193,7 @@ def _broadcast_wedge_state(oriented_edges: ray.data.Dataset, n_vertices: int):
     bits = np.zeros(1 << BITMAP_BITS, bool)
     bits[_bitmap_hash(edge_keys)] = True
     bitmap = np.packbits(bits, bitorder="little")
-    return _ray.put((edge_keys, offsets, dst, order, bitmap))
+    return _ray.put((edge_keys, offsets, dst, order, rank_of, bitmap))
 
 
 BITMAP_BITS = 27  # 2^27 bits = 16 MiB filter
@@ -193,15 +209,16 @@ def _make_wedge_counter(state_ref):
     import ray as _ray
 
     def count_batch(t: pa.Table) -> pa.Table:
-        edge_keys, offsets, flat, orig_of_rank, bitmap = _ray.get(state_ref)
+        edge_keys, offsets, flat, orig_of_rank, rank_of, bitmap = _ray.get(
+            state_ref
+        )
         empty = pa.table(
             {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
         )
         if t.num_rows == 0 or len(edge_keys) == 0:
             return empty
-        # this batch's edges, relabeled to ranks
-        rank_of = np.empty(len(orig_of_rank), np.int64)
-        rank_of[orig_of_rank] = np.arange(len(orig_of_rank))
+        # this batch's edges, relabeled to ranks (rank_of comes from the
+        # broadcast state — built once, shared zero-copy via the object store)
         u = rank_of[t["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
         v = rank_of[t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
         # position of (u,v) in the global sorted edge array = start of its
@@ -284,15 +301,20 @@ def _triangle_partials(
             batch_format="pyarrow",
             batch_size=16_384,
         )
-    return _triangle_partials_join(oriented_edges, num_partitions)
+    return _triangle_partials_join(oriented_edges, num_partitions, n_edges)
 
 
 def _triangle_partials_join(
-    oriented_edges: ray.data.Dataset, num_partitions: int
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int,
+    n_edges: int,
 ) -> ray.data.Dataset:
     """Join-based partials — the at-scale path (no broadcast)."""
     from graphsetintersection_ray.stages.graph_build import compact_blocks
 
+    # bucket count tracks data size, not the CSR partition count — each
+    # bucket holds ~JOIN_EDGES_PER_BUCKET wedge-carrying edges + blobs
+    n_buckets = max(num_partitions, int(n_edges // JOIN_EDGES_PER_BUCKET) + 1)
     csr = compact_blocks(
         build_csr(oriented_edges, num_partitions=num_partitions, packed=True)
     )
@@ -309,7 +331,7 @@ def _triangle_partials_join(
         lambda t: t.append_column(
             "bucket",
             pa.array(
-                t["src"].to_numpy(zero_copy_only=False) % num_partitions,
+                t["src"].to_numpy(zero_copy_only=False) % n_buckets,
                 pa.int32(),
             ),
         ),

@@ -35,6 +35,8 @@ oracles).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -210,7 +212,10 @@ def encode_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
 # Below this vertex count the key→vid map / degree vector is broadcast via
 # ray.put (a few tens of MB) and joins become map-side lookups; above it the
 # hash-shuffle join path runs. 10^12-turn graphs take the join path.
-BROADCAST_MAX_VERTICES = 2_000_000
+# Env-overridable so tests/CORRECTNESS can force the join path at sf scale.
+BROADCAST_MAX_VERTICES = int(
+    os.environ.get("GRAFT_BROADCAST_MAX_VERTICES", 2_000_000)
+)
 
 
 def edges_to_ids(

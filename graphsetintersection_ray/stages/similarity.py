@@ -67,10 +67,17 @@ def brute_force_topk(
             )
         sims = qm @ _normalize(mat).T  # (Q, batch)
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # per-batch candidate selection must use the SAME total order as the
+        # final merge — (sim desc, neighbor_id asc) — or a tied neighbor at
+        # the kk boundary can be dropped before the merge sees it
+        nq = len(qi)
+        q_idx = np.repeat(np.arange(nq), sims.shape[1])
+        order = np.lexsort((np.tile(ids, nq), -sims.ravel(), q_idx))
+        take = (np.arange(nq)[:, None] * sims.shape[1] + np.arange(kk)).ravel()
+        sel = order[take]
         out_q = np.repeat(qi, kk)
-        out_n = ids[top.ravel()]
-        out_s = np.take_along_axis(sims, top, axis=1).ravel()
+        out_n = np.tile(ids, nq)[sel]
+        out_s = sims.ravel()[sel]
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

@@ -108,6 +108,46 @@ def test_triangle_count_vs_bruteforce(art):
         tri_mod.BROADCAST_MAX_EDGES = old
 
 
+def test_join_branch_build_matches_broadcast(art, ray_session):
+    """Force BROADCAST_MAX_VERTICES=0 so edges_to_ids and orient_by_degree
+    take their hash-join branches (the 100 TB code paths) and check the
+    results equal the broadcast-path artifacts edge-for-edge."""
+    from graphsetintersection_ray.stages import graph_build as gb
+
+    old = gb.BROADCAST_MAX_VERTICES
+    gb.BROADCAST_MAX_VERTICES = 0
+    try:
+        edges_j = gb.compact_blocks(
+            gb.edges_to_ids(art.edges_str, art.vertices, num_partitions=4)
+        )
+        edf = edges_j.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        want = art.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(edf, want, check_dtype=False)
+
+        oriented_j = gb.compact_blocks(
+            gb.orient_by_degree(edges_j, art.degrees, num_partitions=4)
+        )
+        odf = oriented_j.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        wanto = art.oriented.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(odf, wanto, check_dtype=False)
+
+        # and the join-path TC over the join-built DAG still agrees
+        from graphsetintersection_ray.pipelines import triangle as tri_mod
+        from graphsetintersection_ray.pipelines.triangle import (
+            global_triangle_count,
+        )
+
+        old_e = tri_mod.BROADCAST_MAX_EDGES
+        tri_mod.BROADCAST_MAX_EDGES = 0
+        try:
+            got = global_triangle_count(oriented_j, num_partitions=4)
+        finally:
+            tri_mod.BROADCAST_MAX_EDGES = old_e
+        assert got == global_triangle_count(art.oriented, num_partitions=4)
+    finally:
+        gb.BROADCAST_MAX_VERTICES = old
+
+
 def test_pagerank_allclose_numpy(art, sym_df):
     from graphsetintersection_ray.pipelines import iterative as it
 
