@@ -25,7 +25,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-NUM_PARTITIONS = 16  # fixed across scaling levels: same job, same plan
+# partitions track the worker count, exactly as a real N- vs 4N-node
+# cluster would be provisioned (results are partition-count-invariant);
+# override with GRAFT_PARTITIONS to pin a fixed plan across levels
+NUM_PARTITIONS = int(
+    os.environ.get("GRAFT_PARTITIONS", str(max(8, NUM_CPUS)))
+)
 SYNTH_CONVS = int(os.environ.get("GRAFT_SYNTH_CONVS", "150000"))
 SYNTH_TOOLS = int(os.environ.get("GRAFT_SYNTH_TOOLS", "4000"))
 PR_ITERS = 10

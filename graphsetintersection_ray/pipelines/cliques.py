@@ -7,15 +7,25 @@ cliques containing v with P = not-yet-peeled neighbors, X = already-peeled
 neighbors, via Tomita-pivot Bron-Kerbosch (org_maximal_clique.cpp:169-314).
 Every maximal clique is reported exactly once.
 
-Ray design: the degeneracy order is computed once (exact bucket-queue peel
-— driver-side under the broadcast threshold; a distributed iterative
-k-core peel is the documented at-scale path), the adjacency is broadcast
-via ray.put, and the per-seed Tomita recursions — each bounded by the
-seed's egonet — run as a ``map_batches`` stage over the seed vertices
-(embarrassingly parallel, the heavy tail seeds spread across the pool).
+Ray design, two gated paths (BROADCAST_MAX_EDGES, env-overridable):
+  * small graphs — the exact bucket-queue peel runs driver-side on the
+    broadcast CSR; per-seed Tomita recursions fan out as ``map_batches``
+    over seed vertices.
+  * at scale — NO driver materialization of the edge table. The
+    elimination order comes from a distributed k-core peel (per round,
+    remote tasks over the cached edge blocks compute degree decrements;
+    the driver holds only the O(V) degree vector — the distributed analog
+    of the reference's bucket queue). Per-seed egonets are assembled by
+    one explode + hash join against the packed CSR (each seed's group
+    carries Σ_{w∈N(v)} |N(w)| rows — the documented partitioning
+    assumption), and Tomita runs inside ``groupby(seed).map_groups``.
+Both paths report each maximal clique exactly once; equality is tested at
+a forced-low threshold.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -27,9 +37,17 @@ import ray.data
 from graphsetintersection_ray.functions.kernels import intersect_sorted
 from graphsetintersection_ray.pipelines.graph import GraphArtifacts
 
+# above this many (symmetric) edges the driver-side CSR broadcast is
+# refused and the distributed peel + egonet-join path runs instead
+BROADCAST_MAX_EDGES = int(
+    os.environ.get("GRAFT_CLIQUE_BROADCAST_MAX_EDGES", 40_000_000)
+)
+
 
 def _sym_csr_arrays(art: GraphArtifacts):
-    """Driver-side dense CSR of the symmetric adjacency (sorted nbrs)."""
+    """Driver-side dense CSR of the symmetric adjacency (sorted nbrs).
+    Only legal under the broadcast threshold — callers gate on
+    ``2 * art.n_edges <= BROADCAST_MAX_EDGES``."""
     df = art.sym.to_pandas()
     src = df["src"].to_numpy().astype(np.int64)
     dst = df["dst"].to_numpy().astype(np.int64)
@@ -72,6 +90,56 @@ def degeneracy_order(offsets: np.ndarray, flat: np.ndarray) -> np.ndarray:
     return order
 
 
+@ray.remote
+def _peel_decrements(tbl, removed_mask: np.ndarray, n: int) -> np.ndarray:
+    """Per-edge-block degree decrements caused by this round's removals:
+    for every edge (src, dst) with src removed and dst still active,
+    dst loses one degree. Symmetric table → one direction suffices."""
+    from graphsetintersection_ray.pipelines.triangle import _block_src_dst
+
+    src, dst = _block_src_dst(tbl)
+    if len(src) == 0:
+        return np.zeros(n, np.int64)
+    keep = removed_mask[src] & ~removed_mask[dst]
+    return np.bincount(dst[keep], minlength=n)
+
+
+def distributed_peel_order(art: GraphArtifacts) -> np.ndarray:
+    """Elimination order from a distributed k-core peel.
+
+    Per round all active vertices of minimum residual degree are removed
+    (ordered by id within the round). The edge table stays distributed:
+    each round runs one remote bincount per cached edge block; the driver
+    holds only O(V) state. This is a valid elimination order for
+    exactly-once BK seeding (any total order is), with |P| bounded by the
+    round's core number — the distributed analog of the reference's
+    bucket-queue peel."""
+    n = art.n_vertices
+    refs = art.sym.materialize().to_arrow_refs()
+    deg = np.zeros(n, np.int64)
+    ddf = art.degrees.to_pandas()
+    deg[ddf["v"].to_numpy()] = ddf["degree"].to_numpy()
+
+    active = np.ones(n, bool)
+    order = np.empty(n, np.int64)
+    pos = 0
+    while active.any():
+        d_min = deg[active].min()
+        this_round = np.flatnonzero(active & (deg <= d_min))
+        order[pos : pos + len(this_round)] = this_round
+        pos += len(this_round)
+        active[this_round] = False
+        if not active.any():
+            break
+        removed_mask = np.zeros(n, bool)
+        removed_mask[this_round] = True
+        decs = ray.get(
+            [_peel_decrements.remote(r, removed_mask, n) for r in refs]
+        )
+        deg -= np.sum(decs, axis=0)
+    return order
+
+
 def _tomita(R: list, P: np.ndarray, X: np.ndarray, offsets, flat, out: list):
     """Bron-Kerbosch with Tomita pivoting (org_maximal_clique.cpp:169-314).
     P, X sorted int arrays; emits maximal cliques R∪... into out."""
@@ -102,11 +170,7 @@ def _tomita(R: list, P: np.ndarray, X: np.ndarray, offsets, flat, out: list):
         X = np.union1d(X, [v])
 
 
-def maximal_cliques(art: GraphArtifacts) -> ray.data.Dataset:
-    """(clique_id:int64, members_str:string) — every maximal clique of the
-    symmetric graph exactly once, members sorted ascending (= the
-    reference's save_answers record, org_maximal_clique.cpp:372-385,
-    rendered hash-stable)."""
+def _maximal_cliques_broadcast(art: GraphArtifacts) -> ray.data.Dataset:
     offsets, flat = _sym_csr_arrays(art)
     order = degeneracy_order(offsets, flat)
     rank = np.empty(len(order), np.int64)
@@ -129,19 +193,138 @@ def maximal_cliques(art: GraphArtifacts) -> ray.data.Dataset:
     return seeds.map_batches(per_seed, batch_format="pyarrow", batch_size=256)
 
 
+def _egonet_bk(g: pd.DataFrame, rank_ref) -> pa.Table:
+    """One seed's group: rows (u, w, nbrs_bin_w) covering all neighbors w
+    of seed u with w's packed adjacency. Runs Tomita on the egonet."""
+    rank = ray.get(rank_ref)
+    u = int(g["u"].iloc[0])
+    nbrs = np.sort(g["w"].to_numpy().astype(np.int64))
+    # local relabel: egonet universe = N(u), restricted adjacency
+    local_of = {int(w): i for i, w in enumerate(nbrs)}
+    lists = []
+    for w, blob in zip(g["w"], g["nbrs_bin"]):
+        vals = (
+            np.frombuffer(blob, dtype="<i4").astype(np.int64)
+            if blob is not None and len(blob)
+            else np.empty(0, np.int64)
+        )
+        inter = intersect_sorted(vals, nbrs)
+        lists.append((int(w), inter))
+    lists.sort(key=lambda t: local_of[t[0]])
+    lens = np.array([len(x[1]) for x in lists], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    flat_global = (
+        np.concatenate([x[1] for x in lists]) if lists else np.empty(0, np.int64)
+    )
+    # monotone relabel global → local (nbrs sorted, every value present),
+    # so per-segment sortedness is preserved
+    flat = np.searchsorted(nbrs, flat_global)
+    rk_u = rank[u]
+    rk_n = rank[nbrs]
+    local_ids = np.arange(len(nbrs), dtype=np.int64)
+    P = local_ids[rk_n > rk_u]
+    X = local_ids[rk_n < rk_u]
+    cliques: list[list[int]] = []
+    _tomita([], P, X, offsets, flat, cliques)
+    strs = [
+        ",".join(map(str, sorted([u] + [int(nbrs[i]) for i in c])))
+        for c in cliques
+    ]
+    return pa.table({"members_str": pa.array(strs, pa.string())})
+
+
+def _maximal_cliques_distributed(art: GraphArtifacts) -> ray.data.Dataset:
+    """At-scale path: distributed peel order + egonet assembly by hash
+    join against the packed CSR; the driver never holds the edge table
+    (only the O(V) order/rank vectors, broadcast once like the TC wedge
+    state)."""
+    from graphsetintersection_ray.stages.graph_build import (
+        build_csr,
+        compact_blocks,
+    )
+
+    order = distributed_peel_order(art)
+    rank = np.empty(len(order), np.int64)
+    rank[order] = np.arange(len(order))
+    rank_ref = ray.put(rank)
+
+    csr = compact_blocks(
+        build_csr(art.sym, num_partitions=art.num_partitions, packed=True)
+    ).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t["nbrs_bin"].to_pylist()
+        lens = np.fromiter(
+            (0 if b is None else len(b) // 4 for b in blobs), np.int64,
+            count=len(blobs),
+        )
+        flat = (
+            np.frombuffer(b"".join(b for b in blobs if b), dtype="<i4")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "u": pa.array(np.repeat(u, lens), pa.int64()),
+                "w": pa.array(flat, pa.int64()),
+            }
+        )
+
+    pairs = compact_blocks(csr.map_batches(explode, batch_format="pyarrow"))
+    joined = pairs.join(
+        csr.map_batches(
+            lambda t: pa.table(
+                {"w2": t["u"].cast(pa.int64()), "nbrs_bin": t["nbrs_bin"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=art.num_partitions,
+        on=("w",),
+        right_on=("w2",),
+    )
+    return joined.groupby("u").map_groups(
+        lambda g: _egonet_bk(g, rank_ref), batch_format="pandas"
+    )
+
+
+def maximal_cliques(art: GraphArtifacts) -> ray.data.Dataset:
+    """(members_str:string) — every maximal clique of the symmetric graph
+    exactly once, members sorted ascending (= the reference's save_answers
+    record, org_maximal_clique.cpp:372-385, rendered hash-stable)."""
+    if 2 * art.n_edges <= BROADCAST_MAX_EDGES:
+        return _maximal_cliques_broadcast(art)
+    return _maximal_cliques_distributed(art)
+
+
 def clique_stats(art: GraphArtifacts) -> pa.Table:
     """(mc_num, max_clique_size) — the counts the reference prints
-    (mc.cpp:36-47)."""
+    (mc.cpp:36-47). Aggregated distributed (per-batch partials), not by
+    iterating result rows on the driver."""
     mc = maximal_cliques(art)
-    sizes = []
-    for b in mc.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for s in b["members_str"].to_pylist():
-            sizes.append(s.count(",") + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()), "mx": pa.array([0], pa.int64())}
+            )
+        commas = pc.count_substring(t["members_str"], ",")
+        sizes = pc.add(commas, 1)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "mx": pa.array([pc.max(sizes).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = mc.map_batches(partial, batch_format="pyarrow")
+    n = parts.sum("n") or 0
+    mx = parts.max("mx") or 0
     return pa.table(
         {
-            "mc_num": pa.array([len(sizes)], pa.int64()),
-            "max_clique_size": pa.array(
-                [max(sizes) if sizes else 0], pa.int64()
-            ),
+            "mc_num": pa.array([int(n)], pa.int64()),
+            "max_clique_size": pa.array([int(mx)], pa.int64()),
         }
     )

@@ -7,16 +7,25 @@ label-candidate list with the adjacency of every already-bound query
 neighbor (:138-153), dedup bound vertices (:155-167); report match counts
 (sm.cpp:60-77).
 
-Ray design: embeddings are a Dataset that grows one query-vertex per
-level; each expansion is a ``map_batches`` against the broadcast adjacency
-and label index (both ray.put once). Vertex labels derive from the entity
-type (the first character of the vertex key: a/c/r/t → 0..3) so the whole
-pipeline — including match counts — is reproducible by the SQL oracle as a
-multi-way self-join.
+Ray design, two gated paths (BROADCAST_MAX_EDGES, env-overridable):
+  * small graphs — adjacency + labels broadcast once (ray.put); each
+    level is one ``map_batches`` whose whole batch expands in ONE
+    vectorized pass (``pairwise_intersect`` over gathered CSR segments —
+    no per-row Python loop).
+  * at scale — level-wise expansion repartitioned by join vertex: each
+    already-bound query neighbor contributes one hash join against the
+    packed CSR (adjacency never leaves the cluster), candidate labels are
+    checked by a join against the label table, and the per-row
+    intersection of fetched lists runs vectorized per batch.
+
+Vertex labels derive from the entity type (the first character of the
+vertex key: a/c/r/t → 0..3) so the whole pipeline — including match
+counts — is reproducible by the SQL oracle as a multi-way self-join.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -26,10 +35,16 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from graphsetintersection_ray.functions.kernels import intersect_sorted
+from graphsetintersection_ray.functions.kernels import pairwise_intersect
 from graphsetintersection_ray.pipelines.graph import GraphArtifacts
 
 LABEL_OF_PREFIX = {"a": 0, "c": 1, "r": 2, "t": 3}
+
+# above this many symmetric edges the broadcast path is refused and the
+# join-based expansion runs
+BROADCAST_MAX_EDGES = int(
+    os.environ.get("GRAFT_SM_BROADCAST_MAX_EDGES", 40_000_000)
+)
 
 
 @dataclass(frozen=True)
@@ -78,6 +93,8 @@ def vertex_labels(art: GraphArtifacts) -> ray.data.Dataset:
 
 
 def _broadcast_graph(art: GraphArtifacts):
+    """ray.put((offsets, flat, labels)) — only legal under the broadcast
+    threshold; callers gate on ``2 * art.n_edges <= BROADCAST_MAX_EDGES``."""
     df = art.sym.to_pandas()
     src = df["src"].to_numpy().astype(np.int64)
     dst = df["dst"].to_numpy().astype(np.int64)
@@ -90,11 +107,47 @@ def _broadcast_graph(art: GraphArtifacts):
     return ray.put((offsets, dst, labels))
 
 
-def match_count(art: GraphArtifacts, query: QueryGraph) -> int:
-    """Number of distinct embeddings (injective, label-respecting, every
-    query edge present). Counts ordered tuples like the reference
-    (org_subgraph_match.cpp counts row embeddings, not automorphism
-    classes)."""
+def _gather_segments(
+    offs: np.ndarray, flat: np.ndarray, verts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row CSR segments flat[offs[v]:offs[v+1]] for v in verts →
+    (list offsets, concatenated values), fully vectorized."""
+    starts = offs[verts]
+    lens = offs[verts + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(len(verts) + 1, np.int64), flat[:0]
+    idx = (
+        np.repeat(starts, lens)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    return np.concatenate([[0], np.cumsum(lens)]), flat[idx]
+
+
+def _filter_and_emit(
+    rows: np.ndarray,
+    vals: np.ndarray,
+    bound: dict[str, np.ndarray],
+    cols: list[str],
+    want_mask: np.ndarray,
+    i: int,
+) -> pa.Table:
+    """Shared tail of a level expansion: label + injectivity filters and
+    the output table (all vectorized)."""
+    keep = want_mask
+    for c in cols:
+        keep &= vals != bound[c][rows]
+    rows, vals = rows[keep], vals[keep]
+    return pa.table(
+        {
+            **{c: pa.array(bound[c][rows], pa.int64()) for c in cols},
+            f"b{i}": pa.array(vals.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _match_count_broadcast(art: GraphArtifacts, query: QueryGraph) -> int:
     state_ref = _broadcast_graph(art)
     offsets, flat, labels = ray.get(state_ref)
 
@@ -113,48 +166,160 @@ def match_count(art: GraphArtifacts, query: QueryGraph) -> int:
 
         def expand(t: pa.Table, _want=want, _before=before, _cols=cols, _i=i):
             offs, fl, lab = ray.get(state_ref)
-            bound = {c: t[c].to_numpy(zero_copy_only=False) for c in _cols}
             n = t.num_rows
-            out = {c: [] for c in _cols}
-            out_new = []
-            for r in range(n):
-                cand = None
-                for j in _before:
-                    nb = fl[offs[bound[f"b{j}"][r]]: offs[bound[f"b{j}"][r] + 1]]
-                    cand = nb if cand is None else intersect_sorted(cand, nb)
-                    if len(cand) == 0:
-                        break
-                if cand is None or len(cand) == 0:
-                    continue
-                cand = cand[lab[cand] == _want]
-                # injectivity: drop already-bound vertices
-                used = np.array([bound[c][r] for c in _cols], np.int64)
-                cand = np.setdiff1d(cand, used, assume_unique=False)
-                if len(cand) == 0:
-                    continue
-                for c in _cols:
-                    out[c].append(np.full(len(cand), bound[c][r], np.int64))
-                out_new.append(cand.astype(np.int64))
-            if not out_new:
+            if n == 0:
                 return pa.table(
                     {
                         **{c: pa.array([], pa.int64()) for c in _cols},
                         f"b{_i}": pa.array([], pa.int64()),
                     }
                 )
-            return pa.table(
-                {
-                    **{
-                        c: pa.array(np.concatenate(out[c]), pa.int64())
-                        for c in _cols
-                    },
-                    f"b{_i}": pa.array(np.concatenate(out_new), pa.int64()),
-                }
+            bound = {c: t[c].to_numpy(zero_copy_only=False) for c in _cols}
+            # candidates start as the first bound neighbor's CSR segment,
+            # then intersect against each further bound neighbor's segment
+            # — ONE pairwise_intersect per query edge for the whole batch
+            cur_off, vals = _gather_segments(
+                offs, fl, bound[f"b{_before[0]}"]
+            )
+            for j in _before[1:]:
+                off_b, vals_b = _gather_segments(offs, fl, bound[f"b{j}"])
+                rows, vals = pairwise_intersect(cur_off, vals, off_b, vals_b)
+                cnt = np.bincount(rows, minlength=n)
+                cur_off = np.concatenate([[0], np.cumsum(cnt)])
+            rows = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(cur_off)
+            )
+            vals = np.asarray(vals, np.int64)
+            return _filter_and_emit(
+                rows, vals, bound, _cols, lab[vals] == _want, _i
             )
 
         emb = emb.map_batches(expand, batch_format="pyarrow", batch_size=8192)
 
     return emb.count()
+
+
+def _unpack_blob_lists(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """binary int32-bytes column → (list offsets, int64 values)."""
+    blobs = col.to_pylist()
+    lens = np.fromiter(
+        (0 if b is None else len(b) // 4 for b in blobs), np.int64,
+        count=len(blobs),
+    )
+    flat = np.frombuffer(
+        b"".join(b for b in blobs if b), dtype="<i4"
+    ).astype(np.int64)
+    return np.concatenate([[0], np.cumsum(lens)]), flat
+
+
+def _match_count_join(art: GraphArtifacts, query: QueryGraph) -> int:
+    """At-scale path: each level's expansion is one hash join per bound
+    query neighbor against the packed CSR (repartitioned by the join
+    vertex), plus one join against the label table for the candidate
+    filter. The adjacency never lands on the driver."""
+    from graphsetintersection_ray.stages.graph_build import (
+        build_csr,
+        compact_blocks,
+    )
+
+    csr = compact_blocks(
+        build_csr(art.sym, num_partitions=art.num_partitions, packed=True)
+    ).materialize()
+    labels = compact_blocks(
+        vertex_labels(art).map_batches(
+            lambda t: pa.table(
+                {"lv": t["v"].cast(pa.int64()), "label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    emb = labels.filter(expr=f"label == {int(query.labels[0])}").map_batches(
+        lambda t: pa.table({"b0": t["lv"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    for i in range(1, len(query.labels)):
+        want = int(query.labels[i])
+        before = query.neighbors_before(i)
+        cols = [f"b{j}" for j in range(i)]
+
+        # fetch the packed adjacency of every bound query neighbor
+        cur = compact_blocks(emb)
+        blob_cols = []
+        for bi, j in enumerate(before):
+            key = f"__u{bi}"
+            blob = f"__nb{bi}"
+            right = csr.map_batches(
+                lambda t, _key=key, _blob=blob: pa.table(
+                    {_key: t["u"].cast(pa.int64()), _blob: t["nbrs_bin"]}
+                ),
+                batch_format="pyarrow",
+            )
+            cur = compact_blocks(
+                cur.join(
+                    right,
+                    join_type="inner",
+                    num_partitions=art.num_partitions,
+                    on=(f"b{j}",),
+                    right_on=(key,),
+                )
+            )
+            blob_cols.append(blob)
+
+        def expand(
+            t: pa.Table, _cols=cols, _blob_cols=blob_cols, _i=i
+        ) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return pa.table(
+                    {
+                        **{c: pa.array([], pa.int64()) for c in _cols},
+                        f"b{_i}": pa.array([], pa.int64()),
+                    }
+                )
+            bound = {c: t[c].to_numpy(zero_copy_only=False) for c in _cols}
+            cur_off, vals = _unpack_blob_lists(t[_blob_cols[0]])
+            for bc in _blob_cols[1:]:
+                off_b, vals_b = _unpack_blob_lists(t[bc])
+                rows, vals = pairwise_intersect(cur_off, vals, off_b, vals_b)
+                cnt = np.bincount(rows, minlength=n)
+                cur_off = np.concatenate([[0], np.cumsum(cnt)])
+            rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(cur_off))
+            vals = np.asarray(vals, np.int64)
+            # injectivity here; the label filter is a join below
+            return _filter_and_emit(
+                rows, vals, bound, _cols, np.ones(len(vals), bool), _i
+            )
+
+        expanded = compact_blocks(
+            cur.map_batches(expand, batch_format="pyarrow", batch_size=8192)
+        )
+        filtered = expanded.join(
+            compact_blocks(labels.filter(expr=f"label == {want}")),
+            join_type="inner",
+            num_partitions=art.num_partitions,
+            on=(f"b{i}",),
+            right_on=("lv",),
+        )
+        emb = filtered.map_batches(
+            lambda t, _keep=cols + [f"b{i}"]: pa.table(
+                {c: t[c].cast(pa.int64()) for c in _keep}
+            ),
+            batch_format="pyarrow",
+        )
+
+    return emb.count()
+
+
+def match_count(art: GraphArtifacts, query: QueryGraph) -> int:
+    """Number of distinct embeddings (injective, label-respecting, every
+    query edge present). Counts ordered tuples like the reference
+    (org_subgraph_match.cpp counts row embeddings, not automorphism
+    classes)."""
+    if 2 * art.n_edges <= BROADCAST_MAX_EDGES:
+        return _match_count_broadcast(art, query)
+    return _match_count_join(art, query)
 
 
 def match_counts_table(art: GraphArtifacts) -> pa.Table:

@@ -5,23 +5,30 @@ Scale design:
   * exact — content-hash column → hash-partitioned groupby → first-by-id
     per group. One shuffle keyed by the hash.
   * n-gram Jaccard — shingle explode → groupby(shingle) pair generation →
-    pair-count groupby → verify against per-doc shingle counts. Skew note:
-    a shingle shared by d docs emits d(d-1)/2 pairs; production runs drop
-    shingles with document frequency > max_df (hub-key salting analog).
-    The oracle-checked query leaves max_df unset so SQL matches exactly.
-  * MinHash+LSH — k permutations via multiply-shift hashing of shingle
-    CRCs (vectorized), b bands → band-hash buckets → candidate pairs →
-    exact Jaccard verify. Candidates are a superset filter; output equals
-    the exact-Jaccard result with high probability (recall tested).
-  * SimHash — 64-bit hyperplane-free signature from token hashes.
-  * embedding cosine — all-pairs via broadcast matrix (ray.put once),
-    batch-sized matmuls; the O(n^2) scale path is LSH-bucketed (see
-    stages/similarity.py).
+    pair-count groupby → per-doc counts joined back (NO driver-side
+    materialization anywhere). Skew note: a shingle shared by d docs emits
+    d(d-1)/2 pairs; the production default drops shingles with document
+    frequency > DEFAULT_MAX_DF (hub-key guard). The oracle-checked query
+    passes ``max_df=None`` explicitly so SQL matches exactly.
+  * MinHash+LSH — k multiply-shift permutations over vectorized shingle
+    hashes, b bands → band-hash buckets → candidate pairs → exact Jaccard
+    verification through the SAME shuffle path as jaccard_pairs, with the
+    shingle table semi-joined down to candidate docs first. Candidates are
+    a superset filter; output equals the exact-Jaccard result up to LSH
+    recall (recall measured in tests, 1.0 on the fixtures).
+  * SimHash — 64-bit token-hash majority signature, one vectorized pass
+    per batch (no per-token Python loop).
+  * embedding cosine — see stages/similarity.py (block-partitioned pairs).
+
+All signature hashing uses ``pd.util.hash_array`` (deterministic SipHash
+with a fixed key) over the exploded shingle/token column — one C-level
+pass per batch instead of a per-string Python ``zlib.crc32`` loop.
 """
 
 from __future__ import annotations
 
-import zlib
+import itertools
+import logging
 
 import numpy as np
 
@@ -29,35 +36,87 @@ from graphsetintersection_ray.functions.kernels import round_half_away
 import pandas as pd
 import pyarrow as pa
 
-import ray
 import ray.data as rd
 
 from graphsetintersection_ray.stages.text import TOKEN_RE
 
+logger = logging.getLogger(__name__)
+
 SHINGLE_W = 3
 _M61 = (1 << 61) - 1
 
+# production skew guard: a shingle appearing in more than this many
+# documents is dropped from pair generation (it would emit d(d-1)/2 pairs
+# and contributes almost no discriminative signal). The SQL-oracle query
+# passes max_df=None to disable it so the oracle matches exactly.
+DEFAULT_MAX_DF = 1024
 
-def _tokenize(text: pd.Series) -> list[list[str]]:
-    return text.str.lower().str.findall(TOKEN_RE).tolist()
+
+def _flat_tokens(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch → (lens per doc, flat token array). One pandas
+    str pass; the flatten is a single chain, not a per-doc loop."""
+    toks = batch["text"].str.lower().str.findall(TOKEN_RE).tolist()
+    lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+    flat = np.array(
+        list(itertools.chain.from_iterable(toks)), dtype=object
+    )
+    return lens, flat
 
 
-def _shingles(tokens: list[str], w: int = SHINGLE_W) -> set[str]:
-    if len(tokens) < w:
-        return {" ".join(tokens)} if tokens else set()
-    return {" ".join(tokens[i : i + w]) for i in range(len(tokens) - w + 1)}
+def _exploded_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, shingle) distinct word-3-shingles per document, vectorized:
+    w-grams are built by shifting the flat token array against itself
+    (pandas str.cat), short docs (<w tokens) contribute their full join."""
+    doc_ids = batch["doc_id"].to_numpy()
+    lens, flat = _flat_tokens(batch)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+
+    out_doc: list[np.ndarray] = []
+    out_sh: list[np.ndarray] = []
+    if len(flat) >= SHINGLE_W:
+        s = pd.Series(flat)
+        grams = s.str.cat([s.shift(-1), s.shift(-2)], sep=" ").to_numpy(
+            object
+        )[: len(flat) - (SHINGLE_W - 1)]
+        valid = doc_idx[: len(grams)] == doc_idx[SHINGLE_W - 1 :]
+        out_doc.append(doc_ids[doc_idx[: len(grams)][valid]])
+        out_sh.append(grams[valid])
+    short = np.flatnonzero((lens > 0) & (lens < SHINGLE_W))
+    if len(short):
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        out_doc.append(doc_ids[short])
+        out_sh.append(
+            np.array(
+                [" ".join(flat[offs[i] : offs[i + 1]]) for i in short],
+                dtype=object,
+            )
+        )
+    if not out_doc:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64), "shingle": []})
+    df = pd.DataFrame(
+        {
+            "doc_id": np.concatenate(out_doc),
+            "shingle": np.concatenate(out_sh),
+        }
+    )
+    return df.drop_duplicates()
 
 
 def shingle_table(batch: pd.DataFrame) -> pa.Table:
     """(doc_id, shingle) — distinct word-w-shingles per document."""
-    ids, sh = [], []
-    for doc_id, toks in zip(batch["doc_id"], _tokenize(batch["text"])):
-        for s in _shingles(toks):
-            ids.append(doc_id)
-            sh.append(s)
+    df = _exploded_shingles(batch)
     return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "shingle": pa.array(sh, pa.string())}
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "shingle": pa.array(df["shingle"].to_numpy(object), pa.string()),
+        }
     )
+
+
+def _hash_strings(arr: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 63-bit string hash (one SipHash pass)."""
+    h = pd.util.hash_array(np.asarray(arr, dtype=object))
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 # --------------------------------------------------------------------------
@@ -97,39 +156,18 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 
 
 # --------------------------------------------------------------------------
-# Exact n-gram Jaccard pairs
+# Exact n-gram Jaccard pairs (the shared verification shuffle)
 # --------------------------------------------------------------------------
 
 
-def jaccard_pairs(
-    docs: rd.Dataset,
-    threshold: float = 0.5,
-    max_df: int | None = None,
-    num_partitions: int = 16,
-) -> rd.Dataset:
-    """(doc_a, doc_b, jaccard) for all pairs with word-3-shingle Jaccard
-    >= threshold, doc_a < doc_b, jaccard rounded to 6."""
-    sh = docs.map_batches(shingle_table, batch_format="pandas").materialize()
-
-    # per-doc shingle counts (broadcast — |docs| rows, small relative to pairs)
-    counts = (
-        sh.groupby("doc_id")
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {"doc_id": t["doc_id"], "n_sh": t["count()"]}
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    counts_df = counts.to_pandas()
-    counts_ref = ray.put(
-        dict(zip(counts_df["doc_id"].tolist(), counts_df["n_sh"].tolist()))
-    )
-
-    def pairs_for_shingle_group(g: pd.DataFrame) -> pa.Table:
+def _pairs_for_shingle_group(max_df: int | None):
+    def pairs(g: pd.DataFrame) -> pa.Table:
         ids = np.sort(g["doc_id"].to_numpy())
         if max_df is not None and len(ids) > max_df:
+            logger.info(
+                "jaccard skew guard: dropping shingle with df=%d > max_df=%d",
+                len(ids), max_df,
+            )
             ids = ids[:0]
         if len(ids) < 2:
             return pa.table(
@@ -143,23 +181,46 @@ def jaccard_pairs(
             }
         )
 
-    from graphsetintersection_ray.stages.shuffle import counted_groups
+    return pairs
 
-    pair_counts = counted_groups(
-        sh.groupby("shingle").map_groups(
-            pairs_for_shingle_group, batch_format="pandas"
+
+def _attach_pair_counts(
+    pair_counts: rd.Dataset,
+    counts: rd.Dataset,
+    threshold: float,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """(doc_a, doc_b, i) ⋈ per-doc shingle counts (twice, hash joins — the
+    counts table never lands on the driver) → thresholded jaccard."""
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+
+    j1 = compact_blocks(pair_counts).join(
+        compact_blocks(counts),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "i": t["i"],
+             "n_a": t["n_sh"]}
         ),
-        ["doc_a", "doc_b"],
-        count_col="i",
+        batch_format="pyarrow",
+    )
+    j2 = compact_blocks(j1).join(
+        compact_blocks(counts),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+        right_on=("doc_id",),
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        lookup = ray.get(counts_ref)
+    def finish(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
         inter = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([lookup[x] for x in a], np.float64)
-        nb = np.array([lookup[x] for x in b], np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_sh"].to_numpy(zero_copy_only=False).astype(np.float64)
         jac = inter / (na + nb - inter)
         keep = jac >= threshold
         return pa.table(
@@ -170,7 +231,44 @@ def jaccard_pairs(
             }
         )
 
-    return pair_counts.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.5,
+    max_df: int | None = DEFAULT_MAX_DF,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """(doc_a, doc_b, jaccard) for all pairs with word-3-shingle Jaccard
+    >= threshold, doc_a < doc_b, jaccard rounded to 6.
+
+    ``max_df`` defaults to the production skew guard — pass ``None`` for
+    the exact (oracle-matched) semantics."""
+    sh = docs.map_batches(shingle_table, batch_format="pandas").materialize()
+
+    from graphsetintersection_ray.stages.shuffle import counted_groups
+
+    counts = counted_groups(sh, ["doc_id"], count_col="n_sh")
+    pair_counts = counted_groups(
+        sh.groupby("shingle").map_groups(
+            _pairs_for_shingle_group(max_df), batch_format="pandas"
+        ),
+        ["doc_a", "doc_b"],
+        count_col="i",
+    )
+    return _attach_pair_counts(
+        pair_counts, counts, threshold, num_partitions=num_partitions
+    )
+
+
+def hot_shingles(docs: rd.Dataset, max_df: int = DEFAULT_MAX_DF) -> rd.Dataset:
+    """(shingle, df) diagnostics: shingles the skew guard would drop."""
+    from graphsetintersection_ray.stages.shuffle import counted_groups
+
+    sh = docs.map_batches(shingle_table, batch_format="pandas")
+    dfs = counted_groups(sh, ["shingle"], count_col="df")
+    return dfs.filter(expr=f"df > {int(max_df)}")
 
 
 # --------------------------------------------------------------------------
@@ -190,23 +288,29 @@ def _minhash_params(k: int = MINHASH_K, seed: int = 1234):
 
 def minhash_signatures(batch: pd.DataFrame, k: int = MINHASH_K) -> pa.Table:
     """(doc_id, sig: list<int64>) — k multiply-shift min-hashes over the
-    CRC32s of the doc's shingles. Vectorized: one (n_shingles x k) pass."""
+    hashes of the doc's distinct shingles. Fully vectorized: ONE string
+    hash pass for the whole batch, then k (column-at-a-time)
+    ``np.minimum.reduceat`` reductions over doc boundaries."""
     a, b = _minhash_params(k)
-    ids, sigs = [], []
-    for doc_id, toks in zip(batch["doc_id"], _tokenize(batch["text"])):
-        sh = _shingles(toks)
-        if not sh:
-            sigs.append(np.full(k, _M61, np.int64))
-            ids.append(doc_id)
-            continue
-        crcs = np.array(
-            [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.int64
+    doc_ids = batch["doc_id"].to_numpy()
+    df = _exploded_shingles(batch)
+    sigs = np.full((len(doc_ids), k), _M61, np.int64)
+    if len(df):
+        # rows come out grouped by doc position (construction order)
+        pos_of_doc = {d: i for i, d in enumerate(doc_ids)}
+        row_pos = df["doc_id"].map(pos_of_doc).to_numpy()
+        order = np.argsort(row_pos, kind="stable")
+        row_pos = row_pos[order]
+        hashes = _hash_strings(df["shingle"].to_numpy(object))[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], row_pos[1:] != row_pos[:-1]])
         )
-        hashes = (crcs[:, None] * a[None, :] + b[None, :]) % _M61
-        sigs.append(hashes.min(axis=0))
-        ids.append(doc_id)
-    sig_arr = pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))
-    return pa.table({"doc_id": pa.array(ids, pa.int64()), "sig": sig_arr})
+        docs_present = row_pos[starts]
+        for j in range(k):
+            hj = (hashes * a[j] + b[j]) % _M61
+            sigs[docs_present, j] = np.minimum.reduceat(hj, starts)
+    sig_arr = pa.array(sigs.tolist(), pa.list_(pa.int64()))
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sig": sig_arr})
 
 
 def minhash_lsh_pairs(
@@ -216,7 +320,11 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
 ) -> rd.Dataset:
     """Candidate pairs from LSH banding, verified with exact shingle
-    Jaccard. Output schema matches jaccard_pairs."""
+    Jaccard — the verification runs through the same distributed shuffle
+    as ``jaccard_pairs`` (shingles semi-joined down to candidate docs
+    first); nothing corpus-sized ever lands on the driver. Output schema
+    matches jaccard_pairs; equals it up to LSH recall (1.0 on fixtures,
+    measured in tests)."""
     docs = docs.materialize()
     sigs = docs.map_batches(
         minhash_signatures, batch_format="pandas", fn_kwargs=dict(k=k)
@@ -258,45 +366,61 @@ def minhash_lsh_pairs(
             }
         )
 
-    from graphsetintersection_ray.stages.shuffle import distinct_by
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+    from graphsetintersection_ray.stages.shuffle import counted_groups, distinct_by
 
-    candidates = distinct_by(
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas"),
-        ["doc_a", "doc_b"],
+    candidates = compact_blocks(
+        distinct_by(
+            sigs.map_batches(band_rows, batch_format="pyarrow")
+            .groupby(["band", "bh"])
+            .map_groups(bucket_pairs, batch_format="pandas"),
+            ["doc_a", "doc_b"],
+        )
     )
 
-    # exact-Jaccard verification of the candidate set
+    # exact-Jaccard verification, fully distributed: semi-join the shingle
+    # table down to candidate docs, regenerate pair intersections through
+    # the jaccard shuffle, keep only LSH-candidate pairs.
+    cand_docs = distinct_by(
+        candidates.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [
+                            t["doc_a"].combine_chunks().cast(pa.int64()),
+                            t["doc_b"].combine_chunks().cast(pa.int64()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+    )
     sh = docs.map_batches(shingle_table, batch_format="pandas")
-    sh_df = sh.to_pandas()
-    by_doc = sh_df.groupby("doc_id")["shingle"].apply(set)
-    by_doc_ref = ray.put(dict(by_doc))
+    sh_cand = compact_blocks(sh).join(
+        compact_blocks(cand_docs),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id",),
+    ).materialize()
 
-    def verify(t: pa.Table) -> pa.Table:
-        lookup = ray.get(by_doc_ref)
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):
-            sa, sb = lookup.get(x, set()), lookup.get(y, set())
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            jac = inter / (len(sa) + len(sb) - inter)
-            if jac >= threshold:
-                out_a.append(x)
-                out_b.append(y)
-                out_j.append(round(jac, 6))
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
-        )
-
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    counts = counted_groups(sh_cand, ["doc_id"], count_col="n_sh")
+    pair_counts = counted_groups(
+        sh_cand.groupby("shingle").map_groups(
+            _pairs_for_shingle_group(None), batch_format="pandas"
+        ),
+        ["doc_a", "doc_b"],
+        count_col="i",
+    )
+    # restrict to LSH candidates (inner join on the pair key)
+    cand_pairs = compact_blocks(pair_counts).join(
+        candidates,
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_a", "doc_b"),
+    )
+    return _attach_pair_counts(cand_pairs, counts, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -305,21 +429,29 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(batch: pd.DataFrame) -> pa.Table:
-    """(doc_id, simhash: int64) — 64-bit token-hash majority signature."""
-    ids, sigs = [], []
-    for doc_id, toks in zip(batch["doc_id"], _tokenize(batch["text"])):
-        acc = np.zeros(64, np.int64)
-        for t in toks:
-            h = np.uint64(
-                zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits > 0, 1, -1)
-        sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-        ids.append(doc_id)
-        sigs.append(np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig))
+    """(doc_id, simhash: int64) — 64-bit token-hash majority signature,
+    one vectorized hash pass per batch and 64 column-wise sign
+    accumulations (``np.add.reduceat`` over doc boundaries)."""
+    doc_ids = batch["doc_id"].to_numpy()
+    lens, flat = _flat_tokens(batch)
+    acc = np.zeros((len(doc_ids), 64), np.int64)
+    if len(flat):
+        h = pd.util.hash_array(flat).astype(np.uint64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        nonempty = np.flatnonzero(lens > 0)
+        starts = offs[nonempty]
+        for j in range(64):
+            bit_j = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            acc[nonempty, j] = np.add.reduceat(bit_j, starts)
+    bits = (acc > 0).astype(np.uint64)
+    sig = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
     return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "simhash": pa.array(sigs, pa.int64())}
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "simhash": pa.array(sig.astype(np.int64), pa.int64()),
+        }
     )
 
 

@@ -103,36 +103,67 @@ def brute_force_topk(
     )
 
 
-def cosine_dup_pairs(
-    embeddings: rd.Dataset, threshold: float = 0.95
-) -> rd.Dataset:
-    """All pairs (a < b) with cosine >= threshold. The full normalized
-    matrix is broadcast once; each batch computes batch x all sims."""
-    embeddings = embeddings.materialize()
-    all_df = embeddings.to_pandas()
-    all_ids = all_df["vec_id"].to_numpy()
-    all_mat = _normalize(np.stack(all_df["embedding"].to_numpy()).astype(np.float64))
-    order = np.argsort(all_ids)
-    all_ids, all_mat = all_ids[order], all_mat[order]
-    ref = ray.put((all_ids, all_mat))
+@ray.remote
+def _normalized_block(tbl) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(tbl, pd.DataFrame):
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    ids, mat = _emb_matrix(tbl)
+    return ids, _normalize(mat)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ai, am = ray.get(ref)
-        ids, mat = _emb_matrix(t)
-        sims = _normalize(mat) @ am.T
-        rows, cols = np.nonzero(sims >= threshold)
-        a = ids[rows]
-        b = ai[cols]
-        keep = a < b
+
+@ray.remote
+def _block_pair_sims(blk_a, blk_b, threshold: float) -> pa.Table:
+    ids_a, mat_a = blk_a
+    ids_b, mat_b = blk_b
+    if len(ids_a) == 0 or len(ids_b) == 0:
         return pa.table(
             {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "sim": pa.array(round_half_away(sims[rows, cols][keep], 6), pa.float64()),
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
             }
         )
+    sims = mat_a @ mat_b.T
+    rows, cols = np.nonzero(sims >= threshold)
+    a = ids_a[rows]
+    b = ids_b[cols]
+    keep = a < b
+    return pa.table(
+        {
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+            "sim": pa.array(
+                round_half_away(sims[rows, cols][keep], 6), pa.float64()
+            ),
+        }
+    )
 
-    return embeddings.map_batches(pairs, batch_format="pyarrow")
+
+def cosine_dup_pairs(
+    embeddings: rd.Dataset, threshold: float = 0.95, block_rows: int = 16_384
+) -> rd.Dataset:
+    """All pairs (a < b) with cosine >= threshold — EXACT, via
+    block-partitioned pairwise comparison.
+
+    The corpus is split into B row blocks that live in the object store;
+    one remote task per unordered block pair (i <= j) computes that tile
+    of the similarity matrix. Nothing corpus-sized touches the driver (it
+    only holds B object refs), peak task memory is two blocks plus one
+    tile, and the i <= j enumeration halves the work (every (a < b) pair
+    is covered because each task keeps only a < b). Compute is O(n²/2)
+    tiles — the price of exactness at a low threshold; for high-threshold
+    near-dup detection prefer the LSH-bucketed route (``lsh_topk``'s
+    bucketing), which trades recall for a near-linear tile count."""
+    n = embeddings.count()
+    n_blocks = max(1, -(-n // block_rows))
+    refs = embeddings.repartition(n_blocks).materialize().to_arrow_refs()
+    norm_refs = [_normalized_block.remote(r) for r in refs]
+    pair_refs = [
+        _block_pair_sims.remote(norm_refs[i], norm_refs[j], threshold)
+        for i in range(len(norm_refs))
+        for j in range(i, len(norm_refs))
+    ]
+    return rd.from_arrow_refs(pair_refs)
 
 
 # few planes → coarse buckets with real collisions; at 2^p buckets the

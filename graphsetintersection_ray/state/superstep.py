@@ -180,6 +180,16 @@ class PartitionWorker:
         }
         return out
 
+    def step(self, kind: str, n_total: int, *tables: pa.Table) -> list:
+        """Fused superstep: apply the incoming messages of iteration k,
+        then immediately compute the outgoing messages of iteration k+1 —
+        ONE remote call per worker per superstep instead of two, halving
+        the per-iteration scheduling/barrier overhead. Returns
+        [msg_q for q in 0..P-1] + [apply_stats] (num_returns = P + 1)."""
+        stats = self.apply_messages(kind, n_total, *tables)
+        msgs = self.compute_messages(kind)
+        return msgs + [stats]
+
     def apply_messages(self, kind: str, n_total: int, *tables: pa.Table) -> dict:
         t0 = time.time()
         if kind == "pagerank":
@@ -303,22 +313,24 @@ class SuperstepEngine:
                 ]
             )
         stats = {"iters": 0, "edges_per_iter": 0, "sec_per_iter": []}
+        # first superstep's messages; thereafter each fused step call
+        # applies iteration k and pre-computes iteration k+1's messages
+        msg_refs = [
+            w.compute_messages.options(num_returns=self.P).remote(kind)
+            for w in self.workers
+        ]
+        if self.P == 1:
+            msg_refs = [[r] for r in msg_refs]
         for k in range(start_iter + 1, max_iters):
             t0 = time.time()
-            # all-to-all of pre-aggregated deltas: msg_refs[p][q]
-            msg_refs = [
-                w.compute_messages.options(num_returns=self.P).remote(kind)
-                for w in self.workers
-            ]
-            if self.P == 1:
-                msg_refs = [[r] for r in msg_refs]
-            applies = [
-                w.apply_messages.remote(
+            outs = [
+                w.step.options(num_returns=self.P + 1).remote(
                     kind, self.n_total, *[msg_refs[p][q] for p in range(self.P)]
                 )
                 for q, w in enumerate(self.workers)
             ]
-            results = ray.get(applies)
+            msg_refs = [o[: self.P] for o in outs]
+            results = ray.get([o[self.P] for o in outs])
             sec = time.time() - t0
             stats["iters"] = k + 1
             stats["sec_per_iter"].append(sec)
@@ -398,6 +410,26 @@ class SuperstepEngine:
         )
 
     def collect_state(self) -> pa.Table:
-        """Gather (v, state) from all partitions (small results only)."""
+        """Gather (v, state) from all partitions (small results only —
+        at scale use ``state_dataset`` / ``collect_state_to_parquet``)."""
         tables = ray.get([w.state_table.remote() for w in self.workers])
         return pa.concat_tables([t for t in tables if t.num_rows])
+
+    def state_dataset(self):
+        """(v, state) as a Ray Dataset — one block per partition built
+        from the actor-held state refs, with NO driver concatenation.
+        The at-scale result path: consume with ``write_parquet``,
+        ``iter_batches`` or further transforms."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs(
+            [w.state_table.remote() for w in self.workers]
+        )
+
+    def collect_state_to_parquet(self, path: str) -> str:
+        """Each partition writes its own (v, state) Parquet file under
+        ``path`` (same layout as a checkpoint iteration dir) — resumable,
+        partitioned output that never aggregates on the driver."""
+        os.makedirs(path, exist_ok=True)
+        ray.get([w.checkpoint.remote(path) for w in self.workers])
+        return path

@@ -55,6 +55,31 @@ def test_maximal_cliques_vs_bruteforce(art):
     assert len(got_strs) == len(got)  # each clique exactly once
 
 
+def test_maximal_cliques_distributed_path(art):
+    """Force the at-scale route (distributed peel + egonet join) and
+    check it enumerates exactly the broadcast path's cliques."""
+    from graphsetintersection_ray.pipelines import cliques as cl
+
+    sym_df = art.sym.to_pandas()
+    expect = _brute_maximal_cliques(_adj_sets(sym_df))
+    old = cl.BROADCAST_MAX_EDGES
+    cl.BROADCAST_MAX_EDGES = 0
+    try:
+        got_strs = cl.maximal_cliques(art).to_pandas()["members_str"]
+    finally:
+        cl.BROADCAST_MAX_EDGES = old
+    got = set(frozenset(int(x) for x in s.split(",")) for s in got_strs)
+    assert got == expect
+    assert len(got_strs) == len(got)
+
+
+def test_distributed_peel_order_is_valid(art):
+    from graphsetintersection_ray.pipelines.cliques import distributed_peel_order
+
+    order = distributed_peel_order(art)
+    assert sorted(order.tolist()) == list(range(art.n_vertices))
+
+
 def test_degeneracy_order_is_permutation(art):
     from graphsetintersection_ray.pipelines.cliques import (
         _sym_csr_arrays,
@@ -103,6 +128,16 @@ def test_subgraph_match_vs_bruteforce(art):
 
         expect = count_from(0, [])
         assert got == expect, name
+
+        # at-scale join path must agree
+        from graphsetintersection_ray.pipelines import subgraph as sg
+
+        old = sg.BROADCAST_MAX_EDGES
+        sg.BROADCAST_MAX_EDGES = 0
+        try:
+            assert match_count(art, q) == expect, f"{name} (join path)"
+        finally:
+            sg.BROADCAST_MAX_EDGES = old
 
 
 def test_bfs_distances_vs_bfs(art):

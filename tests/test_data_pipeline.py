@@ -73,6 +73,32 @@ def test_minhash_recall_on_real_docs(ray_session):
     assert len(lsh_pairs) >= 0.9 * len(exact_pairs)
 
 
+def test_jaccard_max_df_skew_guard(ray_session):
+    """A hub shingle shared by every doc is dropped under max_df: pairs
+    that only share the hub disappear; genuinely similar pairs stay."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.dedup import hot_shingles, jaccard_pairs
+
+    hub = "common hub phrase"
+    rows = [
+        {"doc_id": 0, "text": f"{hub} alpha beta gamma delta"},
+        {"doc_id": 1, "text": f"{hub} alpha beta gamma delta"},   # true dup of 0
+        {"doc_id": 2, "text": f"{hub} epsilon zeta eta theta"},
+        {"doc_id": 3, "text": f"{hub} iota kappa lambda mu"},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    exact = jaccard_pairs(docs, threshold=0.1, max_df=None).to_pandas()
+    capped = jaccard_pairs(docs, threshold=0.1, max_df=3).to_pandas()
+    exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+    capped_pairs = set(zip(capped.doc_a, capped.doc_b))
+    assert capped_pairs <= exact_pairs
+    assert (0, 1) in capped_pairs          # true dup survives the cap
+    assert len(capped_pairs) < len(exact_pairs)  # hub-only pairs dropped
+    hot = hot_shingles(docs, max_df=3).to_pandas()
+    assert (hot.df > 3).all() and len(hot) > 0
+
+
 def test_simhash_detects_near_dup(docs_ds):
     from graphsetintersection_ray.stages.dedup import simhash_near_pairs
 

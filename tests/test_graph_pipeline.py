@@ -233,6 +233,29 @@ def test_checkpoint_resume(art, tmp_path):
     assert not np.allclose(partial.state.to_numpy(), full.state.to_numpy())
 
 
+def test_state_dataset_and_parquet_match_collect(art, tmp_path):
+    """The at-scale result paths (per-partition Dataset blocks / Parquet
+    files, no driver concat) return exactly collect_state's rows."""
+    import pyarrow.parquet as pq
+
+    from graphsetintersection_ray.state.superstep import SuperstepEngine
+
+    eng = SuperstepEngine(
+        art.csr_path, art.num_partitions, graph_fingerprint=art.fingerprint
+    )
+    eng.pagerank(max_iters=5, tol=0.0, resume=False, checkpoint_every=0)
+    small = eng.collect_state().to_pandas().sort_values("v").reset_index(drop=True)
+
+    ds = eng.state_dataset().to_pandas().sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ds, small)
+
+    out = eng.collect_state_to_parquet(str(tmp_path / "state"))
+    written = (
+        pq.read_table(out).to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(written[["v", "state"]], small)
+
+
 def test_synth_transcripts_deterministic(ray_session):
     from graphsetintersection_ray.sources.transcripts import synth_transcripts
 
