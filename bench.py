@@ -159,6 +159,11 @@ def run_bench() -> dict:
     extras["kernel_ele_per_usec"] = round((len(a) + len(b)) / best / 1e6, 1)
 
     total = round(sum(queries.values()), 3)
+    # the synthetic corpus is the scale workload; the sf stages are small
+    # fixed-cost correctness stages — scaling is reported on both
+    extras["synth_total"] = round(
+        sum(v for k, v in queries.items() if k.startswith("synth_")), 3
+    )
     result = {
         "metric": "headline suite seconds (graph build + TC + PR + CC, sf + synth)",
         "value": total,
@@ -211,7 +216,10 @@ def run_scaling() -> None:
         results[n] = json.loads(out.strip().splitlines()[-1])
         calib[n] = max(calib[n], _calibrate(n))
     t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
+    s_lo = results[lo_cpus]["synth_total"]
+    s_hi = results[hi_cpus]["synth_total"]
     speedup = t_lo / t_hi
+    synth_speedup = s_lo / s_hi
     ceiling = calib[hi_cpus] / calib[lo_cpus]
     print(
         json.dumps(
@@ -220,8 +228,17 @@ def run_scaling() -> None:
                 f"sec_{hi_cpus}": t_hi,
                 "speedup": round(speedup, 3),
                 "scaling_efficiency": round(speedup / (hi_cpus / lo_cpus), 3),
+                f"synth_sec_{lo_cpus}": s_lo,
+                f"synth_sec_{hi_cpus}": s_hi,
+                "synth_speedup": round(synth_speedup, 3),
+                "synth_scaling_efficiency": round(
+                    synth_speedup / (hi_cpus / lo_cpus), 3
+                ),
                 "machine_cpu_ceiling_ratio": round(ceiling, 3),
                 "efficiency_vs_ceiling": round(speedup / max(ceiling, 1e-9), 3),
+                "synth_efficiency_vs_ceiling": round(
+                    synth_speedup / max(ceiling, 1e-9), 3
+                ),
                 f"queries_{lo_cpus}": results[lo_cpus]["queries"],
                 f"queries_{hi_cpus}": results[hi_cpus]["queries"],
                 f"intersections_per_sec_{lo_cpus}": results[lo_cpus]["intersections_per_sec"],

@@ -222,6 +222,56 @@ def pairwise_intersect(
     return rows, vals
 
 
+def _bsr_pack_composite(
+    rows: np.ndarray, values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched BSR pack over (row, value) pairs: one composite key
+    ``row << 26 | base`` per populated (row, 32-value block), states OR'd.
+    Values must be < 2^31 (base < 2^26); rows < 2^37."""
+    values = np.asarray(values, np.int64)
+    rows = np.asarray(rows, np.int64)
+    base = values >> PACK_SHIFT
+    bit = (np.uint32(1) << (values & PACK_MASK).astype(np.uint32))
+    keys = (rows << np.int64(26)) | base
+    order = np.argsort(keys, kind="stable")
+    keys, bit = keys[order], bit[order]
+    uk, start = np.unique(keys, return_index=True)
+    states = np.bitwise_or.reduceat(bit, start) if len(uk) else bit[:0]
+    return uk, states.astype(np.uint32)
+
+
+def grouped_bsr_intersect_count(
+    seg_of_row: np.ndarray,
+    seg_values_rows: np.ndarray,
+    seg_values: np.ndarray,
+    rows_b: np.ndarray,
+    values_b: np.ndarray,
+) -> int:
+    """Σ_r |A_{seg(r)} ∩ B_r| with both sides in batched BSR form — the
+    whole-bucket analog of the reference's Roaring/BSR engine loop
+    (roaring_triangle_count.cpp:38-48, bp_intersect_count K5): side A is
+    one compressed set per *segment* (packed once, not replicated per
+    row), side B one compressed set per row; each B block probes its
+    segment's A block and the AND-state popcounts are summed."""
+    ka, sa = _bsr_pack_composite(
+        np.asarray(seg_values_rows, np.int64), seg_values
+    )
+    kb, sb = _bsr_pack_composite(np.asarray(rows_b, np.int64), values_b)
+    if len(ka) == 0 or len(kb) == 0:
+        return 0
+    b_rows = (kb >> np.int64(26)).astype(np.int64)
+    probe = (
+        np.asarray(seg_of_row, np.int64)[b_rows] << np.int64(26)
+    ) | (kb & np.int64((1 << 26) - 1))
+    idx = np.searchsorted(ka, probe)
+    idx[idx == len(ka)] = 0
+    hit = ka[idx] == probe
+    if not hit.any():
+        return 0
+    anded = sa[idx[hit]] & sb[hit]
+    return int(popcount(anded).sum())
+
+
 def pairwise_intersect_count(
     offsets_a: np.ndarray,
     values_a: np.ndarray,

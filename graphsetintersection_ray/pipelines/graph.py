@@ -25,6 +25,18 @@ DEFAULT_PARTITIONS = 8
 # /tmp/gsi_graphs CSR directories from older code
 GRAPH_SCHEMA_VERSION = 2
 
+# PR/CC/BFS superstep partitions are sized by DATA, not by the build
+# partition count: per-superstep coordination grows ~P² (P×P message refs)
+# while per-partition compute shrinks ~1/P, so small graphs want few fat
+# partitions. ~this many directed edges per superstep partition.
+SUPERSTEP_EDGES_PER_PARTITION = int(
+    os.environ.get("GRAFT_SUPERSTEP_EDGES_PER_PARTITION", 500_000)
+)
+
+
+def _auto_csr_partitions(n_edges: int, cap: int) -> int:
+    return max(4, min(cap, 2 * n_edges // SUPERSTEP_EDGES_PER_PARTITION + 1))
+
 
 @dataclass
 class GraphArtifacts:
@@ -39,6 +51,7 @@ class GraphArtifacts:
     n_vertices: int
     n_edges: int
     num_partitions: int
+    csr_partitions: int     # superstep-engine partitioning (data-sized)
     fingerprint: str
 
 
@@ -55,8 +68,9 @@ def build_graph_from_transcripts(
     cache_key: str,
     num_partitions: int = DEFAULT_PARTITIONS,
     workdir: str | None = None,
+    csr_partitions: int | None = None,
 ) -> GraphArtifacts:
-    key = (cache_key, num_partitions)
+    key = (cache_key, num_partitions, csr_partitions)
     if key in _CACHE:
         return _CACHE[key]
     transcripts = transcripts.materialize()
@@ -72,9 +86,11 @@ def build_graph_from_transcripts(
         gb.orient_by_degree(edges, degs, num_partitions, n_vertices=n_vertices)
     )
     n_edges = edges.count()
+    if csr_partitions is None:
+        csr_partitions = _auto_csr_partitions(n_edges, cap=num_partitions)
     fingerprint = (
         f"v{GRAPH_SCHEMA_VERSION}:{cache_key}:p{num_partitions}:"
-        f"{n_vertices}v:{n_edges}e"
+        f"c{csr_partitions}:{n_vertices}v:{n_edges}e"
     )
     if workdir is None:
         workdir = os.path.join(
@@ -82,7 +98,7 @@ def build_graph_from_transcripts(
         )
     csr_path = os.path.join(workdir, "csr")
     if not os.path.isdir(csr_path):
-        gb.write_partitioned_csr(sym, csr_path, num_partitions)
+        gb.write_partitioned_csr(sym, csr_path, csr_partitions)
     art = GraphArtifacts(
         transcripts=transcripts,
         edges_str=edges_str,
@@ -95,6 +111,7 @@ def build_graph_from_transcripts(
         n_vertices=n_vertices,
         n_edges=n_edges,
         num_partitions=num_partitions,
+        csr_partitions=csr_partitions,
         fingerprint=fingerprint,
     )
     _CACHE[key] = art

@@ -35,11 +35,11 @@ def release_engines() -> None:
 
 
 def engine_for(art: GraphArtifacts, ckpt_dir: str | None = None) -> SuperstepEngine:
-    key = (art.csr_path, art.num_partitions, ckpt_dir)
+    key = (art.csr_path, art.csr_partitions, ckpt_dir)
     if key not in _ENGINES:
         _ENGINES[key] = SuperstepEngine(
             art.csr_path,
-            art.num_partitions,
+            art.csr_partitions,
             ckpt_dir=ckpt_dir,
             graph_fingerprint=art.fingerprint,
         )

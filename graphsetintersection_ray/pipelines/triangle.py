@@ -189,29 +189,39 @@ def _broadcast_wedge_state(oriented_edges: ray.data.Dataset, n_vertices: int):
     # QFilter analog (set_operation.cpp:379-551): a compact hash bitmap
     # pre-filters wedge probes with ~1 cache line each before the exact
     # binary search touches the big sorted key array. Bool-scatter +
-    # packbits is ~50x faster than np.bitwise_or.at.
-    bits = np.zeros(1 << BITMAP_BITS, bool)
-    bits[_bitmap_hash(edge_keys)] = True
+    # packbits is ~50x faster than np.bitwise_or.at. Sized to ~8 bits per
+    # edge (capped at 16 MiB) so small graphs don't pay a 128 MB scatter.
+    bitmap_bits = _bitmap_bits_for(len(edge_keys))
+    bits = np.zeros(1 << bitmap_bits, bool)
+    bits[_bitmap_hash(edge_keys, bitmap_bits)] = True
     bitmap = np.packbits(bits, bitorder="little")
-    return _ray.put((edge_keys, offsets, dst, order, rank_of, bitmap))
+    return _ray.put(
+        (edge_keys, offsets, dst, order, rank_of, bitmap, bitmap_bits)
+    )
 
 
-BITMAP_BITS = 27  # 2^27 bits = 16 MiB filter
+MAX_BITMAP_BITS = 27  # cap: 2^27 bits = 16 MiB filter
 
 
-def _bitmap_hash(keys: np.ndarray) -> np.ndarray:
+def _bitmap_bits_for(n_keys: int) -> int:
+    # ~8 bits per key keeps the false-positive rate under ~12%
+    return min(MAX_BITMAP_BITS, max(16, int(np.ceil(np.log2(max(n_keys, 1) * 8)))))
+
+
+def _bitmap_hash(keys: np.ndarray, bitmap_bits: int) -> np.ndarray:
     return (
         keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    ) >> np.uint64(64 - BITMAP_BITS)
+    ) >> np.uint64(64 - bitmap_bits)
 
 
 def _make_wedge_counter(state_ref):
     import ray as _ray
 
     def count_batch(t: pa.Table) -> pa.Table:
-        edge_keys, offsets, flat, orig_of_rank, rank_of, bitmap = _ray.get(
-            state_ref
-        )
+        (
+            edge_keys, offsets, flat, orig_of_rank, rank_of, bitmap,
+            bitmap_bits,
+        ) = _ray.get(state_ref)
         empty = pa.table(
             {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
         )
@@ -240,7 +250,7 @@ def _make_wedge_counter(state_ref):
         wedge_u = np.repeat(u, lens)
         wkeys = (wedge_v << np.int64(32)) | w
         # stage 1 — bitmap pre-filter (1 byte gather per probe)
-        hp = _bitmap_hash(wkeys)
+        hp = _bitmap_hash(wkeys, bitmap_bits)
         maybe = (bitmap[hp >> np.uint64(3)] & (np.uint8(1) << (hp & np.uint64(7)).astype(np.uint8))) != 0
         cand = np.flatnonzero(maybe)
         if len(cand) == 0:
@@ -289,14 +299,19 @@ def _triangle_partials(
             n_vertices = max(
                 n_vertices, int(oriented_edges.max("dst") or 0)
             ) + 1
-        state_ref = _broadcast_wedge_state(oriented_edges, n_vertices)
+        mat = oriented_edges.materialize()
+        state_ref = _broadcast_wedge_state(mat, n_vertices)
         # map_batches parallelism = #blocks, and a materialized small edge
-        # table often lands in ONE block — split it so the kernel fans out.
+        # table can land in ONE block — but an unconditional repartition is
+        # a full AllToAll shuffle that costs more than the kernel itself
+        # (measured 1-4.5 s on a 2M-edge table), so only split when the
+        # existing block count is genuinely too low to fan out.
         # Small batches bound each task's wedge temporaries (~50 MB instead
         # of ~1 GB): with 32 concurrent tasks, large temporaries thrash
         # allocation/memory bandwidth and the kernel stops scaling.
-        n_blocks = max(32, num_partitions * 4)
-        return oriented_edges.repartition(n_blocks).map_batches(
+        if mat.num_blocks() < num_partitions:
+            mat = mat.repartition(max(32, num_partitions * 4))
+        return mat.map_batches(
             _make_wedge_counter(state_ref),
             batch_format="pyarrow",
             batch_size=16_384,
@@ -304,12 +319,13 @@ def _triangle_partials(
     return _triangle_partials_join(oriented_edges, num_partitions, n_edges)
 
 
-def _triangle_partials_join(
+def _joined_buckets(
     oriented_edges: ray.data.Dataset,
     num_partitions: int,
     n_edges: int,
-) -> ray.data.Dataset:
-    """Join-based partials — the at-scale path (no broadcast)."""
+):
+    """Shared join plan of the at-scale engines: edges ⋈ packed CSR on
+    dst, bucketed by src with data-sized granularity."""
     from graphsetintersection_ray.stages.graph_build import compact_blocks
 
     # bucket count tracks data size, not the CSR partition count — each
@@ -337,9 +353,69 @@ def _triangle_partials_join(
         ),
         batch_format="pyarrow",
     )
-    return bucketed.groupby("bucket").map_groups(
+    return bucketed.groupby("bucket")
+
+
+def _triangle_partials_join(
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int,
+    n_edges: int,
+) -> ray.data.Dataset:
+    """Join-based partials — the at-scale path (no broadcast)."""
+    return _joined_buckets(oriented_edges, num_partitions, n_edges).map_groups(
         _bucket_triangle_partials, batch_format="pandas"
     )
+
+
+def _bucket_triangle_count_bsr(batch: pd.DataFrame) -> pa.Table:
+    """One bucket → scalar partial count via the batched BSR engine."""
+    from graphsetintersection_ray.functions.kernels import (
+        grouped_bsr_intersect_count,
+    )
+
+    src = batch["src"].to_numpy()
+    dst = batch["dst"].to_numpy()
+    nbrs_bin = batch["nbrs_bin"].to_numpy()
+    nbrs_bin = np.array(
+        [b"" if x is None else x for x in nbrs_bin], dtype=object
+    )
+    order = np.lexsort((dst, src))
+    src, dst, nbrs_bin = src[order], dst[order], nbrs_bin[order]
+    n = len(src)
+    if n == 0:
+        return pa.table({"partial": pa.array([0], pa.int64())})
+    starts = segment_starts(src)
+    lens = np.diff(np.append(starts, n))
+    seg_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    lens_b = (
+        np.fromiter((len(x) for x in nbrs_bin), np.int64, count=len(nbrs_bin))
+        // 4
+    )
+    values_b = np.frombuffer(b"".join(nbrs_bin), dtype="<i4").astype(np.int64)
+    rows_b = np.repeat(np.arange(n, dtype=np.int64), lens_b)
+    cnt = grouped_bsr_intersect_count(
+        seg_of_row, seg_of_row, dst.astype(np.int64), rows_b, values_b
+    )
+    return pa.table({"partial": pa.array([cnt], pa.int64())})
+
+
+def global_triangle_count_bsr(
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    n_edges: int | None = None,
+) -> int:
+    """Third-engine TC variant — the reference's Roaring/compressed-set
+    engine (A11, roaring_triangle_count.cpp:33-48) as batched BSR blocks:
+    every per-edge |N+(u) ∩ N+(v)| is an AND + popcount over compressed
+    (base, state) blocks, segments packed once per bucket. Same join plan
+    as the at-scale path; exists so the three engines can cross-check
+    (the reference's tc.cpp:14-16 engine-agreement strategy)."""
+    if n_edges is None:
+        n_edges = oriented_edges.count()
+    partials = _joined_buckets(
+        oriented_edges, num_partitions, n_edges
+    ).map_groups(_bucket_triangle_count_bsr, batch_format="pandas")
+    return int(partials.sum("partial") or 0)
 
 
 def per_vertex_triangles(

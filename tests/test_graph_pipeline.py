@@ -107,6 +107,14 @@ def test_triangle_count_vs_bruteforce(art):
     finally:
         tri_mod.BROADCAST_MAX_EDGES = old
 
+    # third engine (batched BSR / Roaring analog) must agree too — the
+    # reference's engine-agreement strategy (tc.cpp:14-16) made real
+    from graphsetintersection_ray.pipelines.triangle import (
+        global_triangle_count_bsr,
+    )
+
+    assert global_triangle_count_bsr(art.oriented, num_partitions=4) == total
+
 
 def test_join_branch_build_matches_broadcast(art, ray_session):
     """Force BROADCAST_MAX_VERTICES=0 so edges_to_ids and orient_by_degree
@@ -203,7 +211,7 @@ def test_checkpoint_resume(art, tmp_path):
 
     ck = str(tmp_path / "ckpt")
     e1 = SuperstepEngine(
-        art.csr_path, art.num_partitions, ckpt_dir=ck,
+        art.csr_path, art.csr_partitions, ckpt_dir=ck,
         graph_fingerprint=art.fingerprint,
     )
     e1.pagerank(max_iters=5, tol=0.0, resume=False, checkpoint_every=1)
@@ -212,7 +220,7 @@ def test_checkpoint_resume(art, tmp_path):
 
     # fresh engine ("restarted job") resumes at iter 5 and finishes
     e2 = SuperstepEngine(
-        art.csr_path, art.num_partitions, ckpt_dir=ck,
+        art.csr_path, art.csr_partitions, ckpt_dir=ck,
         graph_fingerprint=art.fingerprint,
     )
     e2.pagerank(max_iters=30, tol=0.0, resume=True, checkpoint_every=1)
@@ -220,7 +228,7 @@ def test_checkpoint_resume(art, tmp_path):
 
     # uninterrupted 30-iteration run for comparison
     e3 = SuperstepEngine(
-        art.csr_path, art.num_partitions, ckpt_dir=None,
+        art.csr_path, art.csr_partitions, ckpt_dir=None,
         graph_fingerprint=art.fingerprint,
     )
     e3.pagerank(max_iters=30, tol=0.0, resume=False)
@@ -241,7 +249,7 @@ def test_state_dataset_and_parquet_match_collect(art, tmp_path):
     from graphsetintersection_ray.state.superstep import SuperstepEngine
 
     eng = SuperstepEngine(
-        art.csr_path, art.num_partitions, graph_fingerprint=art.fingerprint
+        art.csr_path, art.csr_partitions, graph_fingerprint=art.fingerprint
     )
     eng.pagerank(max_iters=5, tol=0.0, resume=False, checkpoint_every=0)
     small = eng.collect_state().to_pandas().sort_values("v").reset_index(drop=True)

@@ -148,3 +148,37 @@ def test_pairwise_intersect_values():
     rows, vals = K.pairwise_intersect(oa, va, ob, vb)
     assert rows.tolist() == [0, 0, 2, 2]
     assert vals.tolist() == [2, 3, 0, 20]
+
+
+def test_grouped_bsr_intersect_count():
+    """Batched BSR engine kernel vs a per-pair set oracle: rows grouped
+    into segments; each row's B set intersects its segment's A set."""
+    rng = np.random.default_rng(11)
+    n_segs, n_rows = 5, 40
+    seg_sets = [
+        np.unique(rng.integers(0, 500, size=rng.integers(1, 80)))
+        for _ in range(n_segs)
+    ]
+    seg_of_row = rng.integers(0, n_segs, size=n_rows)
+    b_sets = [
+        np.unique(rng.integers(0, 500, size=rng.integers(0, 60)))
+        for _ in range(n_rows)
+    ]
+    a_rows = np.concatenate(
+        [np.full(len(s), i, np.int64) for i, s in enumerate(seg_sets)]
+    )
+    a_vals = np.concatenate(seg_sets)
+    b_rows = np.concatenate(
+        [np.full(len(s), i, np.int64) for i, s in enumerate(b_sets)]
+    )
+    b_vals = (
+        np.concatenate([s for s in b_sets if len(s)])
+        if any(len(s) for s in b_sets)
+        else np.empty(0, np.int64)
+    )
+    got = K.grouped_bsr_intersect_count(seg_of_row, a_rows, a_vals, b_rows, b_vals)
+    expect = sum(
+        len(np.intersect1d(seg_sets[seg_of_row[r]], b_sets[r]))
+        for r in range(n_rows)
+    )
+    assert got == expect
