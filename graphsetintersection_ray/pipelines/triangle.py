@@ -282,6 +282,14 @@ def _make_wedge_counter(state_ref):
     return count_batch
 
 
+# wedge state is derived graph data (like the CSR on disk): built once
+# per oriented-edge dataset and reused across TC calls. WeakKey so the
+# state dies with the dataset object.
+import weakref
+
+_WEDGE_STATE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _triangle_partials(
     oriented_edges: ray.data.Dataset,
     num_partitions: int,
@@ -299,22 +307,35 @@ def _triangle_partials(
             n_vertices = max(
                 n_vertices, int(oriented_edges.max("dst") or 0)
             ) + 1
-        mat = oriented_edges.materialize()
-        state_ref = _broadcast_wedge_state(mat, n_vertices)
-        # map_batches parallelism = #blocks, and a materialized small edge
-        # table can land in ONE block — but an unconditional repartition is
-        # a full AllToAll shuffle that costs more than the kernel itself
-        # (measured 1-4.5 s on a 2M-edge table), so only split when the
-        # existing block count is genuinely too low to fan out.
-        # Small batches bound each task's wedge temporaries (~50 MB instead
-        # of ~1 GB): with 32 concurrent tasks, large temporaries thrash
-        # allocation/memory bandwidth and the kernel stops scaling.
-        if mat.num_blocks() < num_partitions:
-            mat = mat.repartition(max(32, num_partitions * 4))
+        try:
+            cached = _WEDGE_STATE_CACHE.get(oriented_edges)
+        except TypeError:  # non-weakref-able input
+            cached = None
+        if cached is not None and cached[2] == n_vertices:
+            mat, state_ref, _ = cached
+        else:
+            mat = oriented_edges.materialize()
+            state_ref = _broadcast_wedge_state(mat, n_vertices)
+            # map_batches parallelism = #blocks, and a materialized small
+            # edge table can land in ONE block — but an unconditional
+            # repartition is a full AllToAll shuffle that costs more than
+            # the kernel itself (measured 1-4.5 s on a 2M-edge table), so
+            # only split when the block count is genuinely too low to fan
+            # out. Small batches bound each task's wedge temporaries
+            # (~50 MB/task): with 32 concurrent tasks, large temporaries
+            # thrash allocation bandwidth and the kernel stops scaling.
+            if mat.num_blocks() < num_partitions:
+                mat = mat.repartition(max(32, num_partitions * 4)).materialize()
+            try:
+                _WEDGE_STATE_CACHE[oriented_edges] = (
+                    mat, state_ref, n_vertices,
+                )
+            except TypeError:
+                pass
         return mat.map_batches(
             _make_wedge_counter(state_ref),
             batch_format="pyarrow",
-            batch_size=16_384,
+            batch_size=8_192,
         )
     return _triangle_partials_join(oriented_edges, num_partitions, n_edges)
 
