@@ -63,7 +63,17 @@ def run_bench() -> dict:
     from graphsetintersection_ray.pipelines.triangle import global_triangle_count
     from graphsetintersection_ray.sources.transcripts import synth_transcripts
 
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # steady-state warm-up: spawn the full worker-process pool (Ray starts
+    # workers lazily — without this, the first timed stage pays ~NUM_CPUS
+    # process forks) and warm the page cache for the input parquet
+    @ray.remote
+    def _noop() -> int:
+        return 0
+
+    ray.get([_noop.remote() for _ in range(NUM_CPUS * 2)])
+    ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
     transcripts_from_sf(SF_DIR).count()
 
     queries: dict[str, float] = {}

@@ -59,7 +59,10 @@ def _conv_bucket(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
 
 def _edges_for_bucket(batch: pd.DataFrame) -> pd.DataFrame:
     """All four edge families for one bucket of whole conversations,
-    locally deduplicated (partial dedup before the global distinct)."""
+    locally deduplicated. Emits a ``g`` flag: 0 = globally distinct by
+    construction (E1/E2 — their conv_id key is pinned to this bucket),
+    1 = needs the global distinct (E3/E4 — the same actor/tool pair can
+    arise in many conversations across buckets)."""
     order = np.lexsort((batch["turn_idx"].to_numpy(), batch["conv_id"].to_numpy(object)))
     b = batch.iloc[order]
     conv = b["conv_id"].to_numpy(object)
@@ -71,10 +74,11 @@ def _edges_for_bucket(batch: pd.DataFrame) -> pd.DataFrame:
     r_key = np.array(["r:" + r for r in role], dtype=object)
     a_key = np.array(["a:" + r + ":" + t for r, t in zip(role, tool)], dtype=object)
 
-    parts = [
+    local = [
         pd.DataFrame({"src_key": c_key, "dst_key": t_key}),  # E1
         pd.DataFrame({"src_key": c_key, "dst_key": r_key}),  # E2
     ]
+    glob = []
 
     # E3: consecutive-turn actor adjacency within each conversation
     if len(b) > 1:
@@ -84,19 +88,27 @@ def _edges_for_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         x, y = x[ne], y[ne]
         lo = np.where(x < y, x, y)
         hi = np.where(x < y, y, x)
-        parts.append(pd.DataFrame({"src_key": lo, "dst_key": hi}))
+        glob.append(pd.DataFrame({"src_key": lo, "dst_key": hi}))
 
     # E4: tool-tool co-occurrence within a conversation (distinct pairs)
     ct = pd.DataFrame({"conv": conv, "t": t_key}).drop_duplicates()
     m = ct.merge(ct, on="conv")
     m = m[m["t_x"] < m["t_y"]]
-    parts.append(pd.DataFrame({"src_key": m["t_x"].to_numpy(), "dst_key": m["t_y"].to_numpy()}))
+    glob.append(pd.DataFrame({"src_key": m["t_x"].to_numpy(), "dst_key": m["t_y"].to_numpy()}))
 
-    out = pd.concat(parts, ignore_index=True).drop_duplicates()
+    lo_df = pd.concat(local, ignore_index=True).drop_duplicates()
+    gl_df = pd.concat(glob, ignore_index=True).drop_duplicates() if glob else (
+        lo_df.iloc[:0]
+    )
+    out = pd.concat([lo_df, gl_df], ignore_index=True)
+    flags = np.concatenate(
+        [np.zeros(len(lo_df), np.int8), np.ones(len(gl_df), np.int8)]
+    )
     return pa.table(
         {
             "src_key": pa.array(out["src_key"], pa.string()),
             "dst_key": pa.array(out["dst_key"], pa.string()),
+            "g": pa.array(flags, pa.int8()),
         }
     )
 
@@ -105,17 +117,31 @@ def derive_edges(
     transcripts: ray.data.Dataset, num_buckets: int = 64
 ) -> ray.data.Dataset:
     """transcript table → distinct canonical string-keyed edge table
-    (src_key < dst_key). Two shuffles: conv-bucket grouping, global dedup."""
+    (src_key < dst_key). Two shuffles — conv-bucket grouping, then a
+    global dedup that carries ONLY the edge families that can repeat
+    across conversation buckets (E3/E4); conv-keyed families (E1/E2) are
+    globally distinct after the per-bucket dedup and bypass it."""
     bucketed = transcripts.map_batches(
         _conv_bucket, batch_format="pandas", fn_kwargs=dict(num_buckets=num_buckets)
     )
     edges = bucketed.groupby("bucket").map_groups(
         _edges_for_bucket, batch_format="pandas"
-    )
-    # global exact dedup (B3 semantics) via the bucketed distinct path
+    ).materialize()
     from graphsetintersection_ray.stages.shuffle import distinct_by
 
-    return distinct_by(edges, ["src_key", "dst_key"], num_buckets=num_buckets)
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"src_key": t["src_key"], "dst_key": t["dst_key"]})
+
+    local = edges.filter(expr="g == 0").map_batches(
+        project, batch_format="pyarrow"
+    )
+    needs_dedup = edges.filter(expr="g == 1").map_batches(
+        project, batch_format="pyarrow"
+    )
+    deduped = distinct_by(
+        needs_dedup, ["src_key", "dst_key"], num_buckets=num_buckets
+    )
+    return local.union(deduped)
 
 
 def _ensure_arrow(tbl) -> pa.Table:
