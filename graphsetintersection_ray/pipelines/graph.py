@@ -33,9 +33,16 @@ GRAPH_SCHEMA_VERSION = 2
 SUPERSTEP_EDGES_PER_PARTITION = int(
     os.environ.get("GRAFT_SUPERSTEP_EDGES_PER_PARTITION", 2_000_000)
 )
+# P×P coordination outgrows per-partition compute beyond this many
+# partitions on measured graphs; on a real multi-node cluster raise it to
+# ~the node count.
+SUPERSTEP_MAX_PARTITIONS = int(
+    os.environ.get("GRAFT_SUPERSTEP_MAX_PARTITIONS", 16)
+)
 
 
 def _auto_csr_partitions(n_edges: int, cap: int) -> int:
+    cap = min(cap, SUPERSTEP_MAX_PARTITIONS)
     return max(4, min(cap, 2 * n_edges // SUPERSTEP_EDGES_PER_PARTITION + 1))
 
 
