@@ -96,14 +96,24 @@ def _broadcast_graph(art: GraphArtifacts):
     """ray.put((offsets, flat, labels)) — only legal under the broadcast
     threshold; callers gate on ``2 * art.n_edges <= BROADCAST_MAX_EDGES``."""
     df = art.sym.to_pandas()
+    if len(df) != 2 * art.n_edges:
+        raise RuntimeError(
+            f"sym edge table has {len(df)} rows, expected {2 * art.n_edges}"
+        )
     src = df["src"].to_numpy().astype(np.int64)
     dst = df["dst"].to_numpy().astype(np.int64)
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     counts = np.bincount(src, minlength=art.n_vertices)
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    lab_df = vertex_labels(art).to_pandas().sort_values("v")
-    labels = lab_df["label"].to_numpy().astype(np.int64)
+    lab_df = vertex_labels(art).to_pandas().drop_duplicates("v")
+    if len(lab_df) != art.n_vertices:
+        raise RuntimeError(
+            f"label table has {len(lab_df)} vertices, expected {art.n_vertices}"
+        )
+    # scatter by vertex id — robust to row order
+    labels = np.zeros(art.n_vertices, np.int64)
+    labels[lab_df["v"].to_numpy()] = lab_df["label"].to_numpy()
     return ray.put((offsets, dst, labels))
 
 
@@ -151,13 +161,19 @@ def _match_count_broadcast(art: GraphArtifacts, query: QueryGraph) -> int:
     state_ref = _broadcast_graph(art)
     offsets, flat, labels = ray.get(state_ref)
 
-    # level 0: candidates of label[0]
+    # level 0: candidates of label[0]. Split into blocks locally (NOT via
+    # repartition — that is an AllToAll shuffle stage, pure overhead for a
+    # driver-built seed table) so the expansion fans out.
     cands = np.flatnonzero(labels == query.labels[0]).astype(np.int64)
     if len(cands) == 0:
         return 0
+    n_blocks = min(32, max(1, len(cands) // 64))
     emb = ray.data.from_arrow(
-        pa.table({"b0": pa.array(cands)})
-    ).repartition(32)
+        [
+            pa.table({"b0": pa.array(chunk)})
+            for chunk in np.array_split(cands, n_blocks)
+        ]
+    )
 
     for i in range(1, len(query.labels)):
         want = query.labels[i]

@@ -100,12 +100,10 @@ def test_subgraph_match_vs_bruteforce(art):
 
     sym_df = art.sym.to_pandas()
     adj = _adj_sets(sym_df)
-    labels = dict(
-        zip(
-            vertex_labels(art).to_pandas().v,
-            vertex_labels(art).to_pandas().label,
-        )
-    )
+    # ONE execution: zipping columns from two separate .to_pandas() calls
+    # pairs rows from independent runs, whose block order can differ
+    lab_df = vertex_labels(art).to_pandas()
+    labels = dict(zip(lab_df.v, lab_df.label))
 
     for name, q in QUERY_GRAPHS.items():
         got = match_count(art, q)
