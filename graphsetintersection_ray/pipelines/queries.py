@@ -301,8 +301,11 @@ def q_subgraph_match(sf_dir: str):
 
 def q_maximal_cliques(sf_dir: str):
     """(mc_num, max_clique_size) — degeneracy-order Tomita enumeration
-    (reference mc.cpp:36-47). No SQL oracle (exponential enumeration);
-    pytest checks vs a brute-force Bron-Kerbosch."""
+    (reference mc.cpp:36-47). SQL oracle: recursive-CTE clique growth
+    (each clique enumerated once via ascending-id extension, adjacency
+    checked with list_has_all) + non-extensible filter; pytest
+    additionally checks the full clique list vs brute-force
+    Bron-Kerbosch."""
     from graphsetintersection_ray.pipelines.cliques import clique_stats
 
     return clique_stats(build_graph(sf_dir))
@@ -883,6 +886,29 @@ c_ctt AS (
 SELECT 'path_ctc' AS query, (SELECT c FROM c_path) AS matches
 UNION ALL SELECT 'tri_ctt', (SELECT c FROM c_ctt)
 UNION ALL SELECT 'tri_ttt', (SELECT c FROM c_ttt)"""
+    ),
+    # every maximal clique exactly once: grow cliques by ascending vertex
+    # id (so each clique has one growth path), keep the non-extensible
+    # ones. list_has_all(adj(w), members) = "w adjacent to all members".
+    "maximal_cliques": _with(
+        """adjl AS (SELECT src, list(dst) AS ns FROM sym GROUP BY src),
+cl AS (
+  WITH RECURSIVE c(members, last) AS (
+    SELECT [vid], vid FROM verts
+    UNION ALL
+    SELECT list_append(c.members, e.dst), e.dst
+    FROM c
+    JOIN sym e ON e.src = c.last AND e.dst > c.last
+    JOIN adjl a ON a.src = e.dst
+    WHERE list_has_all(a.ns, c.members)
+  )
+  SELECT members FROM c
+)
+SELECT count(*) AS mc_num, max(len(members)) AS max_clique_size
+FROM cl WHERE NOT EXISTS (
+  SELECT 1 FROM adjl a
+  WHERE NOT list_contains(cl.members, a.src) AND list_has_all(a.ns, cl.members)
+)"""
     ),
     "comp_ratio": _with(
         """pk AS (
