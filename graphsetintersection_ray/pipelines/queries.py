@@ -249,6 +249,17 @@ def q_hybrid_order(sf_dir: str):
     )
 
 
+def q_gro_order(sf_dir: str):
+    """R1 GRO greedy-window reorder (porder.cpp:142-235), sharded
+    distributed analog: per-shard greedy window pass over the
+    shard-induced subgraph, shard offsets merged into one dense
+    permutation. No SQL oracle (order-sensitive greedy); pytest checks
+    permutation validity, determinism, and BSR-locality improvement."""
+    from graphsetintersection_ray.pipelines.ordering import gro_order
+
+    return gro_order(build_graph(sf_dir))
+
+
 def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
     """Hub list: smallest set of highest-degree vertices covering
     ``deg_ratio`` of total degree (R8 select_bignode, porder.cpp:353-392;
@@ -662,6 +673,7 @@ QUERIES = {
     "leaf_count": q_leaf_count,
     "degree_order": q_degree_order,
     "hybrid_order": q_hybrid_order,
+    "gro_order": q_gro_order,
     "bignode_select": q_bignode_select,
     "vertex_labels": q_vertex_labels,
     "subgraph_match": q_subgraph_match,
