@@ -259,6 +259,10 @@ def edges_to_ids(
     if n_vertices is None:
         n_vertices = vertices.count()
     if n_vertices <= BROADCAST_MAX_VERTICES:
+        # the pre-built pandas Index pickles large but Ray memoizes the
+        # deserialized object per worker process, so the build cost is
+        # paid once per worker — measured faster than rebuilding the hash
+        # index per worker from a zero-copy Arrow broadcast
         vdf = vertices.to_pandas()
         idx = pd.Index(vdf["key"])
         vids = vdf["vid"].to_numpy()
