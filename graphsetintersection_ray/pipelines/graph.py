@@ -43,7 +43,11 @@ SUPERSTEP_MAX_PARTITIONS = int(
 
 def _auto_csr_partitions(n_edges: int, cap: int) -> int:
     cap = min(cap, SUPERSTEP_MAX_PARTITIONS)
-    return max(4, min(cap, 2 * n_edges // SUPERSTEP_EDGES_PER_PARTITION + 1))
+    # floor of 8 (when the cap allows): fewer partitions than workers
+    # leaves cpus idle; P=8 measured faster than P=4 on a 4M-directed-edge
+    # graph at 32 cpus
+    floor = min(cap, 8)
+    return max(floor, min(cap, 2 * n_edges // SUPERSTEP_EDGES_PER_PARTITION + 1))
 
 
 @dataclass
