@@ -279,7 +279,13 @@ def edges_to_ids(
                 }
             )
 
-        return edges.map_batches(lookup, batch_format="pyarrow")
+        # concurrency cap: every worker process pays a one-time
+        # deserialization of the broadcast map (~2s/1.6M keys), so running
+        # this stage on every core ANTI-scales (measured 9.3s at 8 workers
+        # vs 17.2s at 32). A bounded pool amortizes the setup.
+        return edges.map_batches(
+            lookup, batch_format="pyarrow", concurrency=8
+        )
     j1 = edges.join(
         vertices,
         join_type="inner",
