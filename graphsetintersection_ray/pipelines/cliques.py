@@ -104,16 +104,23 @@ def _peel_decrements(tbl, removed_mask: np.ndarray, n: int) -> np.ndarray:
     return np.bincount(dst[keep], minlength=n)
 
 
-def distributed_peel_order(art: GraphArtifacts) -> np.ndarray:
+def distributed_peel_order(
+    art: GraphArtifacts, batch_slack: int | None = None
+) -> np.ndarray:
     """Elimination order from a distributed k-core peel.
 
-    Per round all active vertices of minimum residual degree are removed
-    (ordered by id within the round). The edge table stays distributed:
-    each round runs one remote bincount per cached edge block; the driver
-    holds only O(V) state. This is a valid elimination order for
-    exactly-once BK seeding (any total order is), with |P| bounded by the
-    round's core number — the distributed analog of the reference's
-    bucket-queue peel."""
+    Per round all active vertices with residual degree <= d_min +
+    ``batch_slack`` are removed (ordered by id within the round) —
+    half-integer batching: ANY total order is a valid elimination order
+    for exactly-once BK seeding, and the slack collapses adjacent
+    min-degree levels into one round, cutting the driver-barrier count
+    (the at-scale bottleneck: each round is one remote bincount per
+    cached edge block + one O(V) driver vector update). slack=0
+    reproduces the exact min-degree peel; the default 2 only loosens the
+    |P| bound per seed by <= slack — the distributed analog of the
+    reference's bucket-queue peel."""
+    if batch_slack is None:
+        batch_slack = int(os.environ.get("GRAFT_PEEL_SLACK", 2))
     n = art.n_vertices
     refs = art.sym.materialize().to_arrow_refs()
     deg = np.zeros(n, np.int64)
@@ -123,12 +130,14 @@ def distributed_peel_order(art: GraphArtifacts) -> np.ndarray:
     active = np.ones(n, bool)
     order = np.empty(n, np.int64)
     pos = 0
+    rounds = 0
     while active.any():
         d_min = deg[active].min()
-        this_round = np.flatnonzero(active & (deg <= d_min))
+        this_round = np.flatnonzero(active & (deg <= d_min + batch_slack))
         order[pos : pos + len(this_round)] = this_round
         pos += len(this_round)
         active[this_round] = False
+        rounds += 1
         if not active.any():
             break
         removed_mask = np.zeros(n, bool)
@@ -137,6 +146,12 @@ def distributed_peel_order(art: GraphArtifacts) -> np.ndarray:
             [_peel_decrements.remote(r, removed_mask, n) for r in refs]
         )
         deg -= np.sum(decs, axis=0)
+    import logging
+
+    logging.getLogger(__name__).info(
+        "distributed_peel_order: %d vertices in %d rounds (slack=%d)",
+        n, rounds, batch_slack,
+    )
     return order
 
 
@@ -283,9 +298,32 @@ def _maximal_cliques_distributed(art: GraphArtifacts) -> ray.data.Dataset:
         on=("w",),
         right_on=("w2",),
     )
-    return joined.groupby("u").map_groups(
+    out = joined.groupby("u").map_groups(
         lambda g: _egonet_bk(g, rank_ref), batch_format="pandas"
     )
+    # isolated vertices have no CSR row, so no explode/join group — their
+    # singleton maximal cliques must be emitted separately (the broadcast
+    # path seeds range(n_vertices) and gets them for free). O(V) driver
+    # bitmap, consistent with the order/rank vectors this path already holds.
+    present = np.zeros(art.n_vertices, bool)
+    for b in csr.map_batches(
+        lambda t: pa.table({"u": t["u"]}), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        present[b["u"].to_numpy(zero_copy_only=False)] = True
+    singles = np.flatnonzero(~present)
+    if len(singles):
+        out = out.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "members_str": pa.array(
+                            [str(int(v)) for v in singles], pa.string()
+                        )
+                    }
+                )
+            )
+        )
+    return out
 
 
 def maximal_cliques(art: GraphArtifacts) -> ray.data.Dataset:

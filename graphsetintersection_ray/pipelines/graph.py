@@ -109,8 +109,34 @@ def build_graph_from_transcripts(
             "/tmp/gsi_graphs", hashlib.md5(fingerprint.encode()).hexdigest()[:16]
         )
     csr_path = os.path.join(workdir, "csr")
-    if not os.path.isdir(csr_path):
+    # A pre-existing CSR dir written with a DIFFERENT partition count would
+    # leave partition dirs silently unread (workers miss vertices), so
+    # reuse is gated on a manifest matching both the fingerprint and the
+    # partition count; any mismatch rebuilds.
+    manifest_path = os.path.join(csr_path, "_csr_manifest.json")
+    reuse = False
+    if os.path.isdir(csr_path) and os.path.exists(manifest_path):
+        import json as _json
+
+        with open(manifest_path) as f:
+            m = _json.load(f)
+        reuse = (
+            m.get("fingerprint") == fingerprint
+            and m.get("csr_partitions") == csr_partitions
+        )
+    if not reuse:
+        if os.path.isdir(csr_path):
+            import shutil
+
+            shutil.rmtree(csr_path)
         gb.write_partitioned_csr(sym, csr_path, csr_partitions)
+        import json as _json
+
+        with open(manifest_path, "w") as f:
+            _json.dump(
+                {"fingerprint": fingerprint, "csr_partitions": csr_partitions},
+                f,
+            )
     art = GraphArtifacts(
         transcripts=transcripts,
         edges_str=edges_str,

@@ -13,6 +13,8 @@ SlashBurn BFS, porder.cpp:1052-1075):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -21,6 +23,24 @@ from graphsetintersection_ray.pipelines.graph import GraphArtifacts
 from graphsetintersection_ray.state.superstep import SuperstepEngine
 
 _ENGINES: dict[tuple, SuperstepEngine] = {}
+
+
+def _collect_max_vertices() -> int:
+    """Above this vertex count, iterative results stay a Ray Dataset (one
+    block per partition, nothing concatenated on the driver); below it the
+    driver concat is cheaper than Dataset overhead. Read at call time so
+    tests can force the dataset path with GRAFT_COLLECT_MAX_VERTICES=0."""
+    return int(os.environ.get("GRAFT_COLLECT_MAX_VERTICES", 2_000_000))
+
+
+def _finalize(eng: SuperstepEngine, xform):
+    """Apply a per-partition (row-local) ``pa.Table(v, state) -> pa.Table``
+    transform to the engine's final state. At scale this is a streaming
+    ``state_dataset().map_batches`` — the result never aggregates on the
+    driver; consume it with write_parquet / iter_batches / further ops."""
+    if eng.n_total > _collect_max_vertices():
+        return eng.state_dataset().map_batches(xform, batch_format="pyarrow")
+    return xform(eng.collect_state())
 
 
 def release_engines() -> None:
@@ -53,20 +73,22 @@ def pagerank(
     ckpt_dir: str | None = None,
     resume: bool = True,
     round_to: int | None = None,
-) -> tuple[pa.Table, dict]:
+) -> tuple:
     eng = engine_for(art, ckpt_dir)
     stats = eng.pagerank(max_iters=max_iters, tol=tol, resume=resume,
                          checkpoint_every=1 if ckpt_dir else 0)
-    t = eng.collect_state()
-    score = t["state"].to_numpy(zero_copy_only=False)
-    if round_to is not None:
-        # SQL ROUND() is half-away-from-zero; np.round is half-even and
-        # disagrees on exactly-representable boundary values
-        score = round_half_away(score, round_to)
-    out = pa.table(
-        {"v": t["v"].cast(pa.int32()), "score": pa.array(score, pa.float64())}
-    )
-    return out, stats
+
+    def xform(t: pa.Table) -> pa.Table:
+        score = t["state"].to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            # SQL ROUND() is half-away-from-zero; np.round is half-even and
+            # disagrees on exactly-representable boundary values
+            score = round_half_away(score, round_to)
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "score": pa.array(score, pa.float64())}
+        )
+
+    return _finalize(eng, xform), stats
 
 
 def bfs_distances(
@@ -74,54 +96,60 @@ def bfs_distances(
     source: int = 0,
     ckpt_dir: str | None = None,
     resume: bool = True,
-) -> tuple[pa.Table, dict]:
+) -> tuple:
     """(v, dist) unweighted shortest distances from ``source``; only
     reachable vertices are returned."""
     eng = engine_for(art, ckpt_dir)
     stats = eng.bfs(
         source, resume=resume, checkpoint_every=1 if ckpt_dir else 0
     )
-    t = eng.collect_state()
-    dist = t["state"].to_numpy(zero_copy_only=False)
-    keep = dist < (1 << 60)
-    out = pa.table(
-        {
-            "v": pa.array(
-                t["v"].to_numpy(zero_copy_only=False)[keep].astype(np.int32)
-            ),
-            "dist": pa.array(dist[keep].astype(np.int64)),
-        }
-    )
-    return out, stats
+
+    def xform(t: pa.Table) -> pa.Table:
+        dist = t["state"].to_numpy(zero_copy_only=False)
+        keep = dist < (1 << 60)
+        return pa.table(
+            {
+                "v": pa.array(
+                    t["v"].to_numpy(zero_copy_only=False)[keep].astype(np.int32)
+                ),
+                "dist": pa.array(dist[keep].astype(np.int64)),
+            }
+        )
+
+    return _finalize(eng, xform), stats
 
 
 def connected_components(
     art: GraphArtifacts,
     ckpt_dir: str | None = None,
     resume: bool = True,
-) -> tuple[pa.Table, dict]:
+) -> tuple:
     eng = engine_for(art, ckpt_dir)
     stats = eng.connected_components(
         resume=resume, checkpoint_every=1 if ckpt_dir else 0
     )
-    t = eng.collect_state()
-    out = pa.table(
-        {"v": t["v"].cast(pa.int32()), "component": t["state"].cast(pa.int64())}
-    )
-    return out, stats
+
+    def xform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "component": t["state"].cast(pa.int64())}
+        )
+
+    return _finalize(eng, xform), stats
 
 
 def label_propagation(
     art: GraphArtifacts,
     ckpt_dir: str | None = None,
     resume: bool = True,
-) -> tuple[pa.Table, dict]:
+) -> tuple:
     eng = engine_for(art, ckpt_dir)
     stats = eng.label_propagation(
         resume=resume, checkpoint_every=1 if ckpt_dir else 0
     )
-    t = eng.collect_state()
-    out = pa.table(
-        {"v": t["v"].cast(pa.int32()), "label": t["state"].cast(pa.int64())}
-    )
-    return out, stats
+
+    def xform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "label": t["state"].cast(pa.int64())}
+        )
+
+    return _finalize(eng, xform), stats

@@ -36,36 +36,73 @@ def _greedy_window_order(
     """Sequential greedy pass over one shard: repeatedly place the vertex
     with the most edges into the last ``window`` placed (ties → min id).
     Scores are maintained incrementally: +1 to unplaced neighbors when a
-    vertex enters the window, -1 when it slides out."""
-    member_pos = {int(v): i for i, v in enumerate(members)}
+    vertex enters the window, -1 when it slides out.
+
+    Selection uses a LAZY max-heap — every score change pushes a fresh
+    entry and stale entries (placed vertex, or score no longer current)
+    are skipped at pop time — the distributed analog of the reference's
+    LinkedListHeap decrease-key structure (linkedlist_heap.hpp:33-67,
+    porder.cpp:142-235). Each edge triggers at most two pushes (its
+    endpoint entering and leaving the window), so the pass is
+    O((n + m) log m) instead of the previous O(n^2) argmax rescans.
+    Entries are packed ints ((-score) << 32 | local_idx): the heap pops
+    max score first, ties by smallest local index = smallest vertex id,
+    exactly the old np.argmax-first tie rule."""
+    import heapq
+    from collections import deque
+
     n = len(members)
+    # neighbor ids -> local indices, vectorized once per vertex
+    # (members is sorted ascending)
+    adj_local: list[np.ndarray] = []
+    for v in members:
+        vals = adj.get(int(v))
+        if vals is None or len(vals) == 0:
+            adj_local.append(np.empty(0, np.int64))
+            continue
+        idx = np.searchsorted(members, vals)
+        ok = idx < n
+        idx = idx[ok]
+        adj_local.append(idx[members[idx] == vals[ok]])
     placed = np.zeros(n, bool)
     score = np.zeros(n, np.int64)
     order = np.empty(n, np.int64)
-    from collections import deque
-
+    heap: list[int] = []
+    push = heapq.heappush
+    pop = heapq.heappop
+    seed_ptr = 0  # smallest unplaced local index (advances monotonically)
     win: deque = deque()
     for i in range(n):
-        # candidate = unplaced argmax score, ties by vertex id (= local
-        # index order, members sorted ascending)
-        cand = np.flatnonzero(~placed)
-        best = cand[np.argmax(score[cand])]
-        best_score = score[best]
-        if best_score == 0:
-            best = cand[0]  # fresh seed: smallest unplaced id
+        best = -1
+        while heap:
+            key = heap[0]
+            j = key & 0xFFFFFFFF
+            if placed[j] or score[j] != -(key >> 32):
+                pop(heap)  # stale
+                continue
+            if -(key >> 32) > 0:
+                best = j
+            break  # valid top; score 0 falls through to the seed rule
+        if best < 0:
+            # all current scores are 0: fresh seed = smallest unplaced id
+            while placed[seed_ptr]:
+                seed_ptr += 1
+            best = seed_ptr
         order[i] = best
         placed[best] = True
         win.append(best)
-        for w in adj.get(int(members[best]), ()):
-            j = member_pos.get(w)
-            if j is not None and not placed[j]:
-                score[j] += 1
+        nb = adj_local[best]
+        nb = nb[~placed[nb]]
+        score[nb] += 1
+        for j, s in zip(nb.tolist(), score[nb].tolist()):
+            push(heap, ((-s) << 32) + j)
         if len(win) > window:
             out = win.popleft()
-            for w in adj.get(int(members[out]), ()):
-                j = member_pos.get(w)
-                if j is not None and not placed[j]:
-                    score[j] -= 1
+            nb = adj_local[out]
+            nb = nb[~placed[nb]]
+            score[nb] -= 1
+            for j, s in zip(nb.tolist(), score[nb].tolist()):
+                push(heap, ((-s) << 32) + j)
     return members[order]
 
 
@@ -127,6 +164,14 @@ def gro_order(
     for s, c in zip(sizes["shard"], sizes["count()"]):
         base[int(s) + 1] = c
     base = np.cumsum(base)
+    if base[-1] != n:
+        # transcript-derived vertices always come from edges (degree >= 1);
+        # an isolated vertex would silently vanish from the permutation, so
+        # fail loudly instead (same contract as the distributed cliques path)
+        raise ValueError(
+            f"gro_order requires no isolated vertices: CSR covers "
+            f"{int(base[-1])} of {n} vertices"
+        )
     base_ref = ray.put(base)
 
     def finish(t: pa.Table) -> pa.Table:

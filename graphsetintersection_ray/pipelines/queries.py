@@ -222,12 +222,17 @@ def q_hybrid_order(sf_dir: str):
     hub = int(hub_df["v"].iloc[0])
     dist, _ = it.bfs_distances(art, source=hub, resume=False)
     ddf = dist.to_pandas()
-    dist_ref = _ray.put(dict(zip(ddf["v"], ddf["dist"])))
+    # vertices are dense 0..V-1: broadcast a dense int64 distance array
+    # (unreached = sentinel) and probe with vectorized fancy indexing —
+    # no per-element dict .get loop
+    dense = np.full(art.n_vertices, 1 << 40, np.int64)
+    dense[ddf["v"].to_numpy().astype(np.int64)] = ddf["dist"].to_numpy()
+    dist_ref = _ray.put(dense)
 
     def attach(t: pa.Table) -> pa.Table:
         lookup = _ray.get(dist_ref)
         v = t["v"].to_numpy(zero_copy_only=False)
-        d = np.array([lookup.get(x, 1 << 40) for x in v], np.int64)
+        d = lookup[v.astype(np.int64)]
         return pa.table(
             {
                 "v": t["v"],
@@ -603,9 +608,13 @@ def q_knn_lsh(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    from graphsetintersection_ray.stages.similarity import cosine_dup_pairs
+    """Oracle configuration: the EXACT block-pair engine (matches the SQL
+    all-pairs join). The production default is the near-linear LSH route —
+    ``similarity.dup_pairs(method='lsh')`` — whose recall vs this exact
+    engine is measured in tests/test_data_pipeline.py."""
+    from graphsetintersection_ray.stages.similarity import dup_pairs
 
-    return cosine_dup_pairs(_embs(sf_dir), threshold=0.4)
+    return dup_pairs(_embs(sf_dir), threshold=0.4, method="exact")
 
 
 def q_event_windows(sf_dir: str):

@@ -7,9 +7,9 @@ Scale design:
   * n-gram Jaccard — shingle explode → groupby(shingle) pair generation →
     pair-count groupby → per-doc counts joined back (NO driver-side
     materialization anywhere). Skew note: a shingle shared by d docs emits
-    d(d-1)/2 pairs; the production default drops shingles with document
-    frequency > DEFAULT_MAX_DF (hub-key guard). The oracle-checked query
-    passes ``max_df=None`` explicitly so SQL matches exactly.
+    d(d-1)/2 pairs; EXACT by default (``max_df=None``) — production runs
+    over open-domain corpora opt into the hub-key guard with
+    ``max_df=DEFAULT_MAX_DF``.
   * MinHash+LSH — k multiply-shift permutations over vectorized shingle
     hashes, b bands → band-hash buckets → candidate pairs → exact Jaccard
     verification through the SAME shuffle path as jaccard_pairs, with the
@@ -45,10 +45,11 @@ logger = logging.getLogger(__name__)
 SHINGLE_W = 3
 _M61 = (1 << 61) - 1
 
-# production skew guard: a shingle appearing in more than this many
+# opt-in production skew guard: a shingle appearing in more than this many
 # documents is dropped from pair generation (it would emit d(d-1)/2 pairs
-# and contributes almost no discriminative signal). The SQL-oracle query
-# passes max_df=None to disable it so the oracle matches exactly.
+# and contributes almost no discriminative signal). The default everywhere
+# is max_df=None (exact — matches the SQL oracle); pass
+# max_df=DEFAULT_MAX_DF on open-domain corpora.
 DEFAULT_MAX_DF = 1024
 
 
@@ -126,21 +127,25 @@ def _hash_strings(arr: np.ndarray) -> np.ndarray:
 
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     """Keep the minimum doc_id per exact text value. Hash-partition by a
-    content hash (never by raw text — bounded key size at scale)."""
-    import hashlib
+    content hash (never by raw text — bounded key size at scale).
+
+    The hash is one vectorized SipHash pass (no per-row Python loop) and
+    is only a PARTITIONING key: rows that collide on the 64-bit hash are
+    still deduplicated by the actual text inside the group, so the result
+    is exact regardless of hash collisions."""
 
     def add_hash(b: pd.DataFrame) -> pa.Table:
-        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in b["text"]]
+        h = pd.util.hash_array(b["text"].to_numpy(object)).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(b["doc_id"], pa.int64()),
                 "text": pa.array(b["text"], pa.string()),
-                "h": pa.array(h, pa.string()),
+                "h": pa.array(h, pa.int64()),
             }
         )
 
     def keep_first(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("doc_id").head(1)
+        g = g.sort_values("doc_id").drop_duplicates("text", keep="first")
         return pa.table(
             {
                 "doc_id": pa.array(g["doc_id"], pa.int64()),
@@ -237,14 +242,18 @@ def _attach_pair_counts(
 def jaccard_pairs(
     docs: rd.Dataset,
     threshold: float = 0.5,
-    max_df: int | None = DEFAULT_MAX_DF,
+    max_df: int | None = None,
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """(doc_a, doc_b, jaccard) for all pairs with word-3-shingle Jaccard
     >= threshold, doc_a < doc_b, jaccard rounded to 6.
 
-    ``max_df`` defaults to the production skew guard — pass ``None`` for
-    the exact (oracle-matched) semantics."""
+    EXACT by default (``max_df=None``). Production entry points running
+    over open-domain corpora should opt into the skew guard with
+    ``max_df=DEFAULT_MAX_DF``: a shingle shared by d docs emits d(d-1)/2
+    pairs, and dropping hub shingles (df > max_df) bounds that blowup at
+    the cost of losing pairs whose overlap is carried ONLY by hub
+    shingles (near-zero discriminative signal)."""
     sh = docs.map_batches(shingle_table, batch_format="pandas").materialize()
 
     from graphsetintersection_ray.stages.shuffle import counted_groups
@@ -318,13 +327,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    verify_max_df: int | None = None,
 ) -> rd.Dataset:
     """Candidate pairs from LSH banding, verified with exact shingle
     Jaccard — the verification runs through the same distributed shuffle
     as ``jaccard_pairs`` (shingles semi-joined down to candidate docs
     first); nothing corpus-sized ever lands on the driver. Output schema
     matches jaccard_pairs; equals it up to LSH recall (1.0 on fixtures,
-    measured in tests)."""
+    measured in tests).
+
+    ``verify_max_df=None`` (default) keeps verification exact — dropping
+    a shingle would undercount intersections and skew the reported
+    jaccard. The candidate semi-join already bounds group membership to
+    candidate docs; set verify_max_df only when a hub shingle shared by
+    many CANDIDATES would blow up pair generation, accepting approximate
+    jaccard values for pairs carried by dropped shingles."""
     docs = docs.materialize()
     sigs = docs.map_batches(
         minhash_signatures, batch_format="pandas", fn_kwargs=dict(k=k)
@@ -408,7 +425,7 @@ def minhash_lsh_pairs(
     counts = counted_groups(sh_cand, ["doc_id"], count_col="n_sh")
     pair_counts = counted_groups(
         sh_cand.groupby("shingle").map_groups(
-            _pairs_for_shingle_group(None), batch_format="pandas"
+            _pairs_for_shingle_group(verify_max_df), batch_format="pandas"
         ),
         ["doc_a", "doc_b"],
         count_col="i",

@@ -279,12 +279,17 @@ def edges_to_ids(
                 }
             )
 
-        # concurrency cap: every worker process pays a one-time
-        # deserialization of the broadcast map (~2s/1.6M keys), so running
-        # this stage on every core ANTI-scales (measured 9.3s at 8 workers
-        # vs 17.2s at 32). A bounded pool amortizes the setup.
+        # Adaptive concurrency cap: every worker process pays a one-time
+        # deserialization of the broadcast map, which is ~2s at 1.6M string
+        # keys — at that size running the stage on every core ANTI-scales
+        # (measured 9.3s at 8 workers vs 17.2s at 32) and a bounded pool
+        # amortizes the setup. At small map sizes the setup is microseconds
+        # and the cap just idles cores (it cost the round-2 bench 2.4x on
+        # the synthetic build), so cap ONLY above a vertex threshold.
+        cap_above = int(os.environ.get("GRAFT_LOOKUP_CAP_VERTICES", 500_000))
+        cap = 8 if n_vertices > cap_above else None
         return edges.map_batches(
-            lookup, batch_format="pyarrow", concurrency=8
+            lookup, batch_format="pyarrow", concurrency=cap
         )
     j1 = edges.join(
         vertices,

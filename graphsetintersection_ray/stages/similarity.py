@@ -42,9 +42,10 @@ def brute_force_topk(
     """For each query vec_id, the top-k most-cosine-similar OTHER vectors.
     Output: (query_id, neighbor_id, sim) with sim rounded to 6."""
     embeddings = embeddings.materialize()
-    qset = set(int(q) for q in query_ids)
-    qdf = embeddings.filter(
-        lambda row: row["vec_id"] in qset
+    q_arr = pa.array(sorted(int(q) for q in query_ids), pa.int64())
+    qdf = embeddings.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=q_arr)),
+        batch_format="pyarrow",
     ).to_pandas()
     q_ids = qdf["vec_id"].to_numpy()
     q_mat = _normalize(
@@ -112,7 +113,12 @@ def _normalized_block(tbl) -> tuple[np.ndarray, np.ndarray]:
 
 
 @ray.remote
-def _block_pair_sims(blk_a, blk_b, threshold: float) -> pa.Table:
+def _block_pair_sims(blk_a, blk_b, threshold: float, diagonal: bool) -> pa.Table:
+    """One tile of the pairwise-cosine matrix. On the diagonal (blk_a is
+    blk_b) keep only a < b so each within-block pair appears once; on an
+    off-diagonal tile EVERY (row, col) combination is unique to this tile,
+    so keep all of them (minus accidental id collisions) and canonicalise
+    to (min, max) — ids need NOT be sorted across blocks."""
     ids_a, mat_a = blk_a
     ids_b, mat_b = blk_b
     if len(ids_a) == 0 or len(ids_b) == 0:
@@ -127,11 +133,17 @@ def _block_pair_sims(blk_a, blk_b, threshold: float) -> pa.Table:
     rows, cols = np.nonzero(sims >= threshold)
     a = ids_a[rows]
     b = ids_b[cols]
-    keep = a < b
+    if diagonal:
+        keep = a < b
+        lo, hi = a[keep], b[keep]
+    else:
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
     return pa.table(
         {
-            "vec_a": pa.array(a[keep], pa.int64()),
-            "vec_b": pa.array(b[keep], pa.int64()),
+            "vec_a": pa.array(lo, pa.int64()),
+            "vec_b": pa.array(hi, pa.int64()),
             "sim": pa.array(
                 round_half_away(sims[rows, cols][keep], 6), pa.float64()
             ),
@@ -159,7 +171,7 @@ def cosine_dup_pairs(
     refs = embeddings.repartition(n_blocks).materialize().to_arrow_refs()
     norm_refs = [_normalized_block.remote(r) for r in refs]
     pair_refs = [
-        _block_pair_sims.remote(norm_refs[i], norm_refs[j], threshold)
+        _block_pair_sims.remote(norm_refs[i], norm_refs[j], threshold, i == j)
         for i in range(len(norm_refs))
         for j in range(i, len(norm_refs))
     ]
@@ -169,6 +181,137 @@ def cosine_dup_pairs(
 # few planes → coarse buckets with real collisions; at 2^p buckets the
 # expected bucket population is n / 2^p, so p should track log2(n) - 5ish
 LSH_PLANES = 6
+
+
+def lsh_dup_pairs(
+    embeddings: rd.Dataset,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    seed: int = 99,
+) -> rd.Dataset:
+    """Near-dup pairs via hyperplane-LSH bucketing — the production-scale
+    route. ``n_tables`` independent hash tables; in each, every vector is
+    hashed to a sign-bucket over ``n_planes`` random hyperplanes and
+    replicated into each 1-bit-flip bucket (multiprobe), so a pair whose
+    signatures differ in <= 2 bits in ANY table collides somewhere.
+    Within-bucket all-pairs cosine keeps sims >= threshold; duplicates
+    from multi-bucket collisions are removed by a bucketed distinct.
+
+    Work is sum(bucket_pop^2) over ~n_tables * 2^p buckets: with p
+    tracking log2(n) the expected population stays constant, giving a
+    near-linear tile count vs ``cosine_dup_pairs``'s O(n^2/2) tiles, at a
+    shuffle replication factor of n_tables * (n_planes + 1). Recall < 1
+    by construction and degrades toward the threshold boundary (a pair at
+    sim ~0.95 is near-certain; at sim ~0.4 each table catches it with
+    p~0.6) — measured against the exact engine in tests, not promised."""
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    embeddings = embeddings.materialize()
+    n = embeddings.count()
+    if n == 0:
+        return embeddings.map_batches(
+            lambda t: pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if n_planes is None:
+        n_planes = max(LSH_PLANES, int(np.log2(n)) - 5)
+    sample = embeddings.take(1)
+    dim = len(sample[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    # one (dim, n_planes) slab per table, broadcast once
+    planes_ref = ray.put(rng.standard_normal((n_tables, dim, n_planes)))
+
+    def with_buckets(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids, mat = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "embedding": pa.array([], t["embedding"].type),
+                }
+            )
+        nm = _normalize(mat)
+        rows = np.arange(len(ids))
+        rep_rows = []
+        rep_buckets = []
+        for ti in range(n_tables):
+            signs = (nm @ pl[ti]) > 0
+            sig = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+            base = np.int64(ti) << np.int64(n_planes + 1)
+            rep_rows.append(rows)
+            rep_buckets.append(base + sig)
+            for b in range(n_planes):
+                rep_rows.append(rows)
+                rep_buckets.append(base + (sig ^ (1 << b)))
+        all_rows = np.concatenate(rep_rows)
+        emb_list = t["embedding"].combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.tile(ids, n_tables * (n_planes + 1)), pa.int64()
+                ),
+                "bucket": pa.array(np.concatenate(rep_buckets), pa.int64()),
+                "embedding": emb_list.take(pa.array(all_rows, pa.int32())),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        ids = g["vec_id"].to_numpy()
+        # multiprobe can land the same vector in one bucket several times
+        _, first = np.unique(ids, return_index=True)
+        ids = ids[first]
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        mat = _normalize(
+            np.stack(g["embedding"].to_numpy()[first]).astype(np.float64)
+        )
+        sims = mat @ mat.T
+        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b = ids[iu], ids[ju]
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b), pa.int64()),
+                "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+                "sim": pa.array(
+                    round_half_away(sims[iu, ju], 6), pa.float64()
+                ),
+            }
+        )
+
+    pairs = (
+        embeddings.map_batches(with_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return distinct_by(pairs, ["vec_a", "vec_b", "sim"])
+
+
+def dup_pairs(
+    embeddings: rd.Dataset, threshold: float = 0.95, method: str = "lsh", **kw
+) -> rd.Dataset:
+    """Embedding near-dup pairs. ``method='lsh'`` (production default) is
+    the near-linear LSH-bucketed path; ``method='exact'`` is the O(n^2/2)
+    block-pair engine used as the oracle configuration."""
+    if method == "lsh":
+        return lsh_dup_pairs(embeddings, threshold=threshold, **kw)
+    if method == "exact":
+        return cosine_dup_pairs(embeddings, threshold=threshold, **kw)
+    raise ValueError(f"unknown dup_pairs method: {method!r}")
 
 
 def lsh_topk(

@@ -355,6 +355,13 @@ class SuperstepEngine:
                 if converged(results):
                     done = True
                     break
+            # the whole chunk was pre-submitted, so actor STATE is at
+            # iteration `end` even when convergence fired mid-chunk;
+            # stats["iters"] stays the converged iteration. Harmless for
+            # the monotone fixpoints (no further change) and for PageRank
+            # (extra iterations only tighten), but callers comparing to a
+            # fixed-iteration oracle should read iters_applied.
+            stats["iters_applied"] = end
             stats["sec_per_iter"].append(
                 (time.time() - t0) / max(stats["iters"] - k, 1)
             )

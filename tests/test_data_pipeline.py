@@ -230,3 +230,84 @@ def test_multimodal_plumbing(ray_session):
     a = feats.sort_values("doc_id").feature.apply(list).tolist()
     b = feats2.sort_values("doc_id").feature.apply(list).tolist()
     assert a == b
+
+
+def test_cosine_dup_pairs_interleaved_block_ids(ray_session):
+    """Cross-block tiles must not drop pairs when vec_ids are NOT
+    non-decreasing across block order (round-2 ADVICE high finding):
+    ids are deliberately scrambled so planted dups straddle blocks in
+    both orders, and the result is checked against a numpy all-pairs
+    oracle."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.similarity import cosine_dup_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 16
+    mat = rng.standard_normal((n, dim))
+    for a, b in [(30, 1), (35, 2), (20, 3)]:  # dups across distant ids
+        mat[b] = mat[a] + 0.01 * rng.standard_normal(dim)
+    ids = rng.permutation(n)
+    df = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [mat[i].astype(np.float32).tolist() for i in ids],
+        }
+    )
+    got = cosine_dup_pairs(
+        rd.from_pandas(df), threshold=0.8, block_rows=8
+    ).to_pandas()
+    norm32 = mat.astype(np.float32).astype(np.float64)
+    norm = norm32 / np.linalg.norm(norm32, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu, ju = np.nonzero(np.triu(sims >= 0.8, k=1))
+    expect = set(zip(iu.tolist(), ju.tolist()))
+    got_pairs = set(zip(got.vec_a.tolist(), got.vec_b.tolist()))
+    assert got_pairs == expect
+    assert {(1, 30), (2, 35), (3, 20)} <= got_pairs
+
+
+def test_lsh_dup_pairs_vs_exact_engine(ray_session):
+    """The production LSH dup-pairs path against the exact block-pair
+    engine on the fixture embeddings: strict subset, sims identical on
+    recovered pairs, and recall >= 0.9 even though every fixture pair
+    sits in the marginal sim 0.40-0.51 band (measured 0.97 with 4
+    tables; at production thresholds ~0.95 recall is near-certain)."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.similarity import dup_pairs
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = dup_pairs(emb, threshold=0.4, method="exact").to_pandas()
+    lsh = dup_pairs(emb, threshold=0.4, method="lsh").to_pandas()
+    e = set(zip(exact.vec_a, exact.vec_b))
+    got = set(zip(lsh.vec_a, lsh.vec_b))
+    assert got <= e
+    assert len(got & e) >= 0.9 * len(e)
+    es = dict(zip(zip(exact.vec_a, exact.vec_b), exact.sim))
+    ls = dict(zip(zip(lsh.vec_a, lsh.vec_b), lsh.sim))
+    assert all(es[k] == ls[k] for k in got)
+
+
+def test_lsh_dup_pairs_high_sim_recall(ray_session):
+    """At real dedup thresholds (planted sim ~0.999 dups) LSH recall is
+    total: every planted pair is recovered."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.similarity import dup_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    planted = []
+    vid = 0
+    for c in range(30):
+        base = rng.standard_normal(32)
+        rows.append({"vec_id": vid, "embedding": base.astype(np.float32).tolist()})
+        dup = base + 0.01 * rng.standard_normal(32)
+        rows.append({"vec_id": vid + 1, "embedding": dup.astype(np.float32).tolist()})
+        planted.append((vid, vid + 1))
+        vid += 2
+    emb = rd.from_pandas(pd.DataFrame(rows))
+    out = dup_pairs(emb, threshold=0.95, method="lsh").to_pandas()
+    got = set(zip(out.vec_a, out.vec_b))
+    assert set(planted) <= got

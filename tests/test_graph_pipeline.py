@@ -313,3 +313,32 @@ def test_synth_transcripts_deterministic(ray_session):
     a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_iterative_dataset_path_equals_collect(art, monkeypatch):
+    """With GRAFT_COLLECT_MAX_VERTICES=0 the query wrappers return a Ray
+    Dataset via state_dataset (no driver concat); rows must equal the
+    small-graph collect path exactly, for all four algorithms."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    runs = {
+        "pagerank": lambda: it.pagerank(
+            art, max_iters=10, tol=0.0, resume=False, round_to=6
+        ),
+        "cc": lambda: it.connected_components(art, resume=False),
+        "lp": lambda: it.label_propagation(art, resume=False),
+        "bfs": lambda: it.bfs_distances(art, source=0, resume=False),
+    }
+    for name, run in runs.items():
+        monkeypatch.delenv("GRAFT_COLLECT_MAX_VERTICES", raising=False)
+        small, _ = run()
+        assert not isinstance(small, rd.Dataset), name
+        monkeypatch.setenv("GRAFT_COLLECT_MAX_VERTICES", "0")
+        big, _ = run()
+        assert isinstance(big, rd.Dataset), name
+        a = small.to_pandas().sort_values("v").reset_index(drop=True)
+        b = big.to_pandas().sort_values("v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    monkeypatch.delenv("GRAFT_COLLECT_MAX_VERTICES", raising=False)
