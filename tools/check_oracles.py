@@ -31,6 +31,202 @@ def value_hash(df: pd.DataFrame) -> int:
     return int(pd.util.hash_pandas_object(normalize(df), index=False).sum())
 
 
+# ---------------------------------------------------------------------------
+# Semantic checks for queries with no SQL oracle (driver records rows-only
+# for these): each checker returns a dict of named verification fields.
+# Results are printed and written to NOORACLE_CHECKS.json at the repo root.
+# ---------------------------------------------------------------------------
+
+
+def _check_pagerank(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """Converged PageRank vs dense NumPy power iteration (same damping,
+    same convergence rule) on the symmetrized int edge table."""
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    n = int(max(edf.src.max(), edf.dst.max())) + 1
+    A = np.zeros((n, n))
+    A[edf.dst, edf.src] = 1.0
+    A[edf.src, edf.dst] = 1.0
+    deg = A.sum(axis=0)
+    M = A / np.where(deg == 0, 1.0, deg)[None, :]
+    s = np.full(n, 1.0 / n)
+    for _ in range(500):
+        s2 = 0.15 / n + 0.85 * (M @ s)
+        if np.abs(s2 - s).max() < 1e-6:
+            s = s2
+            break
+        s = s2
+    got = rdf.sort_values("v").reset_index(drop=True)
+    diff = float(np.abs(got.score.to_numpy() - s).max())
+    return {
+        "check": "dense_numpy_power_iteration",
+        "max_abs_diff": diff,
+        "rows_equal_n_vertices": len(got) == n,
+        "pass": bool(diff < 1e-5 and len(got) == n),
+    }
+
+
+def _check_gro_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """gro_order: dense permutation over 0..V-1 and deterministic across
+    two independent runs."""
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    n = len(rdf)
+    is_perm = (
+        sorted(rdf.v.tolist()) == list(range(n))
+        and sorted(rdf.new_id.tolist()) == list(range(n))
+    )
+    rdf2 = QUERIES["gro_order"](sf_dir).to_pandas()
+    deterministic = (
+        rdf.sort_values("v").new_id.tolist()
+        == rdf2.sort_values("v").new_id.tolist()
+    )
+    return {
+        "check": "permutation_and_determinism",
+        "is_permutation": bool(is_perm),
+        "deterministic": bool(deterministic),
+        "pass": bool(is_perm and deterministic),
+    }
+
+
+def _check_simhash_pairs(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """simhash_pairs: (a) every reported hamming distance equals the true
+    distance of independently recomputed signatures; (b) exact-duplicate
+    docs (identical text — SQL-expressible ground truth) all appear as
+    pairs with hamming 0."""
+    import numpy as np
+
+    from graphsetintersection_ray.stages.dedup import simhash_signatures
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    sig_t = simhash_signatures(docs)
+    sig = dict(
+        zip(
+            sig_t["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+            sig_t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64).tolist(),
+        )
+    )
+    ham_ok = True
+    for a, b, h in zip(rdf.doc_a, rdf.doc_b, rdf.hamming):
+        true_h = bin(int(sig[int(a)]) ^ int(sig[int(b)])).count("1")
+        if true_h != int(h):
+            ham_ok = False
+            break
+    pairs = set(zip(rdf.doc_a.astype(int), rdf.doc_b.astype(int)))
+    dup_groups = docs.groupby("text")["doc_id"].apply(sorted)
+    planted = set()
+    for ids in dup_groups:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                planted.add((int(ids[i]), int(ids[j])))
+    ham0 = {
+        (int(a), int(b))
+        for a, b, h in zip(rdf.doc_a, rdf.doc_b, rdf.hamming)
+        if int(h) == 0
+    }
+    exact_dup_recall = (
+        len(planted & ham0) / len(planted) if planted else 1.0
+    )
+    return {
+        "check": "recomputed_hamming_and_exact_dup_recall",
+        "hamming_values_correct": bool(ham_ok),
+        "n_exact_dup_pairs": len(planted),
+        "exact_dup_recall": exact_dup_recall,
+        "pass": bool(ham_ok and exact_dup_recall == 1.0 and pairs >= planted),
+    }
+
+
+def _check_knn_lsh(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """knn_lsh: algorithm-exact replay. Recompute the seeded hyperplanes,
+    sign buckets, and 1-bit query multiprobe in NumPy; per query the
+    candidate set is every non-query vector whose bucket the query probes,
+    and the engine's answer must be (a) drawn from that candidate set,
+    (b) sim-exact (cosine of normalized vectors, engine rounding), and
+    (c) the true top-k over the candidates, compared as a descending sim
+    multiset so boundary ties between equal-sim neighbors are accepted.
+    Recall vs global brute force is recorded as info only — on isotropic
+    embeddings a 6-plane single-table LSH cannot and does not promise it
+    (the locality-dependent recall bar lives in
+    tests/test_data_pipeline.py::test_lsh_topk_recall_on_clusters)."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.stages.similarity import LSH_PLANES
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy().astype(np.int64)
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    row_of = {int(v): i for i, v in enumerate(ids)}
+
+    # replay the engine's seeded bucketing (lsh_topk defaults)
+    qids = list(range(10))
+    k = 5
+    rng = np.random.default_rng(99)
+    planes = rng.standard_normal((mat.shape[1], LSH_PLANES))
+    bucket = ((mat @ planes > 0).astype(np.int64)
+              << np.arange(LSH_PLANES)).sum(axis=1)
+    qset = set(qids)
+    not_query = ~np.isin(ids, qids)
+
+    sims_ok = True
+    for q, nbr, s in zip(rdf.query_id, rdf.neighbor_id, rdf.sim):
+        true = float(round_half_away(
+            np.array([mat[row_of[int(q)]] @ mat[row_of[int(nbr)]]]), 6)[0])
+        if abs(true - float(s)) > 1e-9:
+            sims_ok = False
+            break
+
+    topk_ok = True
+    candidates_ok = True
+    for q in qids:
+        qb = bucket[row_of[q]]
+        probes = {int(qb)} | {int(qb ^ (1 << b)) for b in range(LSH_PLANES)}
+        cand = np.flatnonzero(
+            not_query & np.isin(bucket, np.fromiter(probes, np.int64)))
+        got = rdf[rdf.query_id == q]
+        got_rows = {row_of[int(n)] for n in got.neighbor_id}
+        if not got_rows <= set(cand.tolist()):
+            candidates_ok = False
+        cand_sims = np.asarray(
+            round_half_away(mat[cand] @ mat[row_of[q]], 6))
+        want = np.sort(cand_sims)[::-1][: min(k, len(cand))]
+        have = np.sort(got.sim.to_numpy())[::-1]
+        if len(want) != len(have) or (len(want) and
+                                      np.abs(want - have).max() > 1e-9):
+            topk_ok = False
+
+    exact = set()
+    qmask = np.isin(ids, qids)
+    for q in qids:
+        sims = mat @ mat[row_of[q]]
+        sims[qmask] = -np.inf
+        order = np.lexsort((ids, -sims))[:k]
+        exact |= {(q, int(ids[i])) for i in order}
+    got_pairs = set(zip(rdf.query_id.astype(int), rdf.neighbor_id.astype(int)))
+    recall = len(got_pairs & exact) / len(exact) if exact else 1.0
+    return {
+        "check": "lsh_algorithm_exact_replay",
+        "sims_correct": bool(sims_ok),
+        "neighbors_within_probed_buckets": bool(candidates_ok),
+        "topk_over_candidates_exact": bool(topk_ok),
+        "info_recall_vs_global_bruteforce": recall,
+        "pass": bool(sims_ok and candidates_ok and topk_ok),
+    }
+
+
+SEMANTIC_CHECKS = {
+    "pagerank": _check_pagerank,
+    "gro_order": _check_gro_order,
+    "simhash_pairs": _check_simhash_pairs,
+    "knn_lsh": _check_knn_lsh,
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -55,6 +251,7 @@ def main() -> None:
         )
 
     failures = []
+    semantic_results = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -66,7 +263,25 @@ def main() -> None:
             rdf = pd.DataFrame(res)
         ray_sec = time.time() - t0
         if name not in ORACLE_SQL:
-            print(f"{name:24s} rows={len(rdf):7d}  (no oracle) {ray_sec:6.1f}s")
+            checker = SEMANTIC_CHECKS.get(name)
+            if checker is None:
+                print(
+                    f"{name:24s} rows={len(rdf):7d}  (no oracle) {ray_sec:6.1f}s"
+                )
+                continue
+            try:
+                result = checker(sf_dir, rdf)
+            except Exception as exc:  # noqa: BLE001 - recorded, not hidden
+                result = {"check": "error", "error": repr(exc), "pass": False}
+            semantic_results[name] = dict(result, rows=len(rdf))
+            status = "OK " if result.get("pass") else "FAIL"
+            print(
+                f"{name:24s} rows={len(rdf):7d} semantic[{result['check']}] "
+                f"{status} {ray_sec:6.1f}s"
+            )
+            if not result.get("pass"):
+                failures.append(name)
+                print("  detail:", result)
             continue
         odf = con.execute(ORACLE_SQL[name]).df()
         a, b = normalize(rdf), normalize(odf)
@@ -83,6 +298,16 @@ def main() -> None:
             failures.append(name)
             print("  ray:", a.head(3).to_dict("records"))
             print("  sql:", b.head(3).to_dict("records"))
+    if semantic_results:
+        import json
+        import os
+
+        out = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                           "NOORACLE_CHECKS.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "checks": semantic_results}, f,
+                      indent=1)
+        print(f"semantic check results -> {out}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
