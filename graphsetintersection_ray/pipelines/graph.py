@@ -93,10 +93,6 @@ def build_graph_from_transcripts(
         gb.edges_to_ids(edges_str, vertices, num_partitions, n_vertices=n_vertices)
     )
     sym = gb.compact_blocks(gb.symmetrize(edges))
-    degs = gb.degrees(sym).materialize()
-    oriented = gb.compact_blocks(
-        gb.orient_by_degree(edges, degs, num_partitions, n_vertices=n_vertices)
-    )
     n_edges = edges.count()
     if csr_partitions is None:
         csr_partitions = _auto_csr_partitions(n_edges, cap=num_partitions)
@@ -129,7 +125,12 @@ def build_graph_from_transcripts(
             import shutil
 
             shutil.rmtree(csr_path)
-        gb.write_partitioned_csr(sym, csr_path, csr_partitions)
+        # the CSR groupby is the ONE vertex-keyed shuffle of the build:
+        # degrees fall out of it for free (list lengths), so no separate
+        # degree sum-shuffle over the symmetric edge table
+        csr = gb.build_csr(sym, num_partitions=csr_partitions).materialize()
+        degs = gb.degrees_from_csr(csr).materialize()
+        gb.write_csr_dataset(csr, csr_path, csr_partitions)
         import json as _json
 
         with open(manifest_path, "w") as f:
@@ -137,6 +138,11 @@ def build_graph_from_transcripts(
                 {"fingerprint": fingerprint, "csr_partitions": csr_partitions},
                 f,
             )
+    else:
+        degs = gb.degrees_from_csr(rd.read_parquet(csr_path)).materialize()
+    oriented = gb.compact_blocks(
+        gb.orient_by_degree(edges, degs, num_partitions, n_vertices=n_vertices)
+    )
     art = GraphArtifacts(
         transcripts=transcripts,
         edges_str=edges_str,

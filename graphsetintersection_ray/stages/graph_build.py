@@ -50,7 +50,9 @@ DEFAULT_NUM_PARTITIONS = 32
 
 
 def _conv_bucket(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
-    batch = batch.copy()
+    # prune to the columns the edge derivation reads — text/ts never
+    # enter the conversation shuffle
+    batch = batch[["conv_id", "turn_idx", "role", "tool"]].copy()
     batch["bucket"] = (
         pd.util.hash_array(batch["conv_id"].to_numpy(object)) % num_buckets
     ).astype(np.int64)
@@ -122,8 +124,7 @@ def derive_edges(
     across conversation buckets (E3/E4); conv-keyed families (E1/E2) are
     globally distinct after the per-bucket dedup and bypass it."""
     bucketed = transcripts.map_batches(
-        _conv_bucket, batch_format="pandas", fn_kwargs=dict(num_buckets=num_buckets)
-    )
+        _conv_bucket, batch_format="pandas", fn_kwargs=dict(num_buckets=num_buckets), batch_size=None)
     edges = bucketed.groupby("bucket").map_groups(
         _edges_for_bucket, batch_format="pandas"
     ).materialize()
@@ -133,11 +134,9 @@ def derive_edges(
         return pa.table({"src_key": t["src_key"], "dst_key": t["dst_key"]})
 
     local = edges.filter(expr="g == 0").map_batches(
-        project, batch_format="pyarrow"
-    )
+        project, batch_format="pyarrow", batch_size=None)
     needs_dedup = edges.filter(expr="g == 1").map_batches(
-        project, batch_format="pyarrow"
-    )
+        project, batch_format="pyarrow", batch_size=None)
     deduped = distinct_by(
         needs_dedup, ["src_key", "dst_key"], num_buckets=num_buckets
     )
@@ -231,7 +230,7 @@ def encode_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
 
     from graphsetintersection_ray.stages.shuffle import distinct_by
 
-    endpoints = edges.map_batches(_flatten, batch_format="pyarrow")
+    endpoints = edges.map_batches(_flatten, batch_format="pyarrow", batch_size=None)
     return dense_rank_ids(distinct_by(endpoints, ["key"]), "key")
 
 
@@ -289,8 +288,7 @@ def edges_to_ids(
         cap_above = int(os.environ.get("GRAFT_LOOKUP_CAP_VERTICES", 500_000))
         cap = 8 if n_vertices > cap_above else None
         return edges.map_batches(
-            lookup, batch_format="pyarrow", concurrency=cap
-        )
+            lookup, batch_format="pyarrow", concurrency=cap, batch_size=None)
     j1 = edges.join(
         vertices,
         join_type="inner",
@@ -299,8 +297,7 @@ def edges_to_ids(
         right_on=("key",),
     ).map_batches(
         lambda t: pa.table({"dst_key": t["dst_key"], "src": t["vid"]}),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     j2 = j1.join(
         vertices,
         join_type="inner",
@@ -314,8 +311,7 @@ def edges_to_ids(
                 "dst": t["vid"].cast(pa.int32()),
             }
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     return j2
 
 
@@ -324,8 +320,7 @@ def symmetrize(edges: ray.data.Dataset) -> ray.data.Dataset:
     undirected graphs with both directions materialized, README.md:46-56)."""
     rev = edges.map_batches(
         lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     return edges.union(rev)
 
 
@@ -341,7 +336,7 @@ def degrees(sym_edges: ray.data.Dataset) -> ray.data.Dataset:
     from graphsetintersection_ray.stages.shuffle import sum_by
 
     return sum_by(
-        sym_edges.map_batches(_partial, batch_format="pyarrow"),
+        sym_edges.map_batches(_partial, batch_format="pyarrow", batch_size=None),
         ["v"],
         "partial",
         out_col="degree",
@@ -352,8 +347,29 @@ def degrees(sym_edges: ray.data.Dataset) -> ray.data.Dataset:
                 "degree": t["degree"].cast(pa.int64()),
             }
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
+
+
+def degrees_from_csr(csr: ray.data.Dataset) -> ray.data.Dataset:
+    """(v, degree) read off the CSR adjacency lists — ZERO extra shuffle.
+
+    On a globally-distinct symmetric edge table the CSR's per-vertex
+    neighbor count IS the degree (B9, porder.cpp:61-64: ``deg[u] =
+    adj_list_end - adj_list_start``), so when a CSR is being built anyway
+    the standalone ``degrees`` sum-shuffle over every symmetric edge is
+    redundant work. Schema matches ``degrees`` exactly."""
+
+    def lens(t: pa.Table) -> pa.Table:
+        lists = t["nbrs"].combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "v": t["u"].cast(pa.int32()),
+                "degree": pa.array(np.diff(offs), pa.int64()),
+            }
+        )
+
+    return csr.map_batches(lens, batch_format="pyarrow", batch_size=None)
 
 
 def orient_by_degree(
@@ -391,7 +407,7 @@ def orient_by_degree(
                 }
             )
 
-        return edges.map_batches(orient_bc, batch_format="pyarrow")
+        return edges.map_batches(orient_bc, batch_format="pyarrow", batch_size=None)
 
     j1 = edges.join(
         degs,
@@ -403,8 +419,7 @@ def orient_by_degree(
         lambda t: pa.table(
             {"src": t["src"], "dst": t["dst"], "deg_src": t["degree"]}
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     j2 = j1.join(
         degs,
         join_type="inner",
@@ -420,8 +435,7 @@ def orient_by_degree(
                 "deg_dst": t["degree"],
             }
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
 
     def orient(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -437,7 +451,7 @@ def orient_by_degree(
             }
         )
 
-    return j2.map_batches(orient, batch_format="pyarrow")
+    return j2.map_batches(orient, batch_format="pyarrow", batch_size=None)
 
 
 def _csr_for_bucket(batch: pd.DataFrame) -> pa.Table:
@@ -480,20 +494,27 @@ def build_csr(
     sym_edges: ray.data.Dataset,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     packed: bool = False,
+    shuffle_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Edge table → (u:int32, nbrs:list_<int32>) sorted deduped adjacency,
     hash-partitioned by u (bucket = u % P, the partitioning key every
     downstream stage reuses). With ``packed=True`` the list is emitted as
-    an int32-bytes binary column (join-transportable)."""
+    an int32-bytes binary column (join-transportable).
+
+    ``shuffle_buckets`` decouples the groupby fan-out from the OUTPUT
+    partition count: a vertex's edges only need to share a group, so the
+    shuffle runs at >= 64-way parallelism even when the superstep engine
+    wants few fat partitions (reducer count == bucket count on this
+    path — 8 buckets would idle 24 of 32 cores)."""
+    buckets = shuffle_buckets or max(num_partitions, 64)
     bucketed = sym_edges.map_batches(
         lambda t: t.append_column(
             "bucket",
             pa.array(
-                t["src"].to_numpy(zero_copy_only=False) % num_partitions, pa.int32()
+                t["src"].to_numpy(zero_copy_only=False) % buckets, pa.int32()
             ),
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     fn = _csr_for_bucket_packed if packed else _csr_for_bucket
     return bucketed.groupby("bucket").map_groups(fn, batch_format="pandas")
 
@@ -509,6 +530,17 @@ def write_partitioned_csr(
     checkpoint of any iterative run (resume skips the whole graph build
     if the CSR directory already exists)."""
     csr = build_csr(sym_edges, num_partitions=num_partitions)
+    return write_csr_dataset(csr, path, num_partitions)
+
+
+def write_csr_dataset(
+    csr: ray.data.Dataset,
+    path: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> str:
+    """Persist an already-built (u, nbrs) CSR dataset as hash-partitioned
+    Parquet — lets callers that also consume the CSR in memory (degrees,
+    adjacency queries) pay the groupby shuffle once."""
     with_bucket = csr.map_batches(
         lambda t: t.append_column(
             "bucket",
@@ -516,7 +548,6 @@ def write_partitioned_csr(
                 t["u"].to_numpy(zero_copy_only=False) % num_partitions, pa.int32()
             ),
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None)
     with_bucket.write_parquet(path, partition_cols=["bucket"])
     return path
