@@ -30,6 +30,30 @@ def _add_bucket(batch: pd.DataFrame, cols: list[str], num_buckets: int) -> pd.Da
     return batch
 
 
+def bucket_groups(
+    ds: rd.Dataset,
+    fn,
+    num_buckets: int,
+    bucket_col: str = "__bucket",
+    batch_format: str = "pandas",
+) -> rd.Dataset:
+    """``groupby(bucket_col).map_groups(fn)`` with a BOUNDED shuffle.
+
+    ``groupby().map_groups`` runs a sort shuffle whose output partition
+    count tracks the INPUT block count — and Ray Data block counts grow
+    with cpu count, so the B_in x B_out intermediate-object grid makes the
+    same job SLOWER at 32 cpus than at 8 (measured: 45k shuffle objects at
+    32 cpus vs 4k at 8 on an identical 15M-row CSR build). Bucket values
+    are dense ints in [0, num_buckets), so an explicit-``boundaries`` sort
+    pins the fan-in to exactly ``num_buckets`` partitions — one block per
+    bucket — at every parallelism level, and ``fn`` then maps over whole
+    blocks. Empty buckets reach ``fn`` as empty TYPED batches (schema is
+    preserved through the sort); the helpers' fns all tolerate that.
+    """
+    part = ds.sort(bucket_col, boundaries=list(range(1, num_buckets)))
+    return part.map_batches(fn, batch_format=batch_format, batch_size=None)
+
+
 def distinct_by(
     ds: rd.Dataset, cols: list[str], num_buckets: int = 64
 ) -> rd.Dataset:
@@ -45,14 +69,20 @@ def distinct_by(
             batch[cols].drop_duplicates(), cols, num_buckets
         )
 
-    def dedup(g: pd.DataFrame) -> pa.Table:
-        out = g.drop_duplicates(cols)
+    def dedup(t: pa.Table) -> pa.Table:
+        # empty buckets: project the input's TYPED schema (from_pandas on
+        # an empty object column would emit a null-typed column and poison
+        # downstream schema unification)
+        if t.num_rows == 0:
+            return t.select(cols)
+        out = t.to_pandas().drop_duplicates(cols)
         return pa.Table.from_pandas(out[cols], preserve_index=False)
 
-    return (
-        ds.map_batches(local_dedup, batch_format="pandas", batch_size=None)
-        .groupby("__bucket")
-        .map_groups(dedup, batch_format="pandas")
+    return bucket_groups(
+        ds.map_batches(local_dedup, batch_format="pandas", batch_size=None),
+        dedup,
+        num_buckets,
+        batch_format="pyarrow",
     )
 
 
@@ -77,18 +107,22 @@ def sum_by(
         )
         return _add_bucket(part, key_cols, num_buckets)
 
-    def reduce(g: pd.DataFrame) -> pa.Table:
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(key_cols + [out_col])
         out = (
-            g.groupby(key_cols, sort=False)[out_col]
+            t.to_pandas()
+            .groupby(key_cols, sort=False)[out_col]
             .sum()
             .reset_index(name=out_col)
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        ds.map_batches(local_sum, batch_format="pandas", batch_size=None)
-        .groupby("__bucket")
-        .map_groups(reduce, batch_format="pandas")
+    return bucket_groups(
+        ds.map_batches(local_sum, batch_format="pandas", batch_size=None),
+        reduce,
+        num_buckets,
+        batch_format="pyarrow",
     )
 
 
@@ -110,8 +144,8 @@ def counted_groups(
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        ds.map_batches(local_count, batch_format="pandas", batch_size=None)
-        .groupby("__bucket")
-        .map_groups(count, batch_format="pandas")
+    return bucket_groups(
+        ds.map_batches(local_count, batch_format="pandas", batch_size=None),
+        count,
+        num_buckets,
     )
