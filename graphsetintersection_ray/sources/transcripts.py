@@ -95,13 +95,15 @@ def derive_transcripts(
     worker's heap (buckets are independent — this is the partitioning key
     for the whole extraction stage).
     """
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
     with_bucket = events.add_column(
         "bucket",
         lambda b: (b["user_id"] % num_buckets).astype(np.int32),
         batch_format="pandas",
     )
-    return with_bucket.groupby("bucket").map_groups(
-        _derive_bucket, batch_format="pandas"
+    return bucket_groups(
+        with_bucket, _derive_bucket, num_buckets, bucket_col="bucket"
     )
 
 

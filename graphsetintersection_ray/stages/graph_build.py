@@ -123,12 +123,13 @@ def derive_edges(
     global dedup that carries ONLY the edge families that can repeat
     across conversation buckets (E3/E4); conv-keyed families (E1/E2) are
     globally distinct after the per-bucket dedup and bypass it."""
+    from graphsetintersection_ray.stages.shuffle import bucket_groups, distinct_by
+
     bucketed = transcripts.map_batches(
         _conv_bucket, batch_format="pandas", fn_kwargs=dict(num_buckets=num_buckets), batch_size=None)
-    edges = bucketed.groupby("bucket").map_groups(
-        _edges_for_bucket, batch_format="pandas"
+    edges = bucket_groups(
+        bucketed, _edges_for_bucket, num_buckets, bucket_col="bucket"
     ).materialize()
-    from graphsetintersection_ray.stages.shuffle import distinct_by
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({"src_key": t["src_key"], "dst_key": t["dst_key"]})
@@ -515,8 +516,10 @@ def build_csr(
             ),
         ),
         batch_format="pyarrow", batch_size=None)
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
     fn = _csr_for_bucket_packed if packed else _csr_for_bucket
-    return bucketed.groupby("bucket").map_groups(fn, batch_format="pandas")
+    return bucket_groups(bucketed, fn, buckets, bucket_col="bucket")
 
 
 def write_partitioned_csr(
