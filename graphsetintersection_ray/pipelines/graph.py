@@ -34,15 +34,26 @@ SUPERSTEP_EDGES_PER_PARTITION = int(
     os.environ.get("GRAFT_SUPERSTEP_EDGES_PER_PARTITION", 2_000_000)
 )
 # P×P coordination outgrows per-partition compute beyond this many
-# partitions on measured graphs; on a real multi-node cluster raise it to
-# ~the node count.
-SUPERSTEP_MAX_PARTITIONS = int(
-    os.environ.get("GRAFT_SUPERSTEP_MAX_PARTITIONS", 16)
-)
+# partitions on measured graphs (single node). On a multi-node cluster the
+# cap follows the node count — each node hosts at least one fat partition
+# so adding nodes adds superstep parallelism — unless pinned by env.
+
+
+def _superstep_max_partitions() -> int:
+    env = os.environ.get("GRAFT_SUPERSTEP_MAX_PARTITIONS")
+    if env is not None:
+        return int(env)
+    try:
+        import ray
+
+        n_nodes = len(ray.nodes()) if ray.is_initialized() else 1
+    except Exception:
+        n_nodes = 1
+    return max(16, n_nodes)
 
 
 def _auto_csr_partitions(n_edges: int, cap: int) -> int:
-    cap = min(cap, SUPERSTEP_MAX_PARTITIONS)
+    cap = min(cap, _superstep_max_partitions())
     # floor of 8 (when the cap allows): fewer partitions than workers
     # leaves cpus idle; P=8 measured faster than P=4 on a 4M-directed-edge
     # graph at 32 cpus

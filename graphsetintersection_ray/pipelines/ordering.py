@@ -1,4 +1,5 @@
-"""GRO-style greedy window reordering (reference R1, porder.cpp:142-235).
+"""Vertex reordering operators: GRO greedy window (R1), recursive graph
+bisection (R3 mloggapa / R4 metis analog), and DFS preorder (Q9).
 
 The reference's GRO is a sequential greedy pass: vertices are appended
 one at a time, each step picking the vertex with the most edges into a
@@ -18,6 +19,8 @@ dense permutation. No step materializes the graph on the driver.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,6 +31,12 @@ import ray.data
 from graphsetintersection_ray.pipelines.graph import GraphArtifacts
 
 GRO_WINDOW = 64  # reference default window scale (porder.cpp:142-235)
+# minimum vertices per reorder shard: below this a graph is ordered as a
+# single shard (local pass sees every edge); above it, shards fan out to
+# the build partition count — each shard's subgraph must fit one worker
+SHARD_TARGET_VERTICES = int(
+    os.environ.get("GRAFT_REORDER_SHARD_VERTICES", 65_536)
+)
 
 
 def _greedy_window_order(
@@ -106,17 +115,23 @@ def _greedy_window_order(
     return members[order]
 
 
-def gro_order(
-    art: GraphArtifacts, window: int = GRO_WINDOW
-) -> ray.data.Dataset:
-    """(v:int32, new_id:int32) — GRO-style permutation, sharded greedy."""
+def _sharded_permutation(art: GraphArtifacts, local_order_fn) -> ray.data.Dataset:
+    """Shared skeleton for shard-parallel reorderings: contiguous id-range
+    shards, per-shard ``local_order_fn(members_sorted, adj) -> placement``
+    over the shard-induced subgraph (cross-shard edges ignored — the
+    documented approximation; range sharding keeps id locality), shard
+    offsets merged by an O(#shards) driver pass into one dense
+    permutation. No step materializes the graph on the driver."""
     from graphsetintersection_ray.stages.graph_build import (
         build_csr,
         compact_blocks,
     )
 
     n = art.n_vertices
-    shards = max(1, art.num_partitions)
+    # shards sized by vertex count: a small graph runs as ONE shard (the
+    # local pass sees every edge — no cross-shard blindness), a big one
+    # fans out to at most num_partitions shards of >= SHARD_TARGET_VERTICES
+    shards = max(1, min(art.num_partitions, -(-n // SHARD_TARGET_VERTICES)))
     csr = compact_blocks(
         build_csr(art.sym, num_partitions=art.num_partitions, packed=True)
     )
@@ -126,7 +141,7 @@ def gro_order(
         shard = (u * shards // max(n, 1)).astype(np.int32)
         return t.append_column("shard", pa.array(shard))
 
-    def order_shard(g: pd.DataFrame, _window=window) -> pa.Table:
+    def order_shard(g: pd.DataFrame) -> pa.Table:
         members = np.sort(g["u"].to_numpy().astype(np.int64))
         adj = {}
         for u, blob in zip(g["u"], g["nbrs_bin"]):
@@ -136,7 +151,7 @@ def gro_order(
                 else np.empty(0, np.int64)
             )
             adj[int(u)] = vals
-        placed = _greedy_window_order(members, adj, _window)
+        placed = local_order_fn(members, adj)
         return pa.table(
             {
                 "shard": pa.array(
@@ -169,7 +184,7 @@ def gro_order(
         # an isolated vertex would silently vanish from the permutation, so
         # fail loudly instead (same contract as the distributed cliques path)
         raise ValueError(
-            f"gro_order requires no isolated vertices: CSR covers "
+            f"sharded reorder requires no isolated vertices: CSR covers "
             f"{int(base[-1])} of {n} vertices"
         )
     base_ref = ray.put(base)
@@ -186,3 +201,201 @@ def gro_order(
         )
 
     return ordered.map_batches(finish, batch_format="pyarrow")
+
+
+def gro_order(
+    art: GraphArtifacts, window: int = GRO_WINDOW
+) -> ray.data.Dataset:
+    """(v:int32, new_id:int32) — GRO-style permutation, sharded greedy."""
+    return _sharded_permutation(
+        art, lambda members, adj: _greedy_window_order(members, adj, window)
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive graph bisection (reference R3 mloggapa, porder.cpp:634-930, and
+# R4 metis_order, porder.cpp:932-986)
+# --------------------------------------------------------------------------
+
+BP_LEAF = 32       # leaf part size — the reference's v_num/32 part grain (R4)
+BP_ITERS = 8       # refinement sweeps per bisection level
+
+
+def _local_bisection_order(
+    members: np.ndarray, adj: dict, leaf: int = BP_LEAF, iters: int = BP_ITERS
+) -> np.ndarray:
+    """Recursive bisection of one shard's induced subgraph with KL/FM-style
+    pairwise-swap refinement — the mloggapa analog (porder.cpp:634-930):
+    minimizing the cut at every bisection level packs tightly-connected
+    vertices into the same contiguous id range, the same log-gap-shrinking
+    objective the reference's graph_bisection2 optimizes. Leaf parts of
+    ``leaf`` vertices occupy contiguous final ids, so the result is ALSO
+    the metis_order shape (porder.cpp:932-986: partition into v_num/32
+    parts, order by part).
+
+    Fully vectorized and deterministic: gains via one bincount pass per
+    sweep, swaps pair the k best of each side (ties -> smaller vertex id),
+    k chosen while paired gains stay positive.
+    """
+    n = len(members)
+    # local CSR over the shard-induced subgraph
+    counts = np.empty(n, np.int64)
+    flats = []
+    for i, v in enumerate(members):
+        vals = adj.get(int(v))
+        if vals is None or len(vals) == 0:
+            counts[i] = 0
+            continue
+        idx = np.searchsorted(members, vals)
+        ok = idx < n
+        idx = idx[ok]
+        loc = idx[members[idx] == vals[ok]]
+        counts[i] = len(loc)
+        flats.append(loc)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    indices = (
+        np.concatenate(flats).astype(np.int64)
+        if flats
+        else np.empty(0, np.int64)
+    )
+
+    side = np.zeros(n, np.int8)        # side within the CURRENT node
+    # node-membership via stamping: one shared array, a fresh stamp per
+    # recursion node — O(|node|) per node instead of an O(n) allocation
+    # (O(n^2/leaf) across the recursion on a large shard)
+    node_stamp = np.zeros(n, np.int64)
+    stamp_ctr = [0]
+    out: list[np.ndarray] = []
+
+    def rec(idx: np.ndarray) -> None:
+        # idx: local vertex indices of this node, ascending
+        if len(idx) <= leaf:
+            out.append(idx)
+            return
+        half = (len(idx) + 1) // 2
+        side[idx[:half]] = 0
+        side[idx[half:]] = 1
+        # node-induced edge list, built once (membership is fixed during
+        # refinement, only sides change); vectorized multi-range gather
+        starts = indptr[idx]
+        deg = indptr[idx + 1] - starts
+        seg = np.repeat(np.arange(len(idx)), deg)
+        total = int(deg.sum())
+        cum = np.concatenate([[0], np.cumsum(deg)[:-1]])
+        flat = indices[np.arange(total) + np.repeat(starts - cum, deg)]
+        stamp_ctr[0] += 1
+        node_stamp[idx] = stamp_ctr[0]
+        keep = node_stamp[flat] == stamp_ctr[0]
+        seg, flat = seg[keep], flat[keep]
+        for _ in range(iters):
+            if len(flat) == 0:
+                break
+            own_side = side[idx][seg]
+            nb_side = side[flat]
+            cross = own_side != nb_side
+            # gain(v) = #cross-neighbors - #own-side neighbors
+            gain = (
+                np.bincount(seg[cross], minlength=len(idx)).astype(np.int64)
+                - np.bincount(seg[~cross], minlength=len(idx))
+            )
+            sl = side[idx]
+            left = np.flatnonzero(sl == 0)
+            right = np.flatnonzero(sl == 1)
+            # rank each side by (gain desc, vertex id asc); idx is
+            # ascending so position order == id order
+            ol = left[np.lexsort((left, -gain[left]))]
+            orr = right[np.lexsort((right, -gain[right]))]
+            m = min(len(ol), len(orr))
+            if m == 0:
+                break
+            paired = gain[ol[:m]] + gain[orr[:m]]
+            # paired gains are non-increasing: k = longest positive prefix
+            k = int(np.searchsorted(-paired, 0, side="left"))
+            if k == 0:
+                break
+            side[idx[ol[:k]]] = 1
+            side[idx[orr[:k]]] = 0
+        sl = side[idx]
+        rec(idx[sl == 0])
+        rec(idx[sl == 1])
+
+    rec(np.arange(n))
+    return members[np.concatenate(out)] if out else members
+
+
+def bp_order(
+    art: GraphArtifacts, leaf: int = BP_LEAF, iters: int = BP_ITERS
+) -> ray.data.Dataset:
+    """(v:int32, new_id:int32) — recursive-bisection permutation (R3/R4
+    analog), shard-parallel: contiguous id-range shards each bisected
+    recursively with cut-minimizing refinement; leaf parts of ``leaf``
+    vertices get contiguous new ids (the metis v_num/32 part grain)."""
+    return _sharded_permutation(
+        art,
+        lambda members, adj: _local_bisection_order(
+            members, adj, leaf=leaf, iters=iters
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# DFS preorder (reference Q9, porder.cpp:497-533)
+# --------------------------------------------------------------------------
+
+# DFS is inherently sequential (every step depends on the entire visited
+# set) — the reference runs it single-threaded too. Provided for operator
+# parity on graphs whose CSR fits on the driver; hard error above.
+DFS_MAX_VERTICES = int(os.environ.get("GRAFT_DFS_MAX_VERTICES", 5_000_000))
+
+
+def dfs_order(art: GraphArtifacts) -> ray.data.Dataset:
+    """(v:int32, new_id:int32) — DFS preorder permutation: start at vertex
+    0, neighbors visited ascending, restart at the smallest unvisited
+    vertex per component (reference dfs reorder semantics,
+    porder.cpp:497-533). Sequential by nature; the adjacency is collected
+    once onto the driver (bounded by GRAFT_DFS_MAX_VERTICES) and the
+    permutation is shipped back as a Dataset."""
+    from graphsetintersection_ray.stages.graph_build import build_csr
+
+    n = art.n_vertices
+    if n > DFS_MAX_VERTICES:
+        raise ValueError(
+            f"dfs_order is sequential by nature and capped at "
+            f"{DFS_MAX_VERTICES} vertices (got {n}); use bp_order/gro_order "
+            f"for distributable reorderings"
+        )
+    csr = build_csr(art.sym, num_partitions=art.num_partitions, packed=True)
+    parts = csr.to_pandas()
+    u = parts["u"].to_numpy().astype(np.int64)
+    nbrs = [
+        np.frombuffer(b, dtype="<i4").astype(np.int64) if b else
+        np.empty(0, np.int64)
+        for b in parts["nbrs_bin"]
+    ]
+    adj: list[np.ndarray] = [np.empty(0, np.int64)] * n
+    for v, a in zip(u, nbrs):
+        adj[int(v)] = a
+    new_id = np.full(n, -1, np.int64)
+    nxt = 0
+    for seed in range(n):
+        if new_id[seed] >= 0:
+            continue
+        stack = [seed]
+        while stack:
+            v = stack.pop()
+            if new_id[v] >= 0:
+                continue
+            new_id[v] = nxt
+            nxt += 1
+            nb = adj[v]
+            # push descending so the smallest unvisited neighbor pops first
+            unvisited = nb[new_id[nb] < 0]
+            stack.extend(unvisited[::-1].tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(n, dtype=np.int32)),
+                "new_id": pa.array(new_id.astype(np.int32)),
+            }
+        )
+    )

@@ -265,6 +265,30 @@ def q_gro_order(sf_dir: str):
     return gro_order(build_graph(sf_dir))
 
 
+def q_bp_order(sf_dir: str):
+    """R3/R4 recursive-bisection reorder (mloggapa porder.cpp:634-930 /
+    metis_order porder.cpp:932-986 analog): shard-parallel recursive
+    bisection with KL-style cut refinement; leaf parts of 32 vertices get
+    contiguous new ids (the reference's v_num/32 part grain). No SQL
+    oracle (iterative heuristic); pytest checks permutation validity,
+    determinism, and log-gap/locality improvement on planted communities."""
+    from graphsetintersection_ray.pipelines.ordering import bp_order
+
+    return bp_order(build_graph(sf_dir))
+
+
+def q_dfs_order(sf_dir: str):
+    """Q9 DFS preorder (porder.cpp:497-533): start at vertex 0, neighbors
+    ascending, restart at the smallest unvisited vertex. Sequential by
+    nature (driver-side below GRAFT_DFS_MAX_VERTICES, loud error above) —
+    the reference runs it single-threaded too. No SQL oracle
+    (stack-order-sensitive); pytest compares against an independent
+    recursive DFS."""
+    from graphsetintersection_ray.pipelines.ordering import dfs_order
+
+    return dfs_order(build_graph(sf_dir))
+
+
 def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
     """Hub list: smallest set of highest-degree vertices covering
     ``deg_ratio`` of total degree (R8 select_bignode, porder.cpp:353-392;
@@ -683,6 +707,8 @@ QUERIES = {
     "degree_order": q_degree_order,
     "hybrid_order": q_hybrid_order,
     "gro_order": q_gro_order,
+    "bp_order": q_bp_order,
+    "dfs_order": q_dfs_order,
     "bignode_select": q_bignode_select,
     "vertex_labels": q_vertex_labels,
     "subgraph_match": q_subgraph_match,

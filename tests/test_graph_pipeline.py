@@ -282,6 +282,80 @@ def test_gro_order_permutation_and_locality(art):
     assert packs(greedy.tolist()) < packs(list(range(n)))
 
 
+def test_bp_order_permutation_and_locality(art):
+    """Recursive-bisection order (R3/R4 analog): valid dense permutation,
+    deterministic, and on planted interleaved communities the top-level
+    bisection separates them exactly (zero cut, the mloggapa locality
+    objective)."""
+    from graphsetintersection_ray.pipelines.ordering import (
+        _local_bisection_order,
+        bp_order,
+    )
+
+    out = bp_order(art).to_pandas().sort_values("v")
+    assert sorted(out.new_id.tolist()) == list(range(art.n_vertices))
+    assert sorted(out.v.tolist()) == list(range(art.n_vertices))
+    out2 = bp_order(art).to_pandas().sort_values("v")
+    assert out.new_id.tolist() == out2.new_id.tolist()
+
+    # two dense communities, ids interleaved (evens vs odds), no cross edges
+    rng = np.random.default_rng(0)
+    n = 128
+    adj = {v: [] for v in range(n)}
+    for comm in (0, 1):
+        mem = [v for v in range(n) if v % 2 == comm]
+        for _ in range(n * 4):
+            a, b = rng.choice(mem, 2, replace=False)
+            adj[int(a)].append(int(b))
+            adj[int(b)].append(int(a))
+    adj = {v: np.unique(np.array(a, np.int64)) for v, a in adj.items()}
+    members = np.arange(n, dtype=np.int64)
+    order = _local_bisection_order(members, adj, leaf=16, iters=8)
+    assert sorted(order.tolist()) == list(range(n))
+    assert (
+        order == _local_bisection_order(members, adj, leaf=16, iters=8)
+    ).all()
+    half = set(order[: n // 2].tolist())
+    cut = sum(
+        1 for v in range(n) for w in adj[v] if (v in half) != (int(w) in half)
+    )
+    assert cut == 0
+    # leaf parts are contiguous id blocks in the new order by construction:
+    # every vertex's new_id block of 16 holds only same-community members
+    for i in range(0, n, 16):
+        block = order[i : i + 16] % 2
+        assert (block == block[0]).all()
+
+
+def test_dfs_order_matches_recursive_reference(art, sym_df):
+    """DFS preorder (Q9): the iterative stack implementation must equal an
+    independent recursive ascending-neighbor DFS on the same adjacency."""
+    import sys
+
+    from graphsetintersection_ray.pipelines.ordering import dfs_order
+
+    out = dfs_order(art).to_pandas().sort_values("v")
+    n = art.n_vertices
+    assert sorted(out.new_id.tolist()) == list(range(n))
+
+    adj: dict[int, list] = {}
+    for s, d in zip(sym_df["src"], sym_df["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+    sys.setrecursionlimit(max(10_000, 4 * n))
+    new_id: dict[int, int] = {}
+
+    def visit(v: int) -> None:
+        new_id[v] = len(new_id)
+        for w in sorted(adj.get(v, [])):
+            if w not in new_id:
+                visit(w)
+
+    for seed in range(n):
+        if seed not in new_id:
+            visit(seed)
+    assert out.new_id.tolist() == [new_id[v] for v in range(n)]
+
+
 def test_state_dataset_and_parquet_match_collect(art, tmp_path):
     """The at-scale result paths (per-partition Dataset blocks / Parquet
     files, no driver concat) return exactly collect_state's rows."""

@@ -92,6 +92,87 @@ def _check_gro_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_bp_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """bp_order: dense permutation + deterministic across two runs (the
+    hard gate), with 32-id-block edge co-location recorded vs the identity
+    layout as info. Identity is NOT a beatable baseline on transcript
+    graphs — the dense rank already groups the 'c:'/'t:'/'r:' key families
+    contiguously, which is near-optimal for this hub-dominated family — so
+    the quality oracle for the refinement itself is the planted-community
+    separation test (tests/test_graph_pipeline.py::
+    test_bp_order_permutation_and_locality: interleaved communities →
+    zero top-level cut)."""
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    n = len(rdf)
+    is_perm = (
+        sorted(rdf.v.tolist()) == list(range(n))
+        and sorted(rdf.new_id.tolist()) == list(range(n))
+    )
+    rdf2 = QUERIES["bp_order"](sf_dir).to_pandas()
+    deterministic = (
+        rdf.sort_values("v").new_id.tolist()
+        == rdf2.sort_values("v").new_id.tolist()
+    )
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    pos = np.empty(n, np.int64)
+    srt = rdf.sort_values("v")
+    pos[srt.v.to_numpy()] = srt.new_id.to_numpy()
+
+    def same_block(p):
+        return int(((p[edf.src.to_numpy()] >> 5) ==
+                    (p[edf.dst.to_numpy()] >> 5)).sum())
+
+    ident = np.arange(n, dtype=np.int64)
+    co_located_bp = same_block(pos)
+    co_located_ident = same_block(ident)
+    return {
+        "check": "permutation_determinism_and_block_locality",
+        "is_permutation": bool(is_perm),
+        "deterministic": bool(deterministic),
+        "info_same_block_edges_bp": co_located_bp,
+        "info_same_block_edges_identity": co_located_ident,
+        "pass": bool(is_perm and deterministic),
+    }
+
+
+def _check_dfs_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """dfs_order: exact replay against an independent recursive
+    ascending-neighbor DFS over the symmetric int edge table."""
+    import sys as _sys
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    n = len(rdf)
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    adj: dict[int, list] = {}
+    for s, d in zip(edf.src, edf.dst):
+        adj.setdefault(int(s), []).append(int(d))
+        adj.setdefault(int(d), []).append(int(s))
+    _sys.setrecursionlimit(max(10_000, 4 * n))
+    new_id: dict[int, int] = {}
+
+    def visit(v: int) -> None:
+        new_id[v] = len(new_id)
+        for w in sorted(adj.get(v, [])):
+            if w not in new_id:
+                visit(w)
+
+    for seed in range(n):
+        if seed not in new_id:
+            visit(seed)
+    got = rdf.sort_values("v").new_id.tolist()
+    want = [new_id[v] for v in range(n)]
+    return {
+        "check": "recursive_dfs_exact_replay",
+        "is_permutation": sorted(got) == list(range(n)),
+        "matches_recursive_dfs": got == want,
+        "pass": bool(got == want),
+    }
+
+
 def _check_simhash_pairs(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """simhash_pairs: (a) every reported hamming distance equals the true
     distance of independently recomputed signatures; (b) exact-duplicate
@@ -222,6 +303,8 @@ def _check_knn_lsh(sf_dir: str, rdf: pd.DataFrame) -> dict:
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
     "gro_order": _check_gro_order,
+    "bp_order": _check_bp_order,
+    "dfs_order": _check_dfs_order,
     "simhash_pairs": _check_simhash_pairs,
     "knn_lsh": _check_knn_lsh,
 }
