@@ -172,6 +172,84 @@ def bsr_difference(
     return bases_a[keep].astype(np.int32), states_a[keep]
 
 
+def bsr_merge_one(
+    bases: np.ndarray, states: np.ndarray, value: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Insert one value into a sorted BSR set (reference K10 `bp_merge_one`,
+    set_operation.cpp:1207-1232). The reference shifts in place with
+    memmove; NumPy arrays are immutable-sized so this returns a fresh
+    (bases, states) pair — same resulting set, O(n) either way."""
+    bases = np.asarray(bases, dtype=np.int32)
+    states = np.ascontiguousarray(states, dtype=np.uint32)
+    v_base = np.int32(int(value) >> PACK_SHIFT)
+    v_bit = np.uint32(1) << np.uint32(int(value) & PACK_MASK)
+    i = int(np.searchsorted(bases, v_base))
+    if i < len(bases) and bases[i] == v_base:
+        out_states = states.copy()
+        out_states[i] |= v_bit
+        return bases.copy(), out_states
+    return (
+        np.insert(bases, i, v_base),
+        np.insert(states, i, v_bit),
+    )
+
+
+def bsr_subtract_visited(
+    bases_a: np.ndarray,
+    states_a: np.ndarray,
+    visited: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """A \\ visited where ``visited`` is a dense global bitmap indexed by
+    base (reference K11 `bp_subtract_visited(_simd4x)`,
+    set_operation.cpp:1306-1322, simd :1234-1268). The reference's global
+    mutable bitmap maps to a per-partition dense uint32 array here —
+    vectorized gather + AND-NOT instead of a scalar loop."""
+    bases_a = np.asarray(bases_a, dtype=np.int64)
+    states_a = np.ascontiguousarray(states_a, dtype=np.uint32)
+    visited = np.ascontiguousarray(visited, dtype=np.uint32)
+    if len(bases_a) == 0:
+        return bases_a.astype(np.int32), states_a[:0]
+    states = states_a & ~visited[bases_a]
+    keep = states != 0
+    return bases_a[keep].astype(np.int32), states[keep]
+
+
+def bsr_subtract_unvisited(
+    bases_a: np.ndarray,
+    states_a: np.ndarray,
+    visited: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """A ∩ visited against the same dense bitmap (reference K12
+    `bp_subtract_unvisited(_simd4x)`, set_operation.cpp:1324-1340,
+    simd :1270-1304) — the P/X split primitive of the BSR clique driver
+    (bitpack_maximal_clique.cpp:68-125)."""
+    bases_a = np.asarray(bases_a, dtype=np.int64)
+    states_a = np.ascontiguousarray(states_a, dtype=np.uint32)
+    visited = np.ascontiguousarray(visited, dtype=np.uint32)
+    if len(bases_a) == 0:
+        return bases_a.astype(np.int32), states_a[:0]
+    states = states_a & visited[bases_a]
+    keep = states != 0
+    return bases_a[keep].astype(np.int32), states[keep]
+
+
+def visited_bitmap(n_values: int) -> np.ndarray:
+    """Dense all-zero visited bitmap covering values 0..n_values-1
+    (the K11/K12 `visited` operand; reference allocates v_num/32+1
+    PackStates, bitpack_maximal_clique.cpp:44-46)."""
+    return np.zeros((int(n_values) >> PACK_SHIFT) + 1, dtype=np.uint32)
+
+
+def bitmap_mark(visited: np.ndarray, values: np.ndarray) -> None:
+    """Set the bits of ``values`` in a dense visited bitmap, in place."""
+    values = np.asarray(values, dtype=np.int64)
+    np.bitwise_or.at(
+        visited,
+        values >> PACK_SHIFT,
+        (np.uint32(1) << (values & PACK_MASK).astype(np.uint32)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batched kernels over Arrow-style list columns (offsets + flat values).
 # These are the map_batches hot path: ONE vectorized pass per batch of pairs.

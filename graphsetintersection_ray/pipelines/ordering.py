@@ -399,3 +399,112 @@ def dfs_order(art: GraphArtifacts) -> ray.data.Dataset:
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SlashBurn hub/spoke ordering (reference R5, porder.cpp:1009-1114)
+# --------------------------------------------------------------------------
+
+
+def _local_slashburn_order(members: np.ndarray, adj: dict) -> np.ndarray:
+    """Exact SlashBurn replay over one shard's induced subgraph
+    (porder.cpp:1009-1114): per round, greedily pull the k
+    highest-current-degree hubs to the front (lazy max-heap with
+    stale-entry reinsertion = the reference's HubsetHeapNode queue,
+    ties -> larger id, porder.cpp:988-996; degrees decremented only by
+    hub removals, exactly as the reference), then BFS the non-hub
+    remainder seeded from hub neighbors in hub-pick/adjacency order;
+    every connected component except the giant (first strictly-largest
+    in (min_hub_idx asc, size asc) order = CCInfo operator<,
+    porder.cpp:998-1008,1077-1093) is assigned ids from the BACK in
+    discovery order. Loop while >= k vertices remain; leftovers take
+    front ids in index order (porder.cpp:1094-1096).
+
+    Deviation: k = max(1, min(n//1024, 1024)) — the reference's
+    k = v_num/1024 is 0 below 1024 vertices and would never terminate.
+    """
+    import heapq
+
+    n = len(members)
+    adj_local: list[np.ndarray] = []
+    for v in members:
+        vals = adj.get(int(v))
+        if vals is None or len(vals) == 0:
+            adj_local.append(np.empty(0, np.int64))
+            continue
+        idx = np.searchsorted(members, vals)
+        ok = idx < n
+        idx = idx[ok]
+        adj_local.append(idx[members[idx] == vals[ok]])
+    k = max(1, min(n // 1024, 1024))
+    new_id = np.full(n, -1, np.int64)
+    cur_degs = np.array([len(a) for a in adj_local], dtype=np.int64)
+    # min-heap on (-deg, -u): pops max degree, ties by LARGER id — the
+    # reference priority_queue's (deg, u) max-order
+    heap = [(-int(cur_degs[u]), -u) for u in range(n)]
+    heapq.heapify(heap)
+    front, back = 0, n - 1
+    while back - front + 1 >= k:
+        hubs: list[int] = []
+        for _ in range(k):
+            while True:
+                d, nu = heapq.heappop(heap)
+                u = -nu
+                if new_id[u] != -1:
+                    continue  # already assigned: drop
+                if -d != cur_degs[u]:
+                    heapq.heappush(heap, (-int(cur_degs[u]), nu))
+                    continue  # stale degree: reinsert at current value
+                hubs.append(u)
+                new_id[u] = front
+                front += 1
+                cur_degs[adj_local[u]] -= 1
+                break
+        # CC discovery among unassigned vertices, seeded from hub
+        # neighbors in hub-pick order (porder.cpp:1048-1075)
+        cc_of = np.full(n, -1, np.int64)
+        cc_nodes: list[int] = []
+        cc_infos: list[tuple[int, int, int, int]] = []
+        cur_cc = 0
+        for hi, hub in enumerate(hubs):
+            for s in adj_local[hub]:
+                if new_id[s] == -1 and cc_of[s] == -1:
+                    start = len(cc_nodes)
+                    cc_of[s] = cur_cc
+                    cc_nodes.append(int(s))
+                    f = start
+                    while f < len(cc_nodes):
+                        u2 = cc_nodes[f]
+                        f += 1
+                        for v2 in adj_local[u2]:
+                            if new_id[v2] == -1 and cc_of[v2] == -1:
+                                cc_of[v2] = cur_cc
+                                cc_nodes.append(int(v2))
+                    cc_infos.append(
+                        (hi, len(cc_nodes) - start, cur_cc, start)
+                    )
+                    cur_cc += 1
+        cc_infos.sort(key=lambda t: (t[0], t[1]))
+        gcc_idx, gcc_size = -1, 0
+        for _, sz, idx, _ in cc_infos:
+            if gcc_size < sz:
+                gcc_size, gcc_idx = sz, idx
+        for _, sz, idx, st in cc_infos:
+            if idx == gcc_idx:
+                continue
+            for u2 in cc_nodes[st: st + sz]:
+                new_id[u2] = back
+                back -= 1
+    rest = np.flatnonzero(new_id == -1)
+    new_id[rest] = front + np.arange(len(rest))
+    inv = np.empty(n, np.int64)
+    inv[new_id] = np.arange(n)
+    return members[inv]
+
+
+def slashburn_order(art: GraphArtifacts) -> ray.data.Dataset:
+    """(v:int32, new_id:int32) — SlashBurn permutation (R5): hubs to the
+    front, non-giant spoke components to the back, shard-parallel via the
+    shared range-shard skeleton (cross-shard edges ignored, the same
+    documented approximation as gro/bp orders)."""
+    return _sharded_permutation(art, _local_slashburn_order)

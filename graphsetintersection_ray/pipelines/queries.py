@@ -32,6 +32,7 @@ from graphsetintersection_ray.pipelines.triangle import (
     global_triangle_count,
     per_vertex_triangles,
 )
+from graphsetintersection_ray.functions.kernels import round_half_away
 from graphsetintersection_ray.stages import graph_build as gb
 
 PAGERANK_ORACLE_ITERS = 30
@@ -205,6 +206,39 @@ def q_degree_order(sf_dir: str):
     )
 
 
+def q_alpha_weights(sf_dir: str):
+    """R10 `set_alpha_by_deg` (porder.cpp:394-422): per-vertex √degree
+    weights normalized by Σ(alpha_out + alpha_in). The reference keeps
+    separate out/in degrees; our graphs are undirected (out ≡ in), so both
+    columns derive from the symmetric degree — still emitted separately to
+    preserve the reference's (alpha_out, alpha_in) surface. One tiny scalar
+    aggregate (Σ 2·√deg) + one broadcast-scalar map; no shuffle."""
+    art = build_graph(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = np.sqrt(t["degree"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"s": pa.array([2.0 * float(s.sum())], pa.float64())})
+
+    tot = float(
+        art.degrees.map_batches(_partial, batch_format="pyarrow").sum(on="s")
+    )
+
+    def _alpha(t: pa.Table) -> pa.Table:
+        a = np.sqrt(
+            t["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ) / tot
+        r = round_half_away(a, 9)
+        return pa.table(
+            {
+                "v": t["v"].cast(pa.int32()),
+                "alpha_out": pa.array(r, pa.float64()),
+                "alpha_in": pa.array(r, pa.float64()),
+            }
+        )
+
+    return art.degrees.map_batches(_alpha, batch_format="pyarrow")
+
+
 def q_hybrid_order(sf_dir: str):
     """R2 hybrid_bfsdeg (porder.cpp:93-140): renumber by (BFS level from
     the max-degree hub, degree desc, id) — unreached vertices last."""
@@ -287,6 +321,19 @@ def q_dfs_order(sf_dir: str):
     from graphsetintersection_ray.pipelines.ordering import dfs_order
 
     return dfs_order(build_graph(sf_dir))
+
+
+def q_slashburn_order(sf_dir: str):
+    """R5 slashburn_order (porder.cpp:1009-1114): per round pull the k
+    highest-degree hubs to the front, push every non-giant connected
+    component of the remainder to the back, recurse on the giant.
+    Shard-parallel exact replay per range shard (same skeleton as
+    gro/bp). No SQL oracle (iterative hub/CC heuristic); semantic checks
+    verify permutation validity, determinism, and the hub-front
+    property."""
+    from graphsetintersection_ray.pipelines.ordering import slashburn_order
+
+    return slashburn_order(build_graph(sf_dir))
 
 
 def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
@@ -705,10 +752,12 @@ QUERIES = {
     "bfs_distances": q_bfs_distances,
     "leaf_count": q_leaf_count,
     "degree_order": q_degree_order,
+    "alpha_weights": q_alpha_weights,
     "hybrid_order": q_hybrid_order,
     "gro_order": q_gro_order,
     "bp_order": q_bp_order,
     "dfs_order": q_dfs_order,
+    "slashburn_order": q_slashburn_order,
     "bignode_select": q_bignode_select,
     "vertex_labels": q_vertex_labels,
     "subgraph_match": q_subgraph_match,
@@ -863,6 +912,11 @@ SELECT v, min(dist) AS dist FROM walk GROUP BY v"""
     "degree_order": _with(
         "SELECT v, CAST(row_number() OVER (ORDER BY degree DESC, v) - 1 "
         "AS INTEGER) AS new_id FROM deg"
+    ),
+    "alpha_weights": _with(
+        "tot AS (SELECT sum(2 * sqrt(degree)) AS s FROM deg) "
+        "SELECT v, round(sqrt(degree) / (SELECT s FROM tot), 9) AS alpha_out, "
+        "round(sqrt(degree) / (SELECT s FROM tot), 9) AS alpha_in FROM deg"
     ),
     "hybrid_order": _with(
         """hub AS (

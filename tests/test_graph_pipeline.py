@@ -416,3 +416,44 @@ def test_iterative_dataset_path_equals_collect(art, monkeypatch):
         b = big.to_pandas().sort_values("v").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
     monkeypatch.delenv("GRAFT_COLLECT_MAX_VERTICES", raising=False)
+
+
+def test_slashburn_order(art):
+    """SlashBurn (R5): valid dense permutation, deterministic, and on a
+    planted hub/spoke graph the hub takes id 0 while leaf spokes fill the
+    back block in discovery order (porder.cpp:1009-1114 semantics)."""
+    from graphsetintersection_ray.pipelines.ordering import (
+        _local_slashburn_order,
+        slashburn_order,
+    )
+
+    out = slashburn_order(art).to_pandas().sort_values("v")
+    n = art.n_vertices
+    assert sorted(out.new_id.tolist()) == list(range(n))
+    assert sorted(out.v.tolist()) == list(range(n))
+    out2 = slashburn_order(art).to_pandas().sort_values("v")
+    assert out.new_id.tolist() == out2.new_id.tolist()
+
+    # planted graph: hub 7 joined to everyone; 0..19 (minus 7) a connected
+    # core (path); 20..39 leaves hanging off the hub only
+    m = 40
+    adj = {v: [7] for v in range(m)}
+    core = [v for v in range(20) if v != 7]
+    for a, b in zip(core, core[1:]):
+        adj[a].append(b)
+        adj[b].append(a)
+    adj[7] = [v for v in range(m) if v != 7]
+    adj = {v: np.unique(np.array(a, np.int64)) for v, a in adj.items()}
+    members = np.arange(m, dtype=np.int64)
+    placed = _local_slashburn_order(members, adj)
+    new_id = np.empty(m, np.int64)
+    new_id[placed] = np.arange(m)
+    # round 1, k=1: hub 7 is the unique max-degree vertex -> front id 0
+    assert new_id[7] == 0
+    # leaves 20..39 become singleton CCs (min_h_idx 0, size 1), sorted
+    # before the 19-vertex giant core; assigned from the back in
+    # discovery order: vertex 20 -> id 39, 21 -> 38, ..., 39 -> 20
+    for i, leaf in enumerate(range(20, 40)):
+        assert new_id[leaf] == m - 1 - i
+    # the core keeps the front block after the hub
+    assert sorted(new_id[core].tolist()) == list(range(1, 20))

@@ -182,3 +182,51 @@ def test_grouped_bsr_intersect_count():
         for r in range(n_rows)
     )
     assert got == expect
+
+
+def test_bsr_merge_one():
+    """K10: inserting one value = union with a singleton, for every insert
+    position (before / between / after / existing base, set / unset bit)."""
+    rng = np.random.default_rng(7)
+    vals = np.sort(rng.choice(500, size=60, replace=False)).astype(np.int32)
+    bases, states = K.bsr_pack(vals)
+    for v in [0, 3, 64, 499, int(vals[0]), int(vals[-1]), 257]:
+        nb, ns = K.bsr_merge_one(bases, states, v)
+        got = K.bsr_unpack(nb, ns)
+        want = np.union1d(vals, np.array([v], np.int32))
+        np.testing.assert_array_equal(got, want)
+        # input untouched (functional contract)
+        np.testing.assert_array_equal(K.bsr_unpack(bases, states), vals)
+    # empty-set insert
+    nb, ns = K.bsr_merge_one(np.empty(0, np.int32), np.empty(0, np.uint32), 42)
+    np.testing.assert_array_equal(K.bsr_unpack(nb, ns), [42])
+
+
+def test_bsr_subtract_visited_unvisited():
+    """K11/K12: A\\visited and A∩visited against a dense global bitmap
+    partition the set A exactly (the P/X split of the BSR clique driver)."""
+    rng = np.random.default_rng(11)
+    universe = 2000
+    a = np.sort(rng.choice(universe, size=300, replace=False)).astype(np.int32)
+    marked = rng.choice(universe, size=700, replace=False).astype(np.int64)
+    bases, states = K.bsr_pack(a)
+    visited = K.visited_bitmap(universe)
+    K.bitmap_mark(visited, marked)
+
+    unv = K.bsr_unpack(*K.bsr_subtract_visited(bases, states, visited))
+    vis = K.bsr_unpack(*K.bsr_subtract_unvisited(bases, states, visited))
+    mset = set(marked.tolist())
+    np.testing.assert_array_equal(
+        unv, np.array(sorted(set(a.tolist()) - mset), np.int32)
+    )
+    np.testing.assert_array_equal(
+        vis, np.array(sorted(set(a.tolist()) & mset), np.int32)
+    )
+    # exact partition of A
+    np.testing.assert_array_equal(np.union1d(unv, vis), a)
+    assert len(np.intersect1d(unv, vis)) == 0
+    # empty A
+    eb, es = K.bsr_subtract_visited(
+        np.empty(0, np.int32), np.empty(0, np.uint32), visited
+    )
+    assert len(eb) == 0 and len(es) == 0

@@ -138,6 +138,48 @@ def _check_bp_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_slashburn_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """slashburn_order: dense permutation + deterministic across two runs,
+    plus the hub-front property on single-shard graphs — new_id 0 must be
+    the max-degree vertex (ties -> larger id, the reference
+    HubsetHeapNode order, porder.cpp:988-996). Structural hub/spoke
+    placement is pytest-verified on a planted star graph
+    (tests/test_graph_pipeline.py::test_slashburn_order)."""
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.ordering import (
+        SHARD_TARGET_VERTICES,
+    )
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    n = len(rdf)
+    is_perm = (
+        sorted(rdf.v.tolist()) == list(range(n))
+        and sorted(rdf.new_id.tolist()) == list(range(n))
+    )
+    rdf2 = QUERIES["slashburn_order"](sf_dir).to_pandas()
+    deterministic = (
+        rdf.sort_values("v").new_id.tolist()
+        == rdf2.sort_values("v").new_id.tolist()
+    )
+    hub_first = True
+    if n <= SHARD_TARGET_VERTICES:
+        ddf = QUERIES["degree_table"](sf_dir).to_pandas()
+        deg = np.zeros(n, np.int64)
+        deg[ddf.v.to_numpy()] = ddf.degree.to_numpy()
+        first = int(rdf.loc[rdf.new_id == 0, "v"].iloc[0])
+        max_deg = int(deg.max())
+        want = int(np.flatnonzero(deg == max_deg).max())
+        hub_first = first == want
+    return {
+        "check": "permutation_determinism_and_hub_front",
+        "is_permutation": bool(is_perm),
+        "deterministic": bool(deterministic),
+        "hub_first": bool(hub_first),
+        "pass": bool(is_perm and deterministic and hub_first),
+    }
+
+
 def _check_dfs_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """dfs_order: exact replay against an independent recursive
     ascending-neighbor DFS over the symmetric int edge table."""
@@ -305,6 +347,7 @@ SEMANTIC_CHECKS = {
     "gro_order": _check_gro_order,
     "bp_order": _check_bp_order,
     "dfs_order": _check_dfs_order,
+    "slashburn_order": _check_slashburn_order,
     "simhash_pairs": _check_simhash_pairs,
     "knn_lsh": _check_knn_lsh,
 }
