@@ -107,8 +107,9 @@ def build_graph_from_transcripts(
     if key in _CACHE:
         return _CACHE[key]
     transcripts = transcripts.materialize()
-    edges_str = gb.derive_edges(transcripts).materialize()
-    vertices = gb.encode_vertices(edges_str).materialize()
+    edges_str, vertices = gb.derive_graph_tables(transcripts)
+    edges_str = edges_str.materialize()
+    vertices = vertices.materialize()
     n_vertices = vertices.count()
     edges = gb.compact_blocks(
         gb.edges_to_ids(edges_str, vertices, num_partitions, n_vertices=n_vertices)

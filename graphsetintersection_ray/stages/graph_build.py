@@ -196,14 +196,15 @@ def _edges_for_bucket(batch: pd.DataFrame) -> pa.Table:
     )
 
 
-def derive_edges(
+def _derive_edges_legacy(
     transcripts: ray.data.Dataset, num_buckets: int = 64
 ) -> ray.data.Dataset:
-    """transcript table → distinct canonical string-keyed edge table
-    (src_key < dst_key). Two shuffles — conv-bucket grouping, then a
-    global dedup that carries ONLY the edge families that can repeat
-    across conversation buckets (E3/E4); conv-keyed families (E1/E2) are
-    globally distinct after the per-bucket dedup and bypass it."""
+    """String-payload derivation path (fallback when the tool/role
+    dimension is too large to broadcast — see ``derive_graph_tables``).
+    Two shuffles — conv-bucket grouping, then a global dedup carrying
+    ONLY the edge families that can repeat across conversation buckets
+    (E3/E4); conv-keyed families (E1/E2) are globally distinct after the
+    per-bucket dedup and bypass it."""
     from graphsetintersection_ray.stages.shuffle import bucket_groups, distinct_by
 
     bucketed = transcripts.map_batches(
@@ -223,6 +224,348 @@ def derive_edges(
         needs_dedup, ["src_key", "dst_key"], num_buckets=num_buckets
     )
     return local.union(deduped)
+
+
+# ---------------------------------------------------------------------------
+# Coded derivation: the E3/E4 families draw their endpoints from the SMALL
+# tool/role/actor dimensions, so the global dedup shuffle can move int32
+# pairs instead of ~50-byte string pairs, and the vertex table can be
+# assembled structurally (conv keys are bucket-distinct — zero shuffle)
+# instead of re-deduplicating 2x|E| endpoint strings. Falls back to the
+# string path when the dimension tables outgrow the broadcast budget.
+# ---------------------------------------------------------------------------
+
+# Above this many distinct (role, tool) combos — or this many amap cells —
+# the dimension broadcast stops being "small" and the string path runs.
+SMALL_DIMS_MAX = int(os.environ.get("GRAFT_SMALL_DIMS_MAX", 4_000_000))
+_AMAP_CELLS_MAX = 64_000_000
+
+
+def _small_dims(transcripts: ray.data.Dataset, num_buckets: int):
+    """Global (tool, role, actor) rank tables, broadcast once.
+
+    Returns (dims_ref, tools_np, roles_np) or None when the dimension is
+    too large (fallback to the string path). Ranks are lexicographic, so
+    integer comparisons reproduce the oracle's string canonicalization;
+    actor ranks are computed on the full 'a:<role>:<tool>' key strings
+    (tuple order differs when one role prefixes another)."""
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    def local_combos(b: pd.DataFrame) -> pa.Table:
+        rc, ru = pd.factorize(b["role"].to_numpy(object))
+        tc, tu = pd.factorize(b["tool"].to_numpy(object))
+        nt = max(len(tu), 1)
+        u = np.unique(rc.astype(np.int64) * nt + tc)
+        return pa.table(
+            {
+                "role": pa.array(np.asarray(ru, object)[u // nt], pa.string()),
+                "tool": pa.array(np.asarray(tu, object)[u % nt], pa.string()),
+            }
+        )
+
+    combos = distinct_by(
+        transcripts.map_batches(local_combos, batch_format="pandas", batch_size=None),
+        ["role", "tool"],
+        num_buckets=16,
+    ).materialize()
+    if combos.count() > SMALL_DIMS_MAX:
+        return None
+    cdf = combos.to_pandas()
+    role_np = cdf["role"].to_numpy(object)
+    tool_np = cdf["tool"].to_numpy(object)
+    tools_sorted = np.unique(tool_np)
+    roles_sorted = np.unique(role_np)
+    nt, nr = len(tools_sorted), len(roles_sorted)
+    if nt * nr > _AMAP_CELLS_MAX:
+        return None
+    r_codes = np.searchsorted(roles_sorted, role_np)
+    t_codes = np.searchsorted(tools_sorted, tool_np)
+    a_keys = np.array(
+        ["a:" + r + ":" + t for r, t in zip(role_np, tool_np)], dtype=object
+    )
+    order = np.argsort(a_keys)
+    a_sorted = a_keys[order]
+    amap = np.full(max(nr * nt, 1), -1, np.int32)
+    amap[(r_codes * nt + t_codes)[order]] = np.arange(len(order), dtype=np.int32)
+    dims_ref = ray.put(
+        (
+            pa.array(tools_sorted, pa.string()),
+            pa.array(roles_sorted, pa.string()),
+            pa.array(a_sorted, pa.string()),
+            amap,
+            nt,
+            nr,
+        )
+    )
+    return dims_ref, tools_sorted, roles_sorted
+
+
+def _conv_bucket_coded(t: pa.Table, num_buckets: int, dims_ref) -> pa.Table:
+    """Prune + bucket by conv hash, mapping tool/role to their global
+    ranks BEFORE the shuffle (int32 travels instead of the strings)."""
+    import pyarrow.compute as pc
+
+    tools, roles, *_ = ray.get(dims_ref)
+    convnp = t["conv_id"].to_numpy(zero_copy_only=False)
+    bucket = (pd.util.hash_array(convnp) % num_buckets).astype(np.int64)
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].cast(pa.int32()),
+            "rc": pc.index_in(t["role"], value_set=roles).cast(pa.int32()),
+            "tc": pc.index_in(t["tool"], value_set=tools).cast(pa.int32()),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
+def _empty_strings(n: int) -> pa.Array:
+    """Arrow string array of n empty strings in O(n) int32 work."""
+    offsets = pa.array(np.zeros(n + 1, np.int32)).buffers()[1]
+    return pa.StringArray.from_buffers(n, offsets, pa.py_buffer(b""))
+
+
+def _take_prefixed(prefix: str, strings: pa.Array, codes: np.ndarray) -> pa.Array:
+    import pyarrow.compute as pc
+
+    out = pc.binary_join_element_wise(
+        prefix, strings.take(pa.array(codes, pa.int64())), ""
+    )
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _edges_for_bucket_coded(batch: pd.DataFrame, dims_ref) -> pa.Table:
+    """Edge families for one conv bucket over global integer ranks.
+
+    Output rows are either string edges (fam = -1: E1/E2, globally
+    distinct by construction) or int32 rank pairs (fam = 3: actor-actor
+    E3, fam = 4: tool-tool E4) that the global distinct dedups before
+    ``_int_pairs_to_strings`` rebuilds their keys."""
+    tools, roles, a_sorted, amap, nt, nr = ray.get(dims_ref)
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "src_key": pa.array([], pa.string()),
+                "dst_key": pa.array([], pa.string()),
+                "fam": pa.array([], pa.int8()),
+                "a": pa.array([], pa.int32()),
+                "b": pa.array([], pa.int32()),
+            }
+        )
+    conv_raw = batch["conv_id"].to_numpy(object)
+    turn = batch["turn_idx"].to_numpy()
+    tc = batch["tc"].to_numpy().astype(np.int64)
+    rc = batch["rc"].to_numpy().astype(np.int64)
+    cc, conv_u = pd.factorize(conv_raw)
+    conv_u = np.asarray(conv_u, dtype=object)
+    cc64 = cc.astype(np.int64)
+
+    nt64, nr64 = np.int64(nt), np.int64(nr)
+    p1 = np.unique(cc64 * nt64 + tc)
+    e1_c, e1_t = p1 // nt64, p1 % nt64
+    p2 = np.unique(cc64 * nr64 + rc)
+    e2_c, e2_r = p2 // nr64, p2 % nr64
+
+    # E3 pairs over global actor ranks (string-ordered, so min/max is
+    # the oracle's canonical order)
+    ar = amap[rc * nt64 + tc].astype(np.int64)
+    order = np.lexsort((turn, cc))
+    cs, as_ = cc[order], ar[order]
+    na = np.int64(max(len(a_sorted), 1))
+    e3 = np.empty(0, np.int64)
+    if len(cs) > 1:
+        same = cs[1:] == cs[:-1]
+        x, y = as_[:-1][same], as_[1:][same]
+        ne = x != y
+        x, y = x[ne], y[ne]
+        e3 = np.unique(np.minimum(x, y) * na + np.maximum(x, y))
+    e3_a, e3_b = e3 // na, e3 % na
+
+    # E4 pairs over global tool ranks; p1 sorted by (conv, rank) makes
+    # local i<j pairs canonical
+    starts = segment_starts(e1_c)
+    k = np.diff(np.append(starts, len(e1_c)))
+    pos = np.arange(len(e1_c)) - np.repeat(starts, k)
+    rep = pos
+    total = int(rep.sum())
+    if total:
+        j_idx = np.repeat(np.arange(len(e1_c)), rep)
+        off = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
+        i_idx = j_idx - np.repeat(pos, rep) + off
+        p4 = np.unique(e1_t[i_idx] * nt64 + e1_t[j_idx])
+        e4_a, e4_b = p4 // nt64, p4 % nt64
+    else:
+        e4_a = e4_b = np.empty(0, np.int64)
+
+    n_local = len(p1) + len(p2)
+    n_int = len(e3) + len(e4_a)
+    src = pa.concat_arrays(
+        [
+            _prefixed("c:", conv_u, e1_c),
+            _prefixed("c:", conv_u, e2_c),
+            _empty_strings(n_int),
+        ]
+    )
+    dst = pa.concat_arrays(
+        [
+            _take_prefixed("t:", tools, e1_t),
+            _take_prefixed("r:", roles, e2_r),
+            _empty_strings(n_int),
+        ]
+    )
+    fam = np.concatenate(
+        [
+            np.full(n_local, -1, np.int8),
+            np.full(len(e3), 3, np.int8),
+            np.full(len(e4_a), 4, np.int8),
+        ]
+    )
+    a = np.concatenate([np.zeros(n_local, np.int64), e3_a, e4_a]).astype(np.int32)
+    b = np.concatenate([np.zeros(n_local, np.int64), e3_b, e4_b]).astype(np.int32)
+    return pa.table(
+        {
+            "src_key": src,
+            "dst_key": dst,
+            "fam": pa.array(fam),
+            "a": pa.array(a),
+            "b": pa.array(b),
+        }
+    )
+
+
+def _int_pairs_to_strings(t: pa.Table, dims_ref) -> pa.Table:
+    """Deduped (fam, a, b) rank pairs → canonical string edges."""
+    tools, roles, a_sorted, *_ = ray.get(dims_ref)
+    fam = t["fam"].to_numpy(zero_copy_only=False)
+    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m3 = fam == 3
+    m4 = fam == 4
+    src = pa.concat_arrays(
+        [
+            a_sorted.take(pa.array(a[m3], pa.int64())),
+            _take_prefixed("t:", tools, a[m4]),
+        ]
+    )
+    dst = pa.concat_arrays(
+        [
+            a_sorted.take(pa.array(b[m3], pa.int64())),
+            _take_prefixed("t:", tools, b[m4]),
+        ]
+    )
+    return pa.table({"src_key": src, "dst_key": dst})
+
+
+def derive_graph_tables(
+    transcripts: ray.data.Dataset,
+    num_buckets: int = 64,
+    want_vertices: bool = True,
+) -> tuple[ray.data.Dataset, ray.data.Dataset | None]:
+    """transcript table → (distinct canonical string edges, vertex map).
+
+    The fast path shuffles E3/E4 as int32 rank pairs and assembles the
+    vertex table structurally: conv keys are distinct per bucket (zero
+    extra shuffle), tool/role keys come from the broadcast dimension,
+    actor keys from the deduped E3 pairs. The vertex set equals the
+    distinct endpoints of the edge set by construction (every
+    conv/tool/role appears in an E1/E2 edge; actors appear iff they
+    survive into an E3 edge). ``want_vertices=False`` skips the vertex
+    assembly (its dense-rank sort runs eagerly) and returns None."""
+    from graphsetintersection_ray.stages.shuffle import bucket_groups, distinct_by
+
+    dims = _small_dims(transcripts, num_buckets)
+    if dims is None:
+        edges = _derive_edges_legacy(transcripts, num_buckets)
+        return edges, (encode_vertices(edges) if want_vertices else None)
+    dims_ref, tools_np, roles_np = dims
+
+    bucketed = transcripts.map_batches(
+        _conv_bucket_coded,
+        batch_format="pyarrow",
+        fn_kwargs=dict(num_buckets=num_buckets, dims_ref=dims_ref),
+        batch_size=None,
+    )
+
+    def fn(batch: pd.DataFrame) -> pa.Table:
+        return _edges_for_bucket_coded(batch, dims_ref)
+
+    raw = bucket_groups(bucketed, fn, num_buckets, bucket_col="bucket").materialize()
+
+    def project_str(t: pa.Table) -> pa.Table:
+        return pa.table({"src_key": t["src_key"], "dst_key": t["dst_key"]})
+
+    def project_int(t: pa.Table) -> pa.Table:
+        return pa.table({"fam": t["fam"], "a": t["a"], "b": t["b"]})
+
+    local = raw.filter(expr="fam < 0").map_batches(
+        project_str, batch_format="pyarrow", batch_size=None)
+    ints = raw.filter(expr="fam >= 0").map_batches(
+        project_int, batch_format="pyarrow", batch_size=None)
+    deduped_int = distinct_by(
+        ints, ["fam", "a", "b"], num_buckets=num_buckets
+    ).materialize()
+    glob = deduped_int.map_batches(
+        _int_pairs_to_strings,
+        batch_format="pyarrow",
+        fn_kwargs=dict(dims_ref=dims_ref),
+        batch_size=None,
+    )
+    edges = local.union(glob)
+    if not want_vertices:
+        return edges, None
+
+    # vertices: conv keys are bucket-pinned (block-local unique IS the
+    # global distinct); actor keys come off the deduped E3 pairs; the
+    # tool/role key lists are the driver-side dimension
+    def conv_keys_block(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.unique(t["src_key"].combine_chunks())
+        return pa.table({"key": u})
+
+    conv_keys = local.map_batches(
+        conv_keys_block, batch_format="pyarrow", batch_size=None)
+
+    def actor_keys_block(t: pa.Table) -> pa.Table:
+        fam = t["fam"].to_numpy(zero_copy_only=False)
+        m3 = fam == 3
+        ab = np.unique(
+            np.concatenate(
+                [
+                    t["a"].to_numpy(zero_copy_only=False)[m3],
+                    t["b"].to_numpy(zero_copy_only=False)[m3],
+                ]
+            )
+        ).astype(np.int64)
+        _, _, a_sorted, *_ = ray.get(dims_ref)
+        return pa.table({"key": a_sorted.take(pa.array(ab))})
+
+    actor_partial = deduped_int.map_batches(
+        actor_keys_block, batch_format="pyarrow", batch_size=None)
+    actor_keys = distinct_by(actor_partial, ["key"], num_buckets=8)
+
+    small_keys = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(
+                    ["t:" + t for t in tools_np] + ["r:" + r for r in roles_np],
+                    pa.string(),
+                )
+            }
+        )
+    )
+    vertices = dense_rank_ids(
+        conv_keys.union(actor_keys).union(small_keys), "key"
+    )
+    return edges, vertices
+
+
+def derive_edges(
+    transcripts: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """transcript table → distinct canonical string-keyed edge table
+    (src_key < dst_key). See ``derive_graph_tables``."""
+    return derive_graph_tables(transcripts, num_buckets, want_vertices=False)[0]
 
 
 def _ensure_arrow(tbl) -> pa.Table:
@@ -281,10 +624,15 @@ def enumerate_sorted(
     refs = mat.to_arrow_refs()
     counts = ray.get([_block_nrows.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    # skip empty blocks: the sort can emit COLUMN-LESS empty pandas
+    # blocks for empty ranges, which would KeyError on keep_cols
     out_refs = [
         _block_enumerate.remote(r, int(off), keep_cols, id_col)
-        for r, off in zip(refs, offsets)
+        for r, off, c in zip(refs, offsets, counts)
+        if c > 0
     ]
+    if not out_refs:
+        return mat
     return ray.data.from_arrow_refs(out_refs)
 
 

@@ -457,3 +457,60 @@ def test_slashburn_order(art):
         assert new_id[leaf] == m - 1 - i
     # the core keeps the front block after the hub
     assert sorted(new_id[core].tolist()) == list(range(1, 20))
+
+
+def test_coded_derivation_matches_legacy(ray_session):
+    """derive_graph_tables (int-pair fast path AND forced string
+    fallback) must produce the same edge set and vertex encoding as the
+    legacy string path — including roles that prefix each other, where
+    actor-key canonicalization by (role, tool) tuple order would differ
+    from the full-string order the oracle defines."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages import graph_build as gb
+
+    rng = np.random.default_rng(23)
+    roles = ["user", "user2", "assistant"]
+    tools = [f"t{i}" for i in range(12)] + ["t1:x"]
+    rows = []
+    for conv in range(150):
+        for i in range(int(rng.integers(1, 8))):
+            rows.append(
+                (
+                    f"cv{conv}",
+                    i,
+                    roles[rng.integers(0, 3)],
+                    tools[rng.integers(0, 13)],
+                    "txt",
+                    pd.Timestamp("2024-01-01"),
+                )
+            )
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "tool", "text", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    tr = rd.from_pandas(df).repartition(5)
+
+    legacy_edges = gb._derive_edges_legacy(tr, num_buckets=8).to_pandas()
+    legacy_set = set(zip(legacy_edges.src_key, legacy_edges.dst_key))
+    legacy_verts = (
+        gb.encode_vertices(gb._derive_edges_legacy(tr, num_buckets=8))
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+    for forced_fallback in (False, True):
+        old = gb.SMALL_DIMS_MAX
+        if forced_fallback:
+            gb.SMALL_DIMS_MAX = 0
+        try:
+            e_ds, v_ds = gb.derive_graph_tables(tr, num_buckets=8)
+            edf = e_ds.to_pandas()
+            eset = set(zip(edf.src_key, edf.dst_key))
+            assert eset == legacy_set, forced_fallback
+            assert len(edf) == len(eset)  # no dup rows
+            vdf = v_ds.to_pandas().sort_values("key").reset_index(drop=True)
+            pd.testing.assert_frame_equal(vdf, legacy_verts)
+        finally:
+            gb.SMALL_DIMS_MAX = old
