@@ -249,7 +249,6 @@ def _small_dims(transcripts: ray.data.Dataset, num_buckets: int):
     integer comparisons reproduce the oracle's string canonicalization;
     actor ranks are computed on the full 'a:<role>:<tool>' key strings
     (tuple order differs when one role prefixes another)."""
-    from graphsetintersection_ray.stages.shuffle import distinct_by
 
     def local_combos(b: pd.DataFrame) -> pa.Table:
         rc, ru = pd.factorize(b["role"].to_numpy(object))
@@ -263,16 +262,25 @@ def _small_dims(transcripts: ray.data.Dataset, num_buckets: int):
             }
         )
 
-    combos = distinct_by(
-        transcripts.map_batches(local_combos, batch_format="pandas", batch_size=None),
-        ["role", "tool"],
-        num_buckets=16,
+    # per-block uniques collapse to the driver directly (no shuffle):
+    # the combo dimension is tiny next to the row count, and the size
+    # guard below falls back to the string path if it is not
+    partial = transcripts.map_batches(
+        local_combos, batch_format="pandas", batch_size=None
     ).materialize()
-    if combos.count() > SMALL_DIMS_MAX:
+    if partial.count() > SMALL_DIMS_MAX:
         return None
-    cdf = combos.to_pandas()
+    cdf = partial.to_pandas()
     role_np = cdf["role"].to_numpy(object)
     tool_np = cdf["tool"].to_numpy(object)
+    # driver-side global dedup of the per-block partials
+    rc0, ru = pd.factorize(role_np)
+    tc0, tu = pd.factorize(tool_np)
+    u = np.unique(rc0.astype(np.int64) * max(len(tu), 1) + tc0)
+    role_np = np.asarray(ru, object)[u // max(len(tu), 1)]
+    tool_np = np.asarray(tu, object)[u % max(len(tu), 1)]
+    if len(u) > SMALL_DIMS_MAX:
+        return None
     tools_sorted = np.unique(tool_np)
     roles_sorted = np.unique(role_np)
     nt, nr = len(tools_sorted), len(roles_sorted)
@@ -645,8 +653,46 @@ def dense_rank_ids(
     enumerate blocks with their global offsets. IDs are assigned in key
     order, so key order and id order agree — canonical string edges stay
     canonical as int edges.
+
+    Below BROADCAST_MAX_VERTICES keys the rank is computed driver-side
+    with Arrow's C++ sort (the map is about to be collected for the
+    broadcast lookup anyway, and a distributed string sort costs seconds
+    of fixed shuffle); above it, the distributed sort+enumerate runs.
     """
-    return enumerate_sorted(ds.sort(key_col), [key_col], id_col)
+    import pyarrow.compute as pc
+
+    mat = ds.materialize()
+    if mat.count() <= BROADCAST_MAX_VERTICES:
+        # drop zero-row blocks: shuffles can emit COLUMN-LESS empty
+        # pandas blocks whose schema breaks concat_tables
+        tbls = [
+            t
+            for t in (_ensure_arrow(b) for b in ray.get(mat.to_arrow_refs()))
+            if t.num_rows > 0
+        ]
+        if not tbls:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        key_col: pa.array([], pa.string()),
+                        id_col: pa.array([], pa.int32()),
+                    }
+                )
+            )
+        tbl = pa.concat_tables(tbls).combine_chunks()
+        idx = pc.sort_indices(tbl[key_col])
+        keys_sorted = tbl[key_col].take(idx)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: keys_sorted,
+                    id_col: pa.array(
+                        np.arange(tbl.num_rows, dtype=np.int32)
+                    ),
+                }
+            )
+        )
+    return enumerate_sorted(mat.sort(key_col), [key_col], id_col)
 
 
 def encode_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
