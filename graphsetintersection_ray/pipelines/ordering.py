@@ -348,19 +348,16 @@ def bp_order(
 DFS_MAX_VERTICES = int(os.environ.get("GRAFT_DFS_MAX_VERTICES", 5_000_000))
 
 
-def dfs_order(art: GraphArtifacts) -> ray.data.Dataset:
-    """(v:int32, new_id:int32) — DFS preorder permutation: start at vertex
-    0, neighbors visited ascending, restart at the smallest unvisited
-    vertex per component (reference dfs reorder semantics,
-    porder.cpp:497-533). Sequential by nature; the adjacency is collected
-    once onto the driver (bounded by GRAFT_DFS_MAX_VERTICES) and the
-    permutation is shipped back as a Dataset."""
+def _driver_adjacency(art: GraphArtifacts, what: str) -> list[np.ndarray]:
+    """Collect the symmetric CSR onto the driver for the inherently
+    sequential reorderings (bounded by GRAFT_DFS_MAX_VERTICES; the
+    reference runs these single-threaded too)."""
     from graphsetintersection_ray.stages.graph_build import build_csr
 
     n = art.n_vertices
     if n > DFS_MAX_VERTICES:
         raise ValueError(
-            f"dfs_order is sequential by nature and capped at "
+            f"{what} is sequential by nature and capped at "
             f"{DFS_MAX_VERTICES} vertices (got {n}); use bp_order/gro_order "
             f"for distributable reorderings"
         )
@@ -375,6 +372,29 @@ def dfs_order(art: GraphArtifacts) -> ray.data.Dataset:
     adj: list[np.ndarray] = [np.empty(0, np.int64)] * n
     for v, a in zip(u, nbrs):
         adj[int(v)] = a
+    return adj
+
+
+def _perm_dataset(new_id: np.ndarray) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array(np.arange(len(new_id), dtype=np.int32)),
+                "new_id": pa.array(new_id.astype(np.int32)),
+            }
+        )
+    )
+
+
+def dfs_order(art: GraphArtifacts) -> ray.data.Dataset:
+    """(v:int32, new_id:int32) — DFS preorder permutation: start at vertex
+    0, neighbors visited ascending, restart at the smallest unvisited
+    vertex per component (reference dfs reorder semantics,
+    porder.cpp:497-533). Sequential by nature; the adjacency is collected
+    once onto the driver (bounded by GRAFT_DFS_MAX_VERTICES) and the
+    permutation is shipped back as a Dataset."""
+    n = art.n_vertices
+    adj = _driver_adjacency(art, "dfs_order")
     new_id = np.full(n, -1, np.int64)
     nxt = 0
     for seed in range(n):
@@ -391,14 +411,142 @@ def dfs_order(art: GraphArtifacts) -> ray.data.Dataset:
             # push descending so the smallest unvisited neighbor pops first
             unvisited = nb[new_id[nb] < 0]
             stack.extend(unvisited[::-1].tolist())
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "v": pa.array(np.arange(n, dtype=np.int32)),
-                "new_id": pa.array(new_id.astype(np.int32)),
-            }
-        )
-    )
+    return _perm_dataset(new_id)
+
+
+# --------------------------------------------------------------------------
+# Reverse Cuthill-McKee (reference rcm_order, porder.cpp:586-631)
+# --------------------------------------------------------------------------
+
+
+def rcm_order(art: GraphArtifacts) -> ray.data.Dataset:
+    """(v:int32, new_id:int32) — reverse Cuthill-McKee permutation
+    (porder.cpp:586-631): seeds taken in ascending total degree, BFS
+    visiting each vertex's neighbors in ascending degree, ids assigned
+    DESCENDING from v_num-1 (the 'reverse'). Degree ties break by vertex
+    id ascending (the reference's std::sort leaves ties unspecified; a
+    fixed tie order makes the permutation deterministic). Sequential by
+    nature — driver-side below GRAFT_DFS_MAX_VERTICES, loud error
+    above."""
+    from collections import deque
+
+    n = art.n_vertices
+    adj = _driver_adjacency(art, "rcm_order")
+    deg = np.array([len(a) for a in adj], dtype=np.int64)
+    # neighbors pre-sorted by (degree, id) ascending — visit order
+    adj = [a[np.lexsort((a, deg[a]))] for a in adj]
+    seeds = np.lexsort((np.arange(n), deg))
+    new_id = np.full(n, -1, np.int64)
+    cur = n - 1
+    for s in seeds:
+        if new_id[s] >= 0:
+            continue
+        new_id[s] = cur
+        cur -= 1
+        que = deque([int(s)])
+        while que:
+            u = que.popleft()
+            for v in adj[u]:
+                if new_id[v] < 0:
+                    new_id[v] = cur
+                    cur -= 1
+                    que.append(int(v))
+    return _perm_dataset(new_id)
+
+
+# --------------------------------------------------------------------------
+# BFS-based recursive bisection (reference bfsr_order, porder.cpp:1116-1213)
+# --------------------------------------------------------------------------
+
+
+def bfsr_order(art: GraphArtifacts) -> ray.data.Dataset:
+    """(v:int32, new_id:int32) — exact replay of the reference's
+    bfsr_order (porder.cpp:1116-1213): recursively bisect the vertex
+    array; each level (a) BFS-finds a pseudo-peripheral vertex (last
+    dequeued from nodes[0]'s component) and swaps it to the front,
+    (b) grows a 'left' half by BFS from unvisited seeds in array order
+    (bounded by the reference's tot/4 seed, tot/2 queue and 3*tot/4
+    growth cutoffs), (c) partitions the array around the grown set and
+    recurses on both halves; ranges under 32 vertices keep their order.
+    new_id[nodes[i]] = i. Sequential per range — driver-side below
+    GRAFT_DFS_MAX_VERTICES, loud error above."""
+    n = art.n_vertices
+    adj = _driver_adjacency(art, "bfsr_order")
+    nodes = np.arange(n, dtype=np.int64)
+    visited = np.zeros(n, np.int64)
+    vis_label = 0
+
+    # explicit work stack of (start, length) ranges over `nodes`
+    work = [(0, n)]
+    while work:
+        lo, tot = work.pop()
+        if tot < 32:
+            continue
+        vis_label += 1
+        seg = nodes[lo : lo + tot]
+        visited[seg] = -vis_label
+        # (a) pseudo-peripheral: BFS the component of seg[0], keep the
+        # last dequeued vertex
+        que = np.empty(tot, np.int64)
+        front = back = 0
+        visited[seg[0]] = vis_label
+        que[back] = seg[0]
+        back += 1
+        last = seg[0]
+        while front < back:
+            u = que[front]
+            front += 1
+            last = u
+            for v in adj[u]:
+                if visited[v] == -vis_label:
+                    visited[v] = vis_label
+                    que[back] = v
+                    back += 1
+        last_pos = lo + int(np.flatnonzero(seg == last)[0])
+        nodes[lo], nodes[last_pos] = nodes[last_pos], nodes[lo]
+        seg = nodes[lo : lo + tot]
+        visited[seg] = -vis_label
+        # (b) grow the left half by BFS from seeds in array order
+        front = back = 0
+        i = 0
+        while i < tot and back < tot // 4:
+            s = seg[i]
+            i += 1
+            if visited[s] != -vis_label:
+                continue
+            visited[s] = vis_label
+            que[back] = s
+            back += 1
+            stop = False
+            while front < back and back < tot // 2 and not stop:
+                u = que[front]
+                front += 1
+                for v in adj[u]:
+                    if visited[v] == -vis_label:
+                        visited[v] = vis_label
+                        que[back] = v
+                        back += 1
+                        if back * 4 >= tot * 3:
+                            stop = True
+                            break
+        left_num = back
+        # (c) partition seg exactly as the reference's swap loop: the
+        # i-th unmarked position in the left half exchanges with the
+        # i-th marked position in the right half (encounter order) —
+        # counts match because BFS marked exactly left_num vertices
+        marked = visited[seg] == vis_label
+        left_bad = np.flatnonzero(~marked[:left_num])
+        right_good = left_num + np.flatnonzero(marked[left_num:])
+        if len(left_bad):
+            li = lo + left_bad
+            ri = lo + right_good
+            nodes[li], nodes[ri] = nodes[ri], nodes[li].copy()
+        work.append((lo, left_num))
+        work.append((lo + left_num, tot - left_num))
+
+    new_id = np.empty(n, np.int64)
+    new_id[nodes] = np.arange(n, dtype=np.int64)
+    return _perm_dataset(new_id)
 
 
 # --------------------------------------------------------------------------

@@ -336,6 +336,30 @@ def q_slashburn_order(sf_dir: str):
     return slashburn_order(build_graph(sf_dir))
 
 
+def q_rcm_order(sf_dir: str):
+    """Reverse Cuthill-McKee reorder (porder.cpp:586-631): seeds in
+    ascending total degree, BFS visiting neighbors in ascending degree,
+    ids assigned descending from v_num-1. Ties break by vertex id (the
+    reference's std::sort leaves them unspecified). No SQL oracle
+    (BFS-order-sensitive); semantic checks replay it independently and
+    verify the bandwidth-reduction property."""
+    from graphsetintersection_ray.pipelines.ordering import rcm_order
+
+    return rcm_order(build_graph(sf_dir))
+
+
+def q_bfsr_order(sf_dir: str):
+    """BFS recursive-bisection reorder (porder.cpp:1116-1213): exact
+    replay — pseudo-peripheral front swap, tot/4-seeded BFS growth of the
+    left half with the reference's tot/2 and 3*tot/4 cutoffs, swap-based
+    partition, recursion; ranges under 32 keep their order. No SQL
+    oracle (BFS-order-sensitive); semantic checks verify permutation
+    validity, determinism, and sub-32 identity."""
+    from graphsetintersection_ray.pipelines.ordering import bfsr_order
+
+    return bfsr_order(build_graph(sf_dir))
+
+
 def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
     """Hub list: smallest set of highest-degree vertices covering
     ``deg_ratio`` of total degree (R8 select_bignode, porder.cpp:353-392;
@@ -757,6 +781,8 @@ QUERIES = {
     "gro_order": q_gro_order,
     "bp_order": q_bp_order,
     "dfs_order": q_dfs_order,
+    "rcm_order": q_rcm_order,
+    "bfsr_order": q_bfsr_order,
     "slashburn_order": q_slashburn_order,
     "bignode_select": q_bignode_select,
     "vertex_labels": q_vertex_labels,

@@ -514,3 +514,81 @@ def test_coded_derivation_matches_legacy(ray_session):
             pd.testing.assert_frame_equal(vdf, legacy_verts)
         finally:
             gb.SMALL_DIMS_MAX = old
+
+
+def test_rcm_order_matches_independent_replay(art, sym_df):
+    """RCM: ids descending via degree-ascending seeds/BFS must equal an
+    independent queue-based replay, and the mean |gap| over edges must
+    not exceed the identity ordering's (the bandwidth property RCM
+    exists for)."""
+    from collections import deque
+
+    from graphsetintersection_ray.pipelines.ordering import rcm_order
+
+    out = rcm_order(art).to_pandas().sort_values("v")
+    n = art.n_vertices
+    assert sorted(out.new_id.tolist()) == list(range(n))
+
+    adj: dict[int, list] = {}
+    for s, d in zip(sym_df["src"], sym_df["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+    deg = {v: len(a) for v, a in adj.items()}
+    new_id: dict[int, int] = {}
+    cur = n - 1
+    for s in sorted(range(n), key=lambda v: (deg.get(v, 0), v)):
+        if s in new_id:
+            continue
+        new_id[s] = cur
+        cur -= 1
+        que = deque([s])
+        while que:
+            u = que.popleft()
+            for v in sorted(adj.get(u, []), key=lambda w: (deg.get(w, 0), w)):
+                if v not in new_id:
+                    new_id[v] = cur
+                    cur -= 1
+                    que.append(v)
+    got = out.new_id.to_numpy()
+    assert got.tolist() == [new_id[v] for v in range(n)]
+    src = sym_df["src"].to_numpy()
+    dst = sym_df["dst"].to_numpy()
+    assert np.abs(got[src] - got[dst]).mean() <= np.abs(src - dst).mean() * 1.05
+
+
+def test_bfsr_order_permutation_and_determinism(art):
+    """BFSR bisection: valid dense permutation, deterministic, and the
+    sub-32 base case keeps array order (identity on a tiny graph)."""
+    from graphsetintersection_ray.pipelines.ordering import bfsr_order
+
+    out = bfsr_order(art).to_pandas().sort_values("v")
+    n = art.n_vertices
+    assert sorted(out.new_id.tolist()) == list(range(n))
+    out2 = bfsr_order(art).to_pandas().sort_values("v")
+    assert out.new_id.tolist() == out2.new_id.tolist()
+
+
+def test_bfsr_sub32_identity(ray_session):
+    """A graph with fewer than 32 vertices never recurses — bfsr must be
+    the identity permutation."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines.graph import (
+        build_graph_from_transcripts,
+    )
+    from graphsetintersection_ray.pipelines.ordering import bfsr_order
+
+    rows = []
+    for conv in range(4):
+        for i in range(3):
+            rows.append((f"c{conv}", i, "user" if i % 2 == 0 else "assistant",
+                         f"t{(conv + i) % 3}", "x", pd.Timestamp("2024-01-01")))
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "tool", "text", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    art_small = build_graph_from_transcripts(
+        rd.from_pandas(df), cache_key="bfsr-sub32", num_partitions=2
+    )
+    assert art_small.n_vertices < 32
+    out = bfsr_order(art_small).to_pandas().sort_values("v")
+    assert out.new_id.tolist() == list(range(art_small.n_vertices))

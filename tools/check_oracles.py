@@ -215,6 +215,79 @@ def _check_dfs_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_rcm_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """rcm_order: exact replay against an independent queue-based RCM
+    (seeds and neighbor visits by (degree, id) ascending, ids assigned
+    descending), plus the bandwidth property: the mean |new_id(u) -
+    new_id(v)| over edges must not exceed the identity ordering's."""
+    from collections import deque
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    n = len(rdf)
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    adj: dict[int, list] = {}
+    for s, d in zip(edf.src, edf.dst):
+        adj.setdefault(int(s), []).append(int(d))
+        adj.setdefault(int(d), []).append(int(s))
+    deg = {v: len(a) for v, a in adj.items()}
+    new_id: dict[int, int] = {}
+    cur = n - 1
+    for s in sorted(range(n), key=lambda v: (deg.get(v, 0), v)):
+        if s in new_id:
+            continue
+        new_id[s] = cur
+        cur -= 1
+        que = deque([s])
+        while que:
+            u = que.popleft()
+            for v in sorted(adj.get(u, []), key=lambda w: (deg.get(w, 0), w)):
+                if v not in new_id:
+                    new_id[v] = cur
+                    cur -= 1
+                    que.append(v)
+    got = rdf.sort_values("v").new_id.tolist()
+    want = [new_id[v] for v in range(n)]
+    import numpy as np
+
+    ids = np.array(got, np.int64)
+    gap_rcm = float(np.abs(ids[edf.src.to_numpy()] - ids[edf.dst.to_numpy()]).mean())
+    gap_id = float(np.abs(edf.src.to_numpy() - edf.dst.to_numpy()).mean())
+    return {
+        "check": "independent_rcm_replay_and_bandwidth",
+        "is_permutation": sorted(got) == list(range(n)),
+        "matches_replay": got == want,
+        "mean_edge_gap_rcm": gap_rcm,
+        "mean_edge_gap_identity": gap_id,
+        "pass": bool(got == want and gap_rcm <= gap_id * 1.05),
+    }
+
+
+def _check_bfsr_order(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """bfsr_order: permutation validity + determinism across two runs +
+    the base-case contract (every recursion range under 32 vertices
+    keeps array order — verified on the whole output only when n < 32,
+    where bfsr must be the identity)."""
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    n = len(rdf)
+    got = rdf.sort_values("v").new_id.tolist()
+    rdf2 = QUERIES["bfsr_order"](sf_dir).to_pandas()
+    got2 = rdf2.sort_values("v").new_id.tolist()
+    identity_ok = True
+    if n < 32:
+        identity_ok = got == list(range(n))
+    return {
+        "check": "permutation_determinism_base_case",
+        "is_permutation": sorted(got) == list(range(n)),
+        "deterministic": got == got2,
+        "sub32_identity": identity_ok,
+        "pass": bool(
+            sorted(got) == list(range(n)) and got == got2 and identity_ok
+        ),
+    }
+
+
 def _check_simhash_pairs(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """simhash_pairs: (a) every reported hamming distance equals the true
     distance of independently recomputed signatures; (b) exact-duplicate
@@ -347,6 +420,8 @@ SEMANTIC_CHECKS = {
     "gro_order": _check_gro_order,
     "bp_order": _check_bp_order,
     "dfs_order": _check_dfs_order,
+    "rcm_order": _check_rcm_order,
+    "bfsr_order": _check_bfsr_order,
     "slashburn_order": _check_slashburn_order,
     "simhash_pairs": _check_simhash_pairs,
     "knn_lsh": _check_knn_lsh,
