@@ -9,7 +9,7 @@ Headline suite (one JSON line to stdout):
     PageRank edge-traversals/sec (iters x directed edges / PR wall), per
     BASELINE.json's metric.
 
-The suite runs GRAFT_BENCH_TRIALS (default 2) full timed passes and
+The suite runs GRAFT_BENCH_TRIALS (default 3) full timed passes and
 reports the per-stage minimum: the shared sandbox host swings +-60% on
 identical runs (BASELINE.md), so a single shot mostly samples co-tenant
 load. Per-trial totals are recorded in the JSON for transparency.
@@ -44,7 +44,7 @@ PR_ITERS = 10
 # co-tenancy sample. The suite therefore runs TRIALS full passes and
 # reports the per-stage minimum (steady-state methodology; per-trial
 # totals are recorded alongside for transparency).
-BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
 
 
 def run_bench() -> dict:
