@@ -107,7 +107,21 @@ def build_graph_from_transcripts(
     if key in _CACHE:
         return _CACHE[key]
     transcripts = transcripts.materialize()
-    edges_str, vertices = gb.derive_graph_tables(transcripts)
+    # bucket count sized by data: small inputs are fixed-cost bound (64
+    # one-row shuffle blocks per stage), big inputs need enough buckets
+    # that one bucket of conversations fits a worker heap. ~150k rows
+    # per bucket, floored at 8 and capped at 64 single-node (at real
+    # 100 TB scale raise GRAFT_DERIVE_BUCKETS so buckets stay heap-sized
+    # — bucket count is semantics-free).
+    n_rows = transcripts.count()
+    num_buckets = int(
+        os.environ.get(
+            "GRAFT_DERIVE_BUCKETS", max(8, min(64, n_rows // 150_000 + 8))
+        )
+    )
+    edges_str, vertices = gb.derive_graph_tables(
+        transcripts, num_buckets=num_buckets
+    )
     edges_str = edges_str.materialize()
     vertices = vertices.materialize()
     n_vertices = vertices.count()
@@ -150,7 +164,13 @@ def build_graph_from_transcripts(
         # the CSR groupby is the ONE vertex-keyed shuffle of the build:
         # degrees fall out of it for free (list lengths), so no separate
         # degree sum-shuffle over the symmetric edge table
-        csr = gb.build_csr(sym, num_partitions=csr_partitions).materialize()
+        # shuffle fan-out sized by data (one bucket ~500k directed
+        # edges), floored at the partition count so every output
+        # partition gets its own reducer
+        csr_buckets = max(csr_partitions, min(64, 4 * n_edges // 500_000 + 8))
+        csr = gb.build_csr(
+            sym, num_partitions=csr_partitions, shuffle_buckets=csr_buckets
+        ).materialize()
         degs = gb.degrees_from_csr(csr).materialize()
         gb.write_csr_dataset(csr, csr_path, csr_partitions)
         import json as _json
