@@ -702,6 +702,15 @@ def q_knn_lsh(sf_dir: str):
     return lsh_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF (inverted-file, spherical-k-means cells) ANN — the index-based
+    sibling of knn_lsh; semantic oracle = algorithm-exact replay in
+    tools/check_oracles.py plus recall-on-clusters in tests."""
+    from graphsetintersection_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
+
+
 def q_embedding_dups(sf_dir: str):
     """Oracle configuration: the EXACT block-pair engine (matches the SQL
     all-pairs join). The production default is the near-linear LSH route —
@@ -802,6 +811,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "knn_topk": q_knn_topk,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_dups": q_embedding_dups,
     "media_metadata": q_media_metadata,
     "event_windows": q_event_windows,

@@ -314,6 +314,179 @@ def dup_pairs(
     raise ValueError(f"unknown dup_pairs method: {method!r}")
 
 
+def _kmeans_cosine(
+    sample: np.ndarray, n_cells: int, iters: int, seed: int
+) -> np.ndarray:
+    """Deterministic spherical k-means on a (rows, dim) sample of
+    NORMALIZED vectors: seeded init from sample rows, argmax-cosine
+    assignment (ties → lowest cell), mean + renormalize update. Empty
+    cells keep their previous centroid. Returns (n_cells, dim)
+    normalized centroids."""
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    return cent
+
+
+IVF_TRAIN_ROWS = 4096
+IVF_KMEANS_ITERS = 8
+
+
+def ivf_topk(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray | list,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    seed: int = 99,
+) -> rd.Dataset:
+    """ANN via an IVF (inverted-file) index — the k-means sibling of
+    ``lsh_topk``. Same output schema as brute force; recall < 1 by
+    construction, measured in tests.
+
+    Train: spherical k-means centroids on a value-defined sample (rows
+    with ``vec_id % stride == 0`` — replayable from the raw table, no
+    dependence on block order), driver-side over <= IVF_TRAIN_ROWS rows,
+    broadcast once. Index: one map_batches pass assigns every vector to
+    its argmax-cosine cell (each non-query vector lives in EXACTLY one
+    cell — no multiprobe replication of the corpus, unlike LSH). Search:
+    each query is replicated into its ``nprobe`` nearest cells; a
+    per-cell groupby computes exact cosines against only that cell's
+    vectors; a final per-query merge keeps the global top-k.
+
+    At 100 TB the corpus-side work is one shuffle keyed by cell
+    (sum(cell_pop * probing_queries) tile work); n_cells ~ sqrt(n) keeps
+    cells worker-heap-sized and the driver holds only the centroid slab."""
+    embeddings = embeddings.materialize()
+    n = embeddings.count()
+    if n_cells is None:
+        n_cells = max(4, int(np.sqrt(n)))
+    if nprobe is None:
+        nprobe = max(2, n_cells // 8)
+    nprobe = min(nprobe, n_cells)
+    stride = max(1, n // IVF_TRAIN_ROWS)
+
+    def _train_rows(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(vid % stride == 0))
+
+    sample_df = (
+        embeddings.map_batches(_train_rows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")  # canonical row order for the seeded init
+    )
+    sample = _normalize(
+        np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    )
+    centroids = _kmeans_cosine(
+        sample, n_cells, iters=IVF_KMEANS_ITERS, seed=seed
+    )
+    cent_ref = ray.put(centroids)
+    qset = set(int(q) for q in query_ids)
+
+    def with_cell(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids, mat = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "embedding": pa.array([], t["embedding"].type),
+                }
+            )
+        nm = _normalize(mat)
+        sims = nm @ cent.T
+        cell = np.argmax(sims, axis=1).astype(np.int64)
+        rep_ids = [ids]
+        rep_cells = [cell]
+        rep_rows = [np.arange(len(ids))]
+        # queries probe their nprobe nearest cells (the home cell is the
+        # argmax, included by construction)
+        q_rows = np.flatnonzero(np.isin(ids, np.fromiter(qset, np.int64)))
+        if len(q_rows) and nprobe > 1:
+            probe = np.argsort(-sims[q_rows], axis=1, kind="stable")[
+                :, 1:nprobe
+            ]
+            for p in range(probe.shape[1]):
+                rep_ids.append(ids[q_rows])
+                rep_cells.append(probe[:, p].astype(np.int64))
+                rep_rows.append(q_rows)
+        emb_list = t["embedding"].combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(rep_ids), pa.int64()),
+                "cell": pa.array(np.concatenate(rep_cells), pa.int64()),
+                "embedding": emb_list.take(
+                    pa.array(np.concatenate(rep_rows), pa.int32())
+                ),
+            }
+        )
+
+    def search_cell(g: pd.DataFrame) -> pa.Table:
+        ids = g["vec_id"].to_numpy()
+        q_mask = np.isin(ids, list(qset))
+        if not q_mask.any() or (~q_mask).sum() == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        qi, qm = ids[q_mask], mat[q_mask]
+        ni, nm = ids[~q_mask], mat[~q_mask]
+        sims = qm @ nm.T
+        kk = min(k, sims.shape[1])
+        nq = len(qi)
+        # (sim desc, neighbor_id asc) — same total order as the final merge
+        q_idx = np.repeat(np.arange(nq), sims.shape[1])
+        order = np.lexsort((np.tile(ni, nq), -sims.ravel(), q_idx))
+        take = (np.arange(nq)[:, None] * sims.shape[1] + np.arange(kk)).ravel()
+        sel = order[take]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qi, kk), pa.int64()),
+                "neighbor_id": pa.array(np.tile(ni, nq)[sel], pa.int64()),
+                "sim": pa.array(
+                    round_half_away(sims.ravel()[sel], 6), pa.float64()
+                ),
+            }
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop_duplicates(["query_id", "neighbor_id"])
+            .sort_values(["sim", "neighbor_id"], ascending=[False, True])
+            .head(k)
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"], pa.int64()),
+                "neighbor_id": pa.array(g["neighbor_id"], pa.int64()),
+                "sim": pa.array(g["sim"].to_numpy(), pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(with_cell, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(search_cell, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
 def lsh_topk(
     embeddings: rd.Dataset,
     query_ids: np.ndarray | list,

@@ -165,6 +165,48 @@ def test_lsh_topk_recall_on_clusters(ray_session):
     assert recall >= 0.6, recall
 
 
+def test_ivf_topk_recall_on_clusters(ray_session):
+    """IVF ANN on the same planted-cluster fixture as the LSH test:
+    k-means cells capture cluster locality, so the cell+nprobe search
+    should recover >= 60% of the brute-force top-5. Also deterministic:
+    two runs return identical tables (seeded sample-defined training)."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((20, 32))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            rows.append(
+                {
+                    "vec_id": vid,
+                    "embedding": (centers[c] + 0.05 * rng.standard_normal(32))
+                    .astype(np.float32)
+                    .tolist(),
+                }
+            )
+            vid += 1
+    emb = rd.from_pandas(pd.DataFrame(rows))
+    qids = [c * 10 for c in range(20)]
+    bf = brute_force_topk(emb, query_ids=qids, k=5).to_pandas()
+    ann = ivf_topk(emb, query_ids=qids, k=5).to_pandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ann_set = set(zip(ann.query_id, ann.neighbor_id))
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.6, recall
+    again = (
+        ivf_topk(emb, query_ids=qids, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    first = ann.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(first, again)
+
+
 def test_lang_id_heuristic(ray_session):
     import ray.data as rd
 

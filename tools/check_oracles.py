@@ -415,6 +415,104 @@ def _check_knn_lsh(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_knn_ivf(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """knn_ivf: algorithm-exact replay with an INDEPENDENT k-means
+    implementation. Recompute the value-defined training sample
+    (vec_id % stride == 0, rows sorted by vec_id), the seeded spherical
+    k-means centroids, every vector's argmax-cosine cell, and each
+    query's nprobe nearest cells; the engine's answer must be (a) drawn
+    from the probed cells' non-query vectors, (b) sim-exact, and (c) the
+    true top-k over those candidates (descending-sim multiset, boundary
+    ties accepted). Recall vs global brute force recorded as info only."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.stages.similarity import (
+        IVF_KMEANS_ITERS,
+        IVF_TRAIN_ROWS,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy().astype(np.int64)
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+
+    # replay training (ivf_topk defaults) with an independent k-means loop
+    qids = list(range(10))
+    k = 5
+    n_cells = max(4, int(np.sqrt(n)))
+    nprobe = min(max(2, n_cells // 8), n_cells)
+    stride = max(1, n // IVF_TRAIN_ROWS)
+    order = np.argsort(ids, kind="stable")
+    sample_rows = order[ids[order] % stride == 0]
+    sample = mat[sample_rows]
+    rng = np.random.default_rng(99)
+    n_cells = min(n_cells, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cent[c] = m / nrm
+    cell_sims = mat @ cent.T
+    cell = np.argmax(cell_sims, axis=1)
+    not_query = ~np.isin(ids, qids)
+
+    sims_ok = True
+    for q, nbr, s in zip(rdf.query_id, rdf.neighbor_id, rdf.sim):
+        true = float(round_half_away(
+            np.array([mat[row_of[int(q)]] @ mat[row_of[int(nbr)]]]), 6)[0])
+        if abs(true - float(s)) > 1e-9:
+            sims_ok = False
+            break
+
+    topk_ok = True
+    candidates_ok = True
+    for q in qids:
+        qrow = row_of[q]
+        probes = set(
+            np.argsort(-cell_sims[qrow], kind="stable")[:nprobe].tolist()
+        )
+        cand = np.flatnonzero(
+            not_query & np.isin(cell, np.fromiter(probes, np.int64)))
+        got = rdf[rdf.query_id == q]
+        got_rows = {row_of[int(nn)] for nn in got.neighbor_id}
+        if not got_rows <= set(cand.tolist()):
+            candidates_ok = False
+        cand_sims = np.asarray(
+            round_half_away(mat[cand] @ mat[qrow], 6))
+        want = np.sort(cand_sims)[::-1][: min(k, len(cand))]
+        have = np.sort(got.sim.to_numpy())[::-1]
+        if len(want) != len(have) or (len(want) and
+                                      np.abs(want - have).max() > 1e-9):
+            topk_ok = False
+
+    exact = set()
+    qmask = np.isin(ids, qids)
+    for q in qids:
+        sims = mat @ mat[row_of[q]]
+        sims[qmask] = -np.inf
+        order_q = np.lexsort((ids, -sims))[:k]
+        exact |= {(q, int(ids[i])) for i in order_q}
+    got_pairs = set(zip(rdf.query_id.astype(int), rdf.neighbor_id.astype(int)))
+    recall = len(got_pairs & exact) / len(exact) if exact else 1.0
+    return {
+        "check": "ivf_algorithm_exact_replay",
+        "sims_correct": bool(sims_ok),
+        "neighbors_within_probed_cells": bool(candidates_ok),
+        "topk_over_candidates_exact": bool(topk_ok),
+        "info_recall_vs_global_bruteforce": recall,
+        "pass": bool(sims_ok and candidates_ok and topk_ok),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
     "gro_order": _check_gro_order,
@@ -425,6 +523,7 @@ SEMANTIC_CHECKS = {
     "slashburn_order": _check_slashburn_order,
     "simhash_pairs": _check_simhash_pairs,
     "knn_lsh": _check_knn_lsh,
+    "knn_ivf": _check_knn_ivf,
 }
 
 
