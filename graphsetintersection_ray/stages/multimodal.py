@@ -98,6 +98,94 @@ class DecodeStage:
         return pa.table({"doc_id": batch["doc_id"], "frame": frame_col})
 
 
+class ResizeStage:
+    """Actor-pool stage: decoded frame → downsampled frame by mean
+    pooling (REAL, pure NumPy — resize of an already-decoded dense array
+    needs no imaging library; only the codec step is stubbed). Input
+    ``frame`` lists are (in_shape) images row-major; output lists are
+    (out_shape). in_shape must be an integer multiple of out_shape per
+    axis — the cheap exact case; fractional bilinear resize would slot in
+    here with the same signature."""
+
+    def __init__(self, in_shape: tuple = (8, 8), out_shape: tuple = (4, 4)):
+        if any(i % o for i, o in zip(in_shape, out_shape)):
+            raise ValueError(
+                f"in_shape {in_shape} not a multiple of out_shape {out_shape}"
+            )
+        self.in_shape = tuple(in_shape)
+        self.out_shape = tuple(out_shape)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = batch["frame"].combine_chunks()
+        n = len(lists)
+        ih, iw = self.in_shape
+        oh, ow = self.out_shape
+        mat = lists.values.to_numpy(zero_copy_only=False).reshape(n, ih, iw)
+        # one vectorized mean-pool over the whole batch
+        pooled = mat.reshape(n, oh, ih // oh, ow, iw // ow).mean(
+            axis=(2, 4), dtype=np.float32
+        )
+        offsets = np.arange(n + 1, dtype=np.int32) * (oh * ow)
+        out_col = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(pooled.ravel(), pa.float32())
+        )
+        return pa.table({"doc_id": batch["doc_id"], "frame": out_col})
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video-like rows → every k-th frame (REAL, pure
+    NumPy). Input schema (doc_id, frames: list<float32>, n_frames:
+    int32) where ``frames`` is n_frames consecutive equal-size frame
+    vectors; output keeps frames 0, k, 2k, ... per row — the
+    deterministic stride sampling a video pipeline runs before feature
+    extraction. Rows may have differing n_frames within one batch."""
+
+    def __init__(self, every_k: int = 2):
+        if every_k < 1:
+            raise ValueError("every_k must be >= 1")
+        self.every_k = int(every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = batch["frames"].combine_chunks()
+        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        values = lists.values.to_numpy(zero_copy_only=False)
+        row_len = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        frame_size = np.where(
+            n_frames > 0, row_len // np.maximum(n_frames, 1), 0
+        )
+        # per-row kept-frame counts → one flat gather index, no row loop
+        kept = np.where(n_frames > 0, (n_frames - 1) // self.every_k + 1, 0)
+        row_starts = np.concatenate(([0], np.cumsum(row_len)))[:-1]
+        # element index = row_start + (frame_idx*every_k)*frame_size + pos
+        out_elems = kept * frame_size
+        gather = np.empty(int(out_elems.sum()), np.int64)
+        pos = 0
+        for i in range(len(n_frames)):  # rows, not elements: O(batch rows)
+            fs = int(frame_size[i])
+            idx = (
+                row_starts[i]
+                + (np.arange(kept[i])[:, None] * self.every_k * fs)
+                + np.arange(fs)[None, :]
+            )
+            gather[pos : pos + idx.size] = idx.ravel()
+            pos += idx.size
+        offsets = np.concatenate(
+            ([0], np.cumsum(out_elems))
+        ).astype(np.int32)
+        out_col = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(values[gather], pa.float32())
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frames": out_col,
+                "n_frames": pa.array(kept.astype(np.int32), pa.int32()),
+            }
+        )
+
+
 class FeatureExtract:
     """Actor-pool stage: decoded frame → feature vector (mean/std pooling
     stand-in for a real embedding model; model load would go in
