@@ -638,6 +638,12 @@ def q_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(token_count, batch_format="pandas")
 
 
+def q_token_count_bpe(sf_dir: str):
+    from graphsetintersection_ray.stages.text import token_count_bpe
+
+    return _docs(sf_dir).map_batches(token_count_bpe, batch_format="pandas")
+
+
 def q_text_quality(sf_dir: str):
     from graphsetintersection_ray.stages.text import TextQualityScorer
 
@@ -802,6 +808,7 @@ QUERIES = {
     "customer_revenue": q_customer_revenue,
     "top_parts": q_top_parts,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -820,6 +827,15 @@ QUERIES = {
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
+
+# the BPE/whitespace patterns are raw strings of portable regex syntax —
+# single-quote-escaped they are byte-identical inside a DuckDB literal
+from graphsetintersection_ray.stages.text import (  # noqa: E402
+    BPE_TOKEN_RE as _BPE_RE,
+    WS_TOKEN_RE as _WS_RE,
+)
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
 
 _LANG_SCORES_SQL = """
 ls AS (
@@ -1077,6 +1093,11 @@ ORDER BY total_qty DESC, l_partkey LIMIT 10""",
     "token_count": (
         "SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) "
         "AS n_tokens FROM documents"
+    ),
+    "token_count_bpe": (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_RE_SQL}')) "
+        f"AS n_tokens, len(regexp_extract_all(text, '{_WS_RE}')) "
+        "AS n_ws_tokens FROM documents"
     ),
     "text_quality": f"""
 SELECT doc_id,

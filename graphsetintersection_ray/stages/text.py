@@ -23,6 +23,22 @@ import pyarrow as pa
 
 TOKEN_RE = r"[a-zA-Z0-9_]+"
 
+# GPT-2-style BPE pre-tokenization split, restricted to lookahead-free
+# ASCII constructs so Python re and DuckDB RE2 produce identical matches:
+# contraction suffixes, space-prefixed letter/digit/punctuation runs,
+# whitespace runs. (The original GPT-2 pattern's \p{L}/\p{N} classes and
+# trailing-space lookahead are not portable across the two engines.)
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[a-zA-Z]+"
+    r"| ?[0-9]+"
+    r"| ?[^a-zA-Z0-9 \t\n\r\f]+"
+    r"|[ \t\n\r\f]+"
+)
+
+# whitespace-delimited word runs (the "whitespace tokenizer")
+WS_TOKEN_RE = r"[^ \t\n\r\f]+"
+
 EN_STOPWORDS = ("the", "and", "of", "to", "is")
 
 # language marker words; ties broken by this ordering (first wins)
@@ -39,6 +55,26 @@ def token_count(batch: pd.DataFrame) -> pa.Table:
     n = batch["text"].str.count(TOKEN_RE).astype(np.int64)
     return pa.table(
         {"doc_id": pa.array(batch["doc_id"], pa.int64()), "n_tokens": pa.array(n)}
+    )
+
+
+def token_count_bpe(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, n_tokens, n_ws_tokens): BPE-ish pre-tokenizer count
+    (GPT-2 split pattern, portable subset — see BPE_TOKEN_RE) alongside
+    the plain whitespace-split count. Vectorized pandas-str over the
+    batch; the SQL oracle recomputes both via regexp_extract_all with
+    the byte-identical patterns."""
+    text = batch["text"]
+    return pa.table(
+        {
+            "doc_id": pa.array(batch["doc_id"], pa.int64()),
+            "n_tokens": pa.array(
+                text.str.count(BPE_TOKEN_RE).astype(np.int64)
+            ),
+            "n_ws_tokens": pa.array(
+                text.str.count(WS_TOKEN_RE).astype(np.int64)
+            ),
+        }
     )
 
 

@@ -207,6 +207,54 @@ def test_ivf_topk_recall_on_clusters(ray_session):
     pd.testing.assert_frame_equal(first, again)
 
 
+def test_token_count_bpe_matches_duckdb(ray_session):
+    """The BPE-ish pre-tokenizer count must agree between pandas/re and
+    DuckDB/RE2 on adversarial strings (contractions, digit runs, mixed
+    punctuation, repeated whitespace, empties) — the portability claim
+    behind the SQL oracle."""
+    import duckdb
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import (
+        BPE_TOKEN_RE,
+        WS_TOKEN_RE,
+        token_count_bpe,
+    )
+
+    texts = [
+        "don't stop, it's 2x42 tokens!",
+        "I'll we've they're he'd I'm that's",
+        "  leading and   trailing  ",
+        "",
+        "no-punct",
+        "a1b2c3",
+        "tabs\tand\nnewlines\r\nmix",
+        "... !!! ??? '' ' lone quotes",
+        "snake_case under_scores",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        rd.from_pandas(df)
+        .map_batches(token_count_bpe, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    bpe_sql = BPE_TOKEN_RE.replace("'", "''")
+    want = con.execute(
+        f"SELECT doc_id, len(regexp_extract_all(text, '{bpe_sql}')) AS n_tokens, "
+        f"len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS n_ws_tokens "
+        "FROM documents ORDER BY doc_id"
+    ).df()
+    assert got.n_tokens.tolist() == want.n_tokens.tolist()
+    assert got.n_ws_tokens.tolist() == want.n_ws_tokens.tolist()
+    # sanity on semantics: "don't" splits into [don]["'t"], whitespace is
+    # its own token stream position
+    assert got.n_tokens[3] == 0 and got.n_ws_tokens[3] == 0
+
+
 def test_lang_id_heuristic(ray_session):
     import ray.data as rd
 
