@@ -155,6 +155,59 @@ def distributed_peel_order(
     return order
 
 
+def coreness(art: GraphArtifacts) -> pa.Table:
+    """(v, core): k-core decomposition — core(v) = the largest k such that
+    v belongs to a subgraph of minimum degree k.
+
+    Exact level-batched peel (Matula-Beck semantics, the same bucket-queue
+    family as the reference's degeneracy peel that seeds its BK recursion):
+    at level k, repeatedly strip ALL active vertices with residual degree
+    <= k until none remain (the cascade), assigning core = k; then jump k
+    to the next occupied residual-degree level. Every inner iteration is
+    one remote bincount per cached edge block + an O(V) driver vector
+    update — the same per-round cost and scale caveat as
+    distributed_peel_order above (at 10^9 vertices the O(V) driver arrays
+    need a superstep re-expression; documented)."""
+    n = art.n_vertices
+    refs = art.sym.materialize().to_arrow_refs()
+    deg = np.zeros(n, np.int64)
+    ddf = art.degrees.to_pandas()
+    deg[ddf["v"].to_numpy()] = ddf["degree"].to_numpy()
+
+    active = np.ones(n, bool)
+    core = np.zeros(n, np.int64)
+    rounds = 0
+    k = 0
+    while active.any():
+        k = max(k, int(deg[active].min()))
+        while True:
+            batch = np.flatnonzero(active & (deg <= k))
+            if len(batch) == 0:
+                break
+            core[batch] = k
+            active[batch] = False
+            rounds += 1
+            if not active.any():
+                break
+            removed_mask = np.zeros(n, bool)
+            removed_mask[batch] = True
+            decs = ray.get(
+                [_peel_decrements.remote(r, removed_mask, n) for r in refs]
+            )
+            deg -= np.sum(decs, axis=0)
+    import logging
+
+    logging.getLogger(__name__).info(
+        "coreness: %d vertices, degeneracy %d, %d rounds", n, core.max(), rounds
+    )
+    return pa.table(
+        {
+            "v": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+            "core": pa.array(core, pa.int64()),
+        }
+    )
+
+
 def _tomita(R: list, P: np.ndarray, X: np.ndarray, offsets, flat, out: list):
     """Bron-Kerbosch with Tomita pivoting (org_maximal_clique.cpp:169-314).
     P, X sorted int arrays; emits maximal cliques R∪... into out."""

@@ -1,0 +1,452 @@
+"""Per-edge set-intersection queries: triangle support and link-prediction
+scores over the transcript-derived graph.
+
+Per-edge triangle support IS |N(u) ∩ N(v)| — the same intersection the
+reference's flagship kernel computes per oriented edge
+(org_triangle_count.cpp:56-86) but aggregated per EDGE instead of summed
+per vertex, which makes it the common-neighbor count of classic link
+prediction and the building block of k-truss decomposition. Jaccard and
+Adamic-Adar are the standard normalizations of that intersection
+(Liben-Nowell & Kleinberg 2003, public).
+
+Distributed plan — reuses the triangle kernels' exactly-once enumeration
+(pipelines/triangle.py): every discovered triangle {a, b, c} contributes
+one common neighbor to each of its three edges. Both the broadcast wedge
+path and the at-scale joined-bucket path emit the same pre-aggregated
+corner relation
+
+    (ek:int64, other:int32, c:int64)
+
+where ek packs the canonical edge (min<<32 | max, original ids), other is
+the third triangle vertex, and c is the within-batch multiplicity (the
+map-side combiner: batches pre-aggregate before any shuffle). Then
+
+    support / cn  = Σ c per ek                        (one bucketed shuffle)
+    adamic_adar   = Σ c / ln(deg(other)) per ek       (broadcast deg when it
+                    fits, hash join on `other` otherwise — same gating as
+                    stages/graph_build.orient_by_degree)
+    jaccard       = cn / (deg(u) + deg(v) − cn)
+
+Zero-support edges are preserved with a left join against the canonical
+edge table, so every input edge appears in the output exactly once.
+Floats are rounded half-away at 6 decimals (the repo's SQL-ROUND parity
+convention, functions/kernels.round_half_away).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pandas as pd
+
+import ray.data
+
+from graphsetintersection_ray.functions.kernels import round_half_away
+from graphsetintersection_ray.pipelines import triangle as tri
+from graphsetintersection_ray.stages import graph_build as gb
+from graphsetintersection_ray.stages.graph_build import compact_blocks
+from graphsetintersection_ray.stages.shuffle import sum_by
+
+_EMPTY_REL = pa.table(
+    {
+        "ek": pa.array([], pa.int64()),
+        "other": pa.array([], pa.int32()),
+        "c": pa.array([], pa.int64()),
+    }
+)
+
+
+def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Canonical edge key: (min << 32) | max over original int ids."""
+    u = u.astype(np.int64)
+    v = v.astype(np.int64)
+    return (np.minimum(u, v) << np.int64(32)) | np.maximum(u, v)
+
+
+def _corner_table(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> pa.Table:
+    """Triangle corners → pre-aggregated (ek, other, c) rows: 3 per
+    triangle (edge ab sees c, edge ac sees b, edge bc sees a), combined
+    by (ek, other) within the batch before the shuffle."""
+    ek = np.concatenate([_pack(a, b), _pack(a, c), _pack(b, c)])
+    other = np.concatenate([c, b, a]).astype(np.int64)
+    order = np.lexsort((other, ek))
+    ek, other = ek[order], other[order]
+    newseg = np.empty(len(ek), dtype=bool)
+    newseg[0] = True
+    np.logical_or(ek[1:] != ek[:-1], other[1:] != other[:-1], out=newseg[1:])
+    starts = np.flatnonzero(newseg)
+    counts = np.diff(np.append(starts, len(ek)))
+    return pa.table(
+        {
+            "ek": pa.array(ek[starts], pa.int64()),
+            "other": pa.array(other[starts].astype(np.int32), pa.int32()),
+            "c": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _make_wedge_corner_kernel(state_ref):
+    import ray as _ray
+
+    def corners(t: pa.Table) -> pa.Table:
+        state = _ray.get(state_ref)
+        orig_of_rank = state[3]
+        hits = tri._wedge_hits(state, t)
+        if hits is None:
+            return _EMPTY_REL
+        a, b, c = (orig_of_rank[h] for h in hits)
+        return _corner_table(a, b, c)
+
+    return corners
+
+
+def _bucket_corner_rel(batch: pd.DataFrame) -> pa.Table:
+    hits = tri._bucket_hits(batch)
+    if hits is None:
+        return _EMPTY_REL
+    return _corner_table(*hits)
+
+
+def edge_corner_rel(
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    n_vertices: int | None = None,
+    n_edges: int | None = None,
+) -> ray.data.Dataset:
+    """(ek, other, c): one pre-aggregated common-neighbor row per distinct
+    (edge, third vertex). Broadcast wedge path under
+    GRAFT_BROADCAST_MAX_EDGES (shares the cached wedge state with triangle
+    counting), joined-bucket path at scale."""
+    if n_edges is None:
+        n_edges = oriented_edges.count()
+    if n_edges <= tri.BROADCAST_MAX_EDGES:
+        mat, state_ref = tri.wedge_state_for(
+            oriented_edges, num_partitions, n_vertices
+        )
+        return mat.map_batches(
+            _make_wedge_corner_kernel(state_ref),
+            batch_format="pyarrow",
+            batch_size=8_192,
+        )
+    return tri._joined_buckets(
+        oriented_edges, num_partitions, n_edges
+    ).map_groups(_bucket_corner_rel, batch_format="pandas")
+
+
+def _packed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Canonical edge table (src < dst) → (u, v, ek)."""
+
+    def pack(t: pa.Table) -> pa.Table:
+        u = t["src"].to_numpy(zero_copy_only=False)
+        v = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(u.astype(np.int32), pa.int32()),
+                "v": pa.array(v.astype(np.int32), pa.int32()),
+                "ek": pa.array(_pack(u, v), pa.int64()),
+            }
+        )
+
+    return edges.map_batches(pack, batch_format="pyarrow", batch_size=None)
+
+
+def edge_support(art) -> ray.data.Dataset:
+    """(u, v, support): triangles through every canonical edge — the
+    k-truss support function. Zero-support edges included (LEFT join)."""
+    rel = edge_corner_rel(
+        art.oriented, art.num_partitions, art.n_vertices, art.n_edges
+    )
+    sup = compact_blocks(sum_by(rel, ["ek"], "c", out_col="support"))
+    joined = _packed_edges(art.edges).join(
+        sup,
+        join_type="left_outer",
+        num_partitions=art.num_partitions,
+        on=("ek",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["support"].to_numpy(zero_copy_only=False)
+        s = np.where(np.isnan(s.astype(np.float64)), 0, s).astype(np.int64)
+        return pa.table(
+            {
+                "u": t["u"].cast(pa.int32()),
+                "v": t["v"].cast(pa.int32()),
+                "support": pa.array(s, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _aa_terms_broadcast(rel: ray.data.Dataset, deg_ref) -> ray.data.Dataset:
+    """(ek, c, aap): Adamic-Adar partial per corner row via the broadcast
+    dense degree vector. deg(other) >= 2 always — a common neighbor has
+    both endpoints as neighbors — so ln() never hits zero."""
+    import ray as _ray
+
+    def terms(t: pa.Table) -> pa.Table:
+        deg = _ray.get(deg_ref)
+        other = t["other"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        aap = c.astype(np.float64) / np.log(deg[other].astype(np.float64))
+        return pa.table(
+            {
+                "ek": t["ek"],
+                "c": t["c"],
+                "aap": pa.array(aap, pa.float64()),
+            }
+        )
+
+    return rel.map_batches(terms, batch_format="pyarrow", batch_size=None)
+
+
+def _aa_terms_join(
+    rel: ray.data.Dataset, degrees: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Same relation via a hash join on `other` — the at-scale path (no
+    O(V) broadcast)."""
+    joined = rel.join(
+        degrees,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("other",),
+        right_on=("v",),
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "ek": t["ek"],
+                "c": t["c"],
+                "aap": pa.array(c.astype(np.float64) / np.log(d), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(terms, batch_format="pyarrow", batch_size=None)
+
+
+def link_scores(art) -> ray.data.Dataset:
+    """(u, v, cn, jaccard, adamic_adar) for every canonical edge.
+
+    cn = |N(u) ∩ N(v)|; jaccard = cn / (deg(u)+deg(v)−cn);
+    adamic_adar = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)). Floats rounded
+    half-away at 6 decimals (SQL ROUND parity)."""
+    import ray as _ray
+
+    rel = edge_corner_rel(
+        art.oriented, art.num_partitions, art.n_vertices, art.n_edges
+    )
+    broadcast = art.n_vertices <= gb.BROADCAST_MAX_VERTICES
+    if broadcast:
+        ddf = art.degrees.to_pandas()
+        deg_vec = np.zeros(art.n_vertices, np.int64)
+        deg_vec[ddf["v"].to_numpy()] = ddf["degree"].to_numpy()
+        deg_ref = _ray.put(deg_vec)
+        terms = _aa_terms_broadcast(rel, deg_ref)
+    else:
+        terms = _aa_terms_join(rel, art.degrees, art.num_partitions)
+    agg = compact_blocks(
+        sum_by(terms, ["ek"], ["c", "aap"], out_col=["cn", "aa"])
+    )
+    joined = _packed_edges(art.edges).join(
+        agg,
+        join_type="left_outer",
+        num_partitions=art.num_partitions,
+        on=("ek",),
+    )
+
+    if broadcast:
+
+        def finish(t: pa.Table) -> pa.Table:
+            deg = _ray.get(deg_ref)
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cn = np.where(np.isnan(cn), 0.0, cn)
+            aa = t["aa"].to_numpy(zero_copy_only=False).astype(np.float64)
+            aa = np.where(np.isnan(aa), 0.0, aa)
+            union = deg[u] + deg[v] - cn
+            return pa.table(
+                {
+                    "u": pa.array(u.astype(np.int32), pa.int32()),
+                    "v": pa.array(v.astype(np.int32), pa.int32()),
+                    "cn": pa.array(cn.astype(np.int64), pa.int64()),
+                    "jaccard": pa.array(
+                        round_half_away(cn / union, 6), pa.float64()
+                    ),
+                    "adamic_adar": pa.array(
+                        round_half_away(aa, 6), pa.float64()
+                    ),
+                }
+            )
+
+        return joined.map_batches(
+            finish, batch_format="pyarrow", batch_size=None
+        )
+
+    # at-scale: endpoint degrees via two projected hash joins (the
+    # orient_by_degree pattern, stages/graph_build.py); join inputs
+    # compacted — shuffle outputs carry column-less empty blocks that
+    # break Acero (see stages/graph_build.compact_blocks)
+    j1 = compact_blocks(joined).join(
+        art.degrees,
+        join_type="inner",
+        num_partitions=art.num_partitions,
+        on=("u",),
+        right_on=("v",),
+    ).map_batches(
+        lambda t: t.select(["u", "v", "cn", "aa", "degree"]).rename_columns(
+            ["u", "v", "cn", "aa", "deg_u"]
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    j2 = compact_blocks(j1).join(
+        art.degrees,
+        join_type="inner",
+        num_partitions=art.num_partitions,
+        on=("v",),
+        right_on=("v",),
+    )
+
+    def finish_join(t: pa.Table) -> pa.Table:
+        cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cn = np.where(np.isnan(cn), 0.0, cn)
+        aa = t["aa"].to_numpy(zero_copy_only=False).astype(np.float64)
+        aa = np.where(np.isnan(aa), 0.0, aa)
+        du = t["deg_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = du + dv - cn
+        return pa.table(
+            {
+                "u": t["u"].cast(pa.int32()),
+                "v": t["v"].cast(pa.int32()),
+                "cn": pa.array(cn.astype(np.int64), pa.int64()),
+                "jaccard": pa.array(round_half_away(cn / union, 6), pa.float64()),
+                "adamic_adar": pa.array(round_half_away(aa, 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finish_join, batch_format="pyarrow", batch_size=None)
+
+
+def trussness(art, max_rounds: int = 100_000) -> ray.data.Dataset:
+    """(u, v, truss) per canonical edge: truss(e) = the largest k such that
+    e belongs to the k-truss (the maximal subgraph where every edge closes
+    >= k-2 triangles). Iterative support peel (Cohen 2008, public).
+
+    Each round recomputes the support of the SURVIVING subgraph with the
+    same distributed corner-relation plan as edge_support — re-derive
+    degrees (one bucketed shuffle), re-orient toward the higher-degree
+    endpoint, enumerate triangles exactly once, sum per edge — then strips
+    every edge with support <= k-2 (cascades keep k; when the residual
+    minimum support rises, k jumps to min_support + 2, skipping empty
+    levels). All edge state stays in Ray datasets (materialized per round
+    to keep lineage flat); the driver sees only scalar counts. Removed
+    slices accumulate as materialized datasets and union at the end, so
+    nothing is ever collected driver-side."""
+    import pyarrow.compute as pc
+
+    alive = _packed_edges(art.edges).materialize()
+    parts: list[ray.data.Dataset] = []
+    k = 2
+    for _ in range(max_rounds):
+        n_alive = alive.count()
+        if n_alive == 0:
+            break
+        edges_r = alive.map_batches(
+            lambda t: pa.table({"src": t["u"], "dst": t["v"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+        sym_r = edges_r.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        degs_r = gb.degrees(sym_r)
+        oriented_r = gb.orient_by_degree(
+            edges_r, degs_r, num_partitions=art.num_partitions,
+            n_vertices=art.n_vertices,
+        )
+        rel = edge_corner_rel(
+            oriented_r, art.num_partitions, art.n_vertices, n_alive
+        )
+        sup = compact_blocks(sum_by(rel, ["ek"], "c", out_col="support"))
+        if sup.count() == 0:
+            # no triangle left anywhere: every surviving edge has support 0,
+            # which can only happen while k == 2 (higher levels imply the
+            # previous cascade already stripped support-0 edges). Joining an
+            # all-empty aggregate also trips Ray's schema-less empty blocks,
+            # so finish directly.
+            def stamp_rest(t: pa.Table, _k=k) -> pa.Table:
+                return pa.table(
+                    {
+                        "u": t["u"].cast(pa.int32()),
+                        "v": t["v"].cast(pa.int32()),
+                        "truss": pa.array(
+                            np.full(t.num_rows, _k, np.int64), pa.int64()
+                        ),
+                    }
+                )
+
+            parts.append(
+                alive.map_batches(
+                    stamp_rest, batch_format="pyarrow", batch_size=None
+                ).materialize()
+            )
+            break
+        joined = alive.join(
+            sup,
+            join_type="left_outer",
+            num_partitions=art.num_partitions,
+            on=("ek",),
+        ).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("support"),
+                "support",
+                pc.fill_null(t["support"], 0),
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+        smin = int(joined.min("support"))
+        if smin > k - 2:
+            k = smin + 2
+        kk = k  # bind for the closure
+
+        def stamp(t: pa.Table, _k=kk) -> pa.Table:
+            return pa.table(
+                {
+                    "u": t["u"].cast(pa.int32()),
+                    "v": t["v"].cast(pa.int32()),
+                    "truss": pa.array(
+                        np.full(t.num_rows, _k, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        removed = joined.filter(expr=f"support <= {kk - 2}")
+        parts.append(
+            removed.map_batches(
+                stamp, batch_format="pyarrow", batch_size=None
+            ).materialize()
+        )
+        alive = compact_blocks(
+            joined.filter(expr=f"support > {kk - 2}").drop_columns(
+                ["support"]
+            )
+        )
+    else:
+        raise RuntimeError("trussness: max_rounds exceeded")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -127,6 +127,38 @@ def q_triangle_per_vertex(sf_dir: str):
     return per_vertex_triangles(art.oriented, num_partitions=art.num_partitions, n_vertices=art.n_vertices, n_edges=art.n_edges)
 
 
+def q_edge_support(sf_dir: str):
+    """Per-edge triangle support |N(u) ∩ N(v)| — the k-truss support
+    function; zero-support edges included."""
+    from graphsetintersection_ray.pipelines.linkpred import edge_support
+
+    return edge_support(build_graph(sf_dir))
+
+
+def q_link_scores(sf_dir: str):
+    """Common-neighbor / Jaccard / Adamic-Adar link-prediction scores per
+    canonical edge (floats rounded half-away at 6 decimals)."""
+    from graphsetintersection_ray.pipelines.linkpred import link_scores
+
+    return link_scores(build_graph(sf_dir))
+
+
+def q_coreness(sf_dir: str):
+    """k-core decomposition (level-batched distributed peel; semantic
+    oracle = independent sequential Matula-Beck replay)."""
+    from graphsetintersection_ray.pipelines.cliques import coreness
+
+    return coreness(build_graph(sf_dir))
+
+
+def q_trussness(sf_dir: str):
+    """k-truss decomposition (iterative distributed support peel;
+    semantic oracle = textbook one-edge-at-a-time replay)."""
+    from graphsetintersection_ray.pipelines.linkpred import trussness
+
+    return trussness(build_graph(sf_dir))
+
+
 def q_pagerank_fixed(sf_dir: str):
     """Exactly PAGERANK_ORACLE_ITERS power iterations (deterministic,
     SQL-reproducible); scores rounded to 6 decimals for hash-stable
@@ -784,6 +816,10 @@ QUERIES = {
     "csr_adjacency": q_csr_adjacency,
     "triangle_count": q_triangle_count,
     "triangle_per_vertex": q_triangle_per_vertex,
+    "edge_support": q_edge_support,
+    "link_scores": q_link_scores,
+    "coreness": q_coreness,
+    "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
@@ -904,6 +940,40 @@ ORACLE_SQL = {
         "SELECT v, count(*) AS triangles FROM ("
         "  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri "
         "  UNION ALL SELECT c FROM tri) GROUP BY v"
+    ),
+    "edge_support": _with(
+        """tri_e AS (
+  SELECT e.src AS u, e.dst AS v
+  FROM edges e
+  JOIN sym a ON a.src = e.src
+  JOIN sym b ON b.src = e.dst AND b.dst = a.dst
+)
+SELECT e.src AS u, e.dst AS v, CAST(count(te.u) AS BIGINT) AS support
+FROM edges e LEFT JOIN tri_e te ON te.u = e.src AND te.v = e.dst
+GROUP BY e.src, e.dst"""
+    ),
+    "link_scores": _with(
+        """cnw AS (
+  SELECT e.src AS u, e.dst AS v, a.dst AS w
+  FROM edges e
+  JOIN sym a ON a.src = e.src
+  JOIN sym b ON b.src = e.dst AND b.dst = a.dst
+),
+agg AS (
+  SELECT cnw.u AS u, cnw.v AS v,
+         count(*) AS cn, sum(1.0 / ln(d.degree)) AS aa
+  FROM cnw JOIN deg d ON d.v = cnw.w
+  GROUP BY cnw.u, cnw.v
+)
+SELECT e.src AS u, e.dst AS v,
+       CAST(coalesce(agg.cn, 0) AS BIGINT) AS cn,
+       round(coalesce(agg.cn, 0)
+             / (du.degree + dv.degree - coalesce(agg.cn, 0)), 6) AS jaccard,
+       round(coalesce(agg.aa, 0.0), 6) AS adamic_adar
+FROM edges e
+JOIN deg du ON du.v = e.src
+JOIN deg dv ON dv.v = e.dst
+LEFT JOIN agg ON agg.u = e.src AND agg.v = e.dst"""
     ),
     "pagerank_fixed": _with(
         f"""pr AS (

@@ -41,9 +41,8 @@ from graphsetintersection_ray.functions.segments import segment_starts
 from graphsetintersection_ray.stages.graph_build import build_csr
 
 
-def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
-    """One bucket of (src, dst, nbrs_dst) rows → partial per-vertex triangle
-    counts.
+def _bucket_hits(batch: pd.DataFrame):
+    """Triangle corners discovered in one joined bucket.
 
     Zero-replication kernel: after sorting by (src, dst), the rows of a src
     segment ARE N+(src), so side A is the edge list itself keyed by
@@ -51,7 +50,11 @@ def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
     the segment (a Σ outdeg² blowup otherwise). Side B (the joined
     neighbor list of each row's dst) is searched against A with one
     galloping np.searchsorted — the batched analog of the reference's
-    skew-side galloping kernel (intersection_algos.cpp:88-114)."""
+    skew-side galloping kernel (intersection_algos.cpp:88-114).
+
+    Returns (a, b, c) original-id arrays — one triangle per element, with
+    (a, b) and (a, c) and (b, c) all oriented edges — or None when the
+    bucket closes no triangle."""
     src = batch["src"].to_numpy()
     dst = batch["dst"].to_numpy()
     nbrs_bin = batch["nbrs_bin"].to_numpy()  # object array of int32-byte blobs
@@ -80,20 +83,28 @@ def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
     keys_b = (seg_of_row[rows_b] << np.int64(32)) | values_b.astype(np.int64)
 
     if len(keys_b) == 0 or n == 0:
-        return pa.table(
-            {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
-        )
+        return None
     idx = np.searchsorted(keys_a, keys_b)
     idx[idx == n] = 0
     hit = keys_a[idx] == keys_b
     rows = rows_b[hit]
+    if len(rows) == 0:
+        return None
     w = values_b[hit]
     # each match closes the triangle (src[row], dst[row], w)
-    touched = np.concatenate([src[rows], dst[rows], w]).astype(np.int64)
-    if len(touched) == 0:
+    return src[rows], dst[rows], w
+
+
+def _bucket_triangle_partials(batch: pd.DataFrame) -> pa.Table:
+    """One bucket of (src, dst, nbrs_dst) rows → partial per-vertex triangle
+    counts (see _bucket_hits for the kernel)."""
+    hits = _bucket_hits(batch)
+    if hits is None:
         return pa.table(
             {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
         )
+    a, b, c = hits
+    touched = np.concatenate([a, b, c]).astype(np.int64)
     v, cnt = np.unique(touched, return_counts=True)
     return pa.table(
         {"v": pa.array(v.astype(np.int32)), "partial": pa.array(cnt.astype(np.int64))}
@@ -214,61 +225,72 @@ def _bitmap_hash(keys: np.ndarray, bitmap_bits: int) -> np.ndarray:
     ) >> np.uint64(64 - bitmap_bits)
 
 
+def _wedge_hits(state, t: pa.Table):
+    """Triangle corners (as degree ranks) closed by one batch of oriented
+    edges, against the broadcast wedge state. Returns (u, v, w) rank arrays
+    with u < v < w — one triangle per element — or None."""
+    (
+        edge_keys, offsets, flat, orig_of_rank, rank_of, bitmap,
+        bitmap_bits,
+    ) = state
+    if t.num_rows == 0 or len(edge_keys) == 0:
+        return None
+    # this batch's edges, relabeled to ranks (rank_of comes from the
+    # broadcast state — built once, shared zero-copy via the object store)
+    u = rank_of[t["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
+    v = rank_of[t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
+    # position of (u,v) in the global sorted edge array = start of its
+    # wedge partners (every w after v in N+(u))
+    pos = np.searchsorted(edge_keys, (u << np.int64(32)) | v)
+    seg_end = offsets[u + 1]
+    lens = seg_end - pos - 1
+    lens = np.maximum(lens, 0)
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    # wedge (v, w) for each w in N+(u) after v — each wedge once
+    idx = np.repeat(pos + 1, lens) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    w = flat[idx]
+    wedge_v = np.repeat(v, lens)
+    wedge_u = np.repeat(u, lens)
+    wkeys = (wedge_v << np.int64(32)) | w
+    # stage 1 — bitmap pre-filter (1 byte gather per probe)
+    hp = _bitmap_hash(wkeys, bitmap_bits)
+    maybe = (bitmap[hp >> np.uint64(3)] & (np.uint8(1) << (hp & np.uint64(7)).astype(np.uint8))) != 0
+    cand = np.flatnonzero(maybe)
+    if len(cand) == 0:
+        return None
+    # stage 2 — exact membership; probes sorted so successive binary
+    # searches touch neighboring regions of edge_keys (cache-coherent)
+    ckeys = wkeys[cand]
+    probe_order = np.argsort(ckeys, kind="stable")
+    sorted_probes = ckeys[probe_order]
+    widx = np.searchsorted(edge_keys, sorted_probes)
+    widx[widx == len(edge_keys)] = 0
+    hit_sorted = edge_keys[widx] == sorted_probes
+    hit = np.zeros(len(wkeys), bool)
+    hit[cand[probe_order]] = hit_sorted
+    if not hit.any():
+        return None
+    return wedge_u[hit], wedge_v[hit], w[hit]
+
+
 def _make_wedge_counter(state_ref):
     import ray as _ray
 
     def count_batch(t: pa.Table) -> pa.Table:
-        (
-            edge_keys, offsets, flat, orig_of_rank, rank_of, bitmap,
-            bitmap_bits,
-        ) = _ray.get(state_ref)
+        state = _ray.get(state_ref)
+        orig_of_rank = state[3]
         empty = pa.table(
             {"v": pa.array([], pa.int32()), "partial": pa.array([], pa.int64())}
         )
-        if t.num_rows == 0 or len(edge_keys) == 0:
+        hits = _wedge_hits(state, t)
+        if hits is None:
             return empty
-        # this batch's edges, relabeled to ranks (rank_of comes from the
-        # broadcast state — built once, shared zero-copy via the object store)
-        u = rank_of[t["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
-        v = rank_of[t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
-        # position of (u,v) in the global sorted edge array = start of its
-        # wedge partners (every w after v in N+(u))
-        pos = np.searchsorted(edge_keys, (u << np.int64(32)) | v)
-        seg_end = offsets[u + 1]
-        lens = seg_end - pos - 1
-        lens = np.maximum(lens, 0)
-        total = int(lens.sum())
-        if total == 0:
-            return empty
-        # wedge (v, w) for each w in N+(u) after v — each wedge once
-        idx = np.repeat(pos + 1, lens) + (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(np.cumsum(lens) - lens, lens)
-        )
-        w = flat[idx]
-        wedge_v = np.repeat(v, lens)
-        wedge_u = np.repeat(u, lens)
-        wkeys = (wedge_v << np.int64(32)) | w
-        # stage 1 — bitmap pre-filter (1 byte gather per probe)
-        hp = _bitmap_hash(wkeys, bitmap_bits)
-        maybe = (bitmap[hp >> np.uint64(3)] & (np.uint8(1) << (hp & np.uint64(7)).astype(np.uint8))) != 0
-        cand = np.flatnonzero(maybe)
-        if len(cand) == 0:
-            return empty
-        # stage 2 — exact membership; probes sorted so successive binary
-        # searches touch neighboring regions of edge_keys (cache-coherent)
-        ckeys = wkeys[cand]
-        probe_order = np.argsort(ckeys, kind="stable")
-        sorted_probes = ckeys[probe_order]
-        widx = np.searchsorted(edge_keys, sorted_probes)
-        widx[widx == len(edge_keys)] = 0
-        hit_sorted = edge_keys[widx] == sorted_probes
-        hit = np.zeros(len(wkeys), bool)
-        hit[cand[probe_order]] = hit_sorted
-        if not hit.any():
-            return empty
-        touched_ranks = np.concatenate([wedge_u[hit], wedge_v[hit], w[hit]])
-        touched = orig_of_rank[touched_ranks]
+        touched = orig_of_rank[np.concatenate(hits)]
         # dense ids → bincount beats sort-based np.unique by ~10x here
         cnt_vec = np.bincount(touched, minlength=len(orig_of_rank))
         nz = np.flatnonzero(cnt_vec)
@@ -290,6 +312,49 @@ import weakref
 _WEDGE_STATE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def infer_n_vertices(oriented_edges: ray.data.Dataset) -> int:
+    n = int(oriented_edges.max("src") or 0)
+    return max(n, int(oriented_edges.max("dst") or 0)) + 1
+
+
+def wedge_state_for(
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int,
+    n_vertices: int | None = None,
+):
+    """(materialized edges, broadcast wedge-state ref) — built once per
+    oriented-edge dataset and cached, shared by triangle counting and the
+    link-prediction kernels."""
+    if n_vertices is None:
+        n_vertices = infer_n_vertices(oriented_edges)
+    try:
+        cached = _WEDGE_STATE_CACHE.get(oriented_edges)
+    except TypeError:  # non-weakref-able input
+        cached = None
+    if cached is not None and cached[2] == n_vertices:
+        mat, state_ref, _ = cached
+    else:
+        mat = oriented_edges.materialize()
+        state_ref = _broadcast_wedge_state(mat, n_vertices)
+        # map_batches parallelism = #blocks, and a materialized small
+        # edge table can land in ONE block — but an unconditional
+        # repartition is a full AllToAll shuffle that costs more than
+        # the kernel itself (measured 1-4.5 s on a 2M-edge table), so
+        # only split when the block count is genuinely too low to fan
+        # out. Small batches bound each task's wedge temporaries
+        # (~50 MB/task): with 32 concurrent tasks, large temporaries
+        # thrash allocation bandwidth and the kernel stops scaling.
+        if mat.num_blocks() < num_partitions:
+            mat = mat.repartition(max(32, num_partitions * 4)).materialize()
+        try:
+            _WEDGE_STATE_CACHE[oriented_edges] = (
+                mat, state_ref, n_vertices,
+            )
+        except TypeError:
+            pass
+    return mat, state_ref
+
+
 def _triangle_partials(
     oriented_edges: ray.data.Dataset,
     num_partitions: int,
@@ -300,38 +365,9 @@ def _triangle_partials(
     if n_edges is None:
         n_edges = oriented_edges.count()
     if n_edges <= BROADCAST_MAX_EDGES:
-        if n_vertices is None:
-            n_vertices = int(
-                oriented_edges.max("src") or 0
-            )
-            n_vertices = max(
-                n_vertices, int(oriented_edges.max("dst") or 0)
-            ) + 1
-        try:
-            cached = _WEDGE_STATE_CACHE.get(oriented_edges)
-        except TypeError:  # non-weakref-able input
-            cached = None
-        if cached is not None and cached[2] == n_vertices:
-            mat, state_ref, _ = cached
-        else:
-            mat = oriented_edges.materialize()
-            state_ref = _broadcast_wedge_state(mat, n_vertices)
-            # map_batches parallelism = #blocks, and a materialized small
-            # edge table can land in ONE block — but an unconditional
-            # repartition is a full AllToAll shuffle that costs more than
-            # the kernel itself (measured 1-4.5 s on a 2M-edge table), so
-            # only split when the block count is genuinely too low to fan
-            # out. Small batches bound each task's wedge temporaries
-            # (~50 MB/task): with 32 concurrent tasks, large temporaries
-            # thrash allocation bandwidth and the kernel stops scaling.
-            if mat.num_blocks() < num_partitions:
-                mat = mat.repartition(max(32, num_partitions * 4)).materialize()
-            try:
-                _WEDGE_STATE_CACHE[oriented_edges] = (
-                    mat, state_ref, n_vertices,
-                )
-            except TypeError:
-                pass
+        mat, state_ref = wedge_state_for(
+            oriented_edges, num_partitions, n_vertices
+        )
         return mat.map_batches(
             _make_wedge_counter(state_ref),
             batch_format="pyarrow",

@@ -89,32 +89,38 @@ def distinct_by(
 def sum_by(
     ds: rd.Dataset,
     key_cols: list[str],
-    val_col: str,
-    out_col: str | None = None,
+    val_col: str | list[str],
+    out_col: str | list[str] | None = None,
     num_buckets: int = 64,
 ) -> rd.Dataset:
     """Equivalent of ``groupby(key_cols).sum(val_col)`` via the bucket
     path (bucket-local sums are globally correct: equal keys share a
-    bucket)."""
-    out_col = out_col or val_col
+    bucket). ``val_col`` may be a list — all columns are summed in the
+    same single shuffle."""
+    val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
+    if out_col is None:
+        out_cols = val_cols
+    else:
+        out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
 
     def local_sum(batch: pd.DataFrame) -> pd.DataFrame:
         # map-side combiner: partial sums per batch before the shuffle
         part = (
-            batch.groupby(key_cols, sort=False)[val_col]
+            batch.groupby(key_cols, sort=False)[val_cols]
             .sum()
-            .reset_index(name=out_col)
+            .reset_index()
         )
+        part.columns = key_cols + out_cols
         return _add_bucket(part, key_cols, num_buckets)
 
     def reduce(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.select(key_cols + [out_col])
+            return t.select(key_cols + out_cols)
         out = (
             t.to_pandas()
-            .groupby(key_cols, sort=False)[out_col]
+            .groupby(key_cols, sort=False)[out_cols]
             .sum()
-            .reset_index(name=out_col)
+            .reset_index()
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -592,3 +592,161 @@ def test_bfsr_sub32_identity(ray_session):
     assert art_small.n_vertices < 32
     out = bfsr_order(art_small).to_pandas().sort_values("v")
     assert out.new_id.tolist() == list(range(art_small.n_vertices))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: per-edge support + scores (pipelines/linkpred.py)
+# ---------------------------------------------------------------------------
+
+
+def _bruteforce_linkpred(sym_df):
+    """cn/jaccard/adamic_adar per canonical edge from neighbor sets."""
+    import math
+
+    nbrs = {}
+    for s, d in zip(sym_df.src.to_numpy(), sym_df.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    out = {}
+    for u, vs in nbrs.items():
+        for v in vs:
+            if u < v:
+                common = nbrs[u] & nbrs[v]
+                cn = len(common)
+                jac = cn / (len(nbrs[u]) + len(nbrs[v]) - cn)
+                aa = sum(1.0 / math.log(len(nbrs[w])) for w in common)
+                out[(u, v)] = (cn, jac, aa)
+    return out
+
+
+def test_edge_support_bruteforce(art, sym_df):
+    from graphsetintersection_ray.pipelines.linkpred import edge_support
+
+    exact = _bruteforce_linkpred(sym_df)
+    got = edge_support(art).to_pandas()
+    assert len(got) == len(exact)  # every canonical edge exactly once
+    for u, v, s in zip(got.u, got.v, got.support):
+        assert exact[(int(u), int(v))][0] == int(s)
+
+
+def test_link_scores_bruteforce(art, sym_df):
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.pipelines.linkpred import link_scores
+
+    exact = _bruteforce_linkpred(sym_df)
+    got = link_scores(art).to_pandas()
+    assert len(got) == len(exact)
+    for row in got.itertuples():
+        cn, jac, aa = exact[(int(row.u), int(row.v))]
+        assert cn == int(row.cn)
+        assert abs(float(round_half_away(jac, 6)) - row.jaccard) < 1e-12
+        assert abs(float(round_half_away(aa, 6)) - row.adamic_adar) < 1e-9
+
+
+def test_linkpred_join_paths_equal_broadcast(art):
+    """Force the at-scale joined-bucket corner kernel AND the degree hash
+    joins; results must match the broadcast path bit-for-bit."""
+    from graphsetintersection_ray.pipelines import iterative as it_mod
+    from graphsetintersection_ray.pipelines import linkpred as lp
+    from graphsetintersection_ray.pipelines import triangle as tri_mod
+    from graphsetintersection_ray.stages import graph_build as gb_mod
+
+    # cached superstep actor pools (0.25 cpu each) can starve the hash-join
+    # aggregator actors on the 4-cpu test cluster — release them first
+    it_mod.release_engines()
+
+    base_sup = (
+        lp.edge_support(art).to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    base_sc = (
+        lp.link_scores(art).to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+    )
+    old_e, old_v = tri_mod.BROADCAST_MAX_EDGES, gb_mod.BROADCAST_MAX_VERTICES
+    tri_mod.BROADCAST_MAX_EDGES = 0
+    gb_mod.BROADCAST_MAX_VERTICES = 0
+    try:
+        sup = (
+            lp.edge_support(art)
+            .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+        )
+        sc = (
+            lp.link_scores(art)
+            .to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
+        )
+    finally:
+        tri_mod.BROADCAST_MAX_EDGES = old_e
+        gb_mod.BROADCAST_MAX_VERTICES = old_v
+    pd.testing.assert_frame_equal(base_sup, sup, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        base_sc, sc[base_sc.columns.tolist()], check_dtype=False
+    )
+
+
+def test_coreness_bruteforce(art, sym_df):
+    """Level-batched distributed peel vs sequential min-degree peel."""
+    import heapq
+
+    from graphsetintersection_ray.pipelines.cliques import coreness
+
+    nbrs = {}
+    for s, d in zip(sym_df.src.to_numpy(), sym_df.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    n = art.n_vertices
+    deg = {v: len(nbrs.get(v, ())) for v in range(n)}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    alive = set(range(n))
+    core = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v not in alive or d != deg[v]:
+            continue
+        k = max(k, d)
+        core[v] = k
+        alive.discard(v)
+        for w in nbrs.get(v, ()):
+            if w in alive:
+                deg[w] -= 1
+                heapq.heappush(heap, (deg[w], w))
+
+    got = coreness(art).to_pandas()
+    assert len(got) == n
+    assert all(core[int(v)] == int(c) for v, c in zip(got.v, got.core))
+
+
+def test_trussness_bruteforce(art, sym_df):
+    """Batched distributed support peel vs textbook one-edge-at-a-time
+    peel (truss = running max of support+2 at removal)."""
+    import heapq
+
+    from graphsetintersection_ray.pipelines.linkpred import trussness
+
+    nbrs = {}
+    for s, d in zip(sym_df.src.to_numpy(), sym_df.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    edges = {(u, v) for u, vs in nbrs.items() for v in vs if u < v}
+    alive = set(edges)
+    sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in edges}
+    heap = [(s, e) for e, s in sup.items()]
+    heapq.heapify(heap)
+    truss = {}
+    k = 2
+    while alive:
+        s, e = heapq.heappop(heap)
+        if e not in alive or s != sup[e]:
+            continue
+        k = max(k, s + 2)
+        truss[e] = k
+        alive.discard(e)
+        u, v = e
+        for w in nbrs[u] & nbrs[v]:
+            e1, e2 = (min(u, w), max(u, w)), (min(v, w), max(v, w))
+            if e1 in alive and e2 in alive:
+                for e3 in (e1, e2):
+                    sup[e3] -= 1
+                    heapq.heappush(heap, (sup[e3], e3))
+
+    got = trussness(art).to_pandas()
+    assert len(got) == len(edges)
+    gd = {(int(r.u), int(r.v)): int(r.truss) for r in got.itertuples()}
+    assert all(gd[e] == truss[e] for e in edges)

@@ -513,8 +513,102 @@ def _check_knn_ivf(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _nbr_sets(sf_dir: str) -> dict:
+    """Adjacency sets of the transcript graph, for the decomposition
+    replays below."""
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    nbrs: dict = {}
+    for s, d in zip(edf.src.to_numpy(), edf.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+        nbrs.setdefault(int(d), set()).add(int(s))
+    return nbrs
+
+
+def _check_coreness(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """coreness vs an INDEPENDENT sequential Matula-Beck peel (one
+    min-degree vertex at a time — the engine batches whole levels)."""
+    import heapq
+
+    nbrs = _nbr_sets(sf_dir)
+    n = int(rdf.v.max()) + 1 if len(rdf) else 0
+    deg = {v: len(nbrs.get(v, ())) for v in range(n)}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    alive = set(range(n))
+    core = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v not in alive or d != deg[v]:
+            continue  # stale entry
+        k = max(k, d)
+        core[v] = k
+        alive.discard(v)
+        for w in nbrs.get(v, ()):
+            if w in alive:
+                deg[w] -= 1
+                heapq.heappush(heap, (deg[w], w))
+    got = dict(zip(rdf.v.astype(int), rdf.core.astype(int)))
+    mismatches = sum(1 for v in range(n) if got.get(v) != core.get(v))
+    return {
+        "check": "sequential_matula_beck_peel",
+        "vertices": n,
+        "degeneracy": max(core.values()) if core else 0,
+        "exact_mismatches": mismatches,
+        "pass": bool(len(got) == n and mismatches == 0),
+    }
+
+
+def _check_trussness(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """trussness vs an INDEPENDENT textbook peel: repeatedly remove THE
+    min-support edge, truss = running max(support + 2), supports updated
+    incrementally (the engine removes whole levels in batch)."""
+    import heapq
+
+    nbrs = _nbr_sets(sf_dir)
+    edges = {(u, v) for u, vs in nbrs.items() for v in vs if u < v}
+    alive = set(edges)
+    sup = {}
+    for (u, v) in edges:
+        sup[(u, v)] = len(nbrs[u] & nbrs[v])
+    heap = [(s, e) for e, s in sup.items()]
+    heapq.heapify(heap)
+    truss = {}
+    k = 2
+    while alive:
+        s, e = heapq.heappop(heap)
+        if e not in alive or s != sup[e]:
+            continue
+        k = max(k, s + 2)
+        truss[e] = k
+        alive.discard(e)
+        u, v = e
+        for w in nbrs[u] & nbrs[v]:
+            e1 = (min(u, w), max(u, w))
+            e2 = (min(v, w), max(v, w))
+            if e1 in alive and e2 in alive:
+                for e3 in (e1, e2):
+                    sup[e3] -= 1
+                    heapq.heappush(heap, (sup[e3], e3))
+    got = {
+        (int(r.u), int(r.v)): int(r.truss) for r in rdf.itertuples()
+    }
+    mismatches = sum(1 for e in edges if got.get(e) != truss.get(e))
+    return {
+        "check": "sequential_min_support_peel",
+        "edges": len(edges),
+        "max_truss": max(truss.values()) if truss else 0,
+        "exact_mismatches": mismatches,
+        "pass": bool(len(got) == len(edges) and mismatches == 0),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
+    "coreness": _check_coreness,
+    "trussness": _check_trussness,
     "gro_order": _check_gro_order,
     "bp_order": _check_bp_order,
     "dfs_order": _check_dfs_order,
