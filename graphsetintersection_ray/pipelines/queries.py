@@ -143,6 +143,42 @@ def q_link_scores(sf_dir: str):
     return link_scores(build_graph(sf_dir))
 
 
+def q_clustering_coeff(sf_dir: str):
+    """(v, lcc): local clustering coefficient 2·T(v)/(deg·(deg−1)) for
+    every vertex (0.0 below degree 2), rounded half-away at 6 decimals —
+    the per-vertex normalization of the triangle counters."""
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+
+    art = build_graph(sf_dir)
+    tri_pv = per_vertex_triangles(
+        art.oriented, num_partitions=art.num_partitions,
+        n_vertices=art.n_vertices, n_edges=art.n_edges,
+    )
+    joined = compact_blocks(art.degrees).join(
+        compact_blocks(tri_pv),
+        join_type="left_outer",
+        num_partitions=art.num_partitions,
+        on=("v",),
+    )
+
+    def finish(t: pa.Table):
+        import numpy as np
+
+        deg = t["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tri_n = t["triangles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tri_n = np.where(np.isnan(tri_n), 0.0, tri_n)
+        denom = deg * (deg - 1.0)
+        lcc = np.where(deg >= 2, (2.0 * tri_n) / np.where(denom == 0, 1.0, denom), 0.0)
+        return pa.table(
+            {
+                "v": t["v"].cast(pa.int32()),
+                "lcc": pa.array(round_half_away(lcc, 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def q_coreness(sf_dir: str):
     """k-core decomposition (level-batched distributed peel; semantic
     oracle = independent sequential Matula-Beck replay)."""
@@ -818,6 +854,7 @@ QUERIES = {
     "triangle_per_vertex": q_triangle_per_vertex,
     "edge_support": q_edge_support,
     "link_scores": q_link_scores,
+    "clustering_coeff": q_clustering_coeff,
     "coreness": q_coreness,
     "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
@@ -940,6 +977,24 @@ ORACLE_SQL = {
         "SELECT v, count(*) AS triangles FROM ("
         "  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri "
         "  UNION ALL SELECT c FROM tri) GROUP BY v"
+    ),
+    "clustering_coeff": _with(
+        """tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM edges e1
+  JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+tpv AS (
+  SELECT v, count(*) AS t FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+)
+SELECT d.v AS v,
+       round(CASE WHEN d.degree >= 2
+                  THEN (2.0 * coalesce(tpv.t, 0)) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN tpv ON tpv.v = d.v"""
     ),
     "edge_support": _with(
         """tri_e AS (

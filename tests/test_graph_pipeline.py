@@ -750,3 +750,23 @@ def test_trussness_bruteforce(art, sym_df):
     assert len(got) == len(edges)
     gd = {(int(r.u), int(r.v)): int(r.truss) for r in got.itertuples()}
     assert all(gd[e] == truss[e] for e in edges)
+
+
+def test_clustering_coeff_bruteforce(art, sym_df):
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.pipelines.queries import q_clustering_coeff
+
+    nbrs = {}
+    for s, d in zip(sym_df.src.to_numpy(), sym_df.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    got = q_clustering_coeff(SF).to_pandas()
+    assert len(got) == art.n_vertices
+    for v, lcc in zip(got.v, got.lcc):
+        ns = nbrs.get(int(v), set())
+        d = len(ns)
+        if d < 2:
+            want = 0.0
+        else:
+            t = sum(1 for a in ns for b in ns if a < b and b in nbrs[a])
+            want = float(round_half_away(2.0 * t / (d * (d - 1)), 6))
+        assert abs(lcc - want) < 1e-12, (v, lcc, want)
