@@ -331,6 +331,211 @@ def link_scores(art) -> ray.data.Dataset:
     return j2.map_batches(finish_join, batch_format="pyarrow", batch_size=None)
 
 
+def _pair_index(tp: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-relative (i, j) index pairs (i < j) for every row's
+    l·(l−1)/2 neighbor combinations, fully vectorized. ``tp`` is pairs
+    per row; returns (row_of_pair, i, j)."""
+    total = int(tp.sum())
+    row_of_pair = np.repeat(np.arange(len(tp), dtype=np.int64), tp)
+    p = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(tp) - tp, tp
+    )
+    # enumerate pairs as (i, j) with j = smallest j s.t. j(j-1)/2 > p
+    j = np.floor((1.0 + np.sqrt(1.0 + 8.0 * p)) / 2.0).astype(np.int64)
+    # float fix-up at triangle-number boundaries
+    j = np.where(j * (j - 1) // 2 > p, j - 1, j)
+    j = np.where((j + 1) * j // 2 <= p, j + 1, j)
+    i = p - j * (j - 1) // 2
+    return row_of_pair, i, j  # pairs (i, j) with 0 <= i < j
+
+
+def _wedge_pair_partials(t: pa.Table) -> pa.Table:
+    """CSR rows (u, nbrs) → batch-local counts of unordered neighbor
+    pairs: (pk = a<<32|b with a<b, c). Every wedge centered at u
+    contributes one pair of its endpoints — the open+closed wedge count
+    of classic common-neighbor link prediction."""
+    empty = pa.table(
+        {"pk": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0 or "nbrs" not in t.column_names:
+        return empty
+    nbrs = t["nbrs"].combine_chunks()
+    offsets = nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = nbrs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    tp = lens * (lens - 1) // 2
+    if int(tp.sum()) == 0:
+        return empty
+    row_of_pair, i, j = _pair_index(tp)
+    base = offsets[:-1][row_of_pair]
+    a = flat[base + i]
+    b = flat[base + j]
+    # CSR lists are sorted → a < b already
+    pk = (a << np.int64(32)) | b
+    pk.sort()
+    starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+    counts = np.diff(np.append(starts, len(pk)))
+    return pa.table(
+        {
+            "pk": pa.array(pk[starts], pa.int64()),
+            "c": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def link_candidates(art, topn: int = 50) -> ray.data.Dataset:
+    """(u, v, cn): the ``topn`` NON-adjacent vertex pairs with the most
+    common neighbors — the open-wedge side of link prediction (every
+    wedge the triangle kernel would probe and miss). Deterministic order:
+    cn desc, then (u, v) asc; ties at the cutoff are resolved by that
+    total order, so the result is unique.
+
+    Plan: one pass over the symmetric CSR emits batch-local pair counts
+    (Σ deg²/2 wedges, combined per batch before the shuffle), one bucketed
+    sum, an anti-join against the edge table, then a top-k sort of the
+    (already small) aggregate."""
+    from graphsetintersection_ray.stages.graph_build import build_csr
+
+    csr = build_csr(art.sym, num_partitions=art.num_partitions)
+    pairs = csr.map_batches(
+        _wedge_pair_partials, batch_format="pyarrow", batch_size=None
+    )
+    cnt = compact_blocks(sum_by(pairs, ["pk"], "c", out_col="cn"))
+    marks = _packed_edges(art.edges).map_batches(
+        lambda t: pa.table(
+            {
+                "ek": t["ek"],
+                "is_edge": pa.array(
+                    np.ones(t.num_rows, np.int8), pa.int8()
+                ),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    joined = cnt.join(
+        marks,
+        join_type="left_outer",
+        num_partitions=art.num_partitions,
+        on=("pk",),
+        right_on=("ek",),
+    )
+
+    def non_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(pc.is_null(t["is_edge"]))
+        pk = keep["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array((pk >> np.int64(32)).astype(np.int32), pa.int32()),
+                "v": pa.array(
+                    (pk & np.int64(0xFFFFFFFF)).astype(np.int32), pa.int32()
+                ),
+                "cn": keep["cn"].cast(pa.int64()),
+            }
+        )
+
+    cand = joined.map_batches(
+        non_edges, batch_format="pyarrow", batch_size=None
+    )
+    return cand.sort(
+        ["cn", "u", "v"], descending=[True, False, False]
+    ).limit(topn)
+
+
+def two_hop_counts(art) -> ray.data.Dataset:
+    """(v, two_hop): number of DISTINCT vertices reachable in exactly two
+    hops (self excluded; direct neighbors count when 2-hop reachable) —
+    the K9 union kernel as a distributed query: the 2-hop set is the
+    union of the neighbor lists of N(v).
+
+    Plan: sym edges ⋈ packed CSR on dst (the triangle join plan's
+    transport), batch-local (v, n2) dedup, global distinct_by, then a
+    bucketed count — shuffle volume is bounded by distinct pairs per
+    batch, not the Σ deg² expansion."""
+    from graphsetintersection_ray.stages.graph_build import build_csr
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    csr = compact_blocks(
+        build_csr(art.sym, num_partitions=art.num_partitions, packed=True)
+    )
+    joined = art.sym.join(
+        csr,
+        join_type="inner",
+        num_partitions=art.num_partitions,
+        on=("dst",),
+        right_on=("u",),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"v": pa.array([], pa.int32()), "n2": pa.array([], pa.int32())}
+        )
+        if t.num_rows == 0 or "nbrs_bin" not in t.column_names:
+            return empty
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = t["nbrs_bin"].to_numpy(zero_copy_only=False)
+        blobs = np.array(
+            [b"" if x is None else x for x in blobs], dtype=object
+        )
+        lens = np.fromiter(
+            (len(x) for x in blobs), np.int64, count=len(blobs)
+        ) // 4
+        n2 = np.frombuffer(b"".join(blobs), dtype="<i4").astype(np.int64)
+        v = np.repeat(src, lens)
+        keep = n2 != v  # exclude the 2-hop walk back to the start
+        v, n2 = v[keep], n2[keep]
+        if len(v) == 0:
+            return empty
+        # batch-local dedup before the shuffle
+        pk = (v << np.int64(32)) | n2
+        pk = np.unique(pk)
+        return pa.table(
+            {
+                "v": pa.array((pk >> np.int64(32)).astype(np.int32), pa.int32()),
+                "n2": pa.array(
+                    (pk & np.int64(0xFFFFFFFF)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    pairs = distinct_by(
+        joined.map_batches(expand, batch_format="pyarrow", batch_size=None),
+        ["v", "n2"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int32()), "c": pa.array([], pa.int64())}
+            )
+        v, cnt = np.unique(
+            t["v"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "v": pa.array(v.astype(np.int32), pa.int32()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = sum_by(
+        pairs.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["v"],
+        "c",
+        out_col="two_hop",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "v": t["v"].cast(pa.int32()),
+                "two_hop": t["two_hop"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def trussness(art, max_rounds: int = 100_000) -> ray.data.Dataset:
     """(u, v, truss) per canonical edge: truss(e) = the largest k such that
     e belongs to the k-truss (the maximal subgraph where every edge closes

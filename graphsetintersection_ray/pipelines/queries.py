@@ -179,6 +179,22 @@ def q_clustering_coeff(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+def q_link_candidates(sf_dir: str):
+    """Top-50 non-adjacent vertex pairs by common-neighbor count (open
+    wedges), deterministic order (cn desc, u asc, v asc)."""
+    from graphsetintersection_ray.pipelines.linkpred import link_candidates
+
+    return link_candidates(build_graph(sf_dir), topn=50)
+
+
+def q_two_hop_counts(sf_dir: str):
+    """Distinct 2-hop neighborhood size per vertex (self excluded) — the
+    union kernel (K9) as a distributed query."""
+    from graphsetintersection_ray.pipelines.linkpred import two_hop_counts
+
+    return two_hop_counts(build_graph(sf_dir))
+
+
 def q_coreness(sf_dir: str):
     """k-core decomposition (level-batched distributed peel; semantic
     oracle = independent sequential Matula-Beck replay)."""
@@ -855,6 +871,8 @@ QUERIES = {
     "edge_support": q_edge_support,
     "link_scores": q_link_scores,
     "clustering_coeff": q_clustering_coeff,
+    "link_candidates": q_link_candidates,
+    "two_hop_counts": q_two_hop_counts,
     "coreness": q_coreness,
     "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
@@ -1029,6 +1047,22 @@ FROM edges e
 JOIN deg du ON du.v = e.src
 JOIN deg dv ON dv.v = e.dst
 LEFT JOIN agg ON agg.u = e.src AND agg.v = e.dst"""
+    ),
+    "link_candidates": _with(
+        """wp AS (
+  SELECT a.dst AS u, b.dst AS w
+  FROM sym a JOIN sym b ON b.src = a.src AND a.dst < b.dst
+),
+cnt AS (SELECT u, w, count(*) AS cn FROM wp GROUP BY u, w)
+SELECT cnt.u AS u, cnt.w AS v, CAST(cnt.cn AS BIGINT) AS cn
+FROM cnt LEFT JOIN edges e ON e.src = cnt.u AND e.dst = cnt.w
+WHERE e.src IS NULL
+ORDER BY cn DESC, u, v LIMIT 50"""
+    ),
+    "two_hop_counts": _with(
+        """SELECT a.src AS v, CAST(count(DISTINCT b.dst) AS BIGINT) AS two_hop
+FROM sym a JOIN sym b ON b.src = a.dst AND b.dst <> a.src
+GROUP BY a.src"""
     ),
     "pagerank_fixed": _with(
         f"""pr AS (

@@ -770,3 +770,42 @@ def test_clustering_coeff_bruteforce(art, sym_df):
             t = sum(1 for a in ns for b in ns if a < b and b in nbrs[a])
             want = float(round_half_away(2.0 * t / (d * (d - 1)), 6))
         assert abs(lcc - want) < 1e-12, (v, lcc, want)
+
+
+def test_link_candidates_bruteforce(art, sym_df):
+    from graphsetintersection_ray.pipelines.linkpred import link_candidates
+
+    nbrs = {}
+    for s, d in zip(sym_df.src.to_numpy(), sym_df.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    edges = {(u, v) for u, vs in nbrs.items() for v in vs if u < v}
+    # wedge-pair counts over non-edges
+    cn = {}
+    for c, ns in nbrs.items():
+        for a in ns:
+            for b in ns:
+                if a < b and (a, b) not in edges:
+                    cn[(a, b)] = cn.get((a, b), 0) + 1
+    want = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = link_candidates(art, topn=20).to_pandas()
+    assert len(got) == min(20, len(cn))
+    got_list = [((int(r.u), int(r.v)), int(r.cn)) for r in got.itertuples()]
+    assert got_list == want
+
+
+def test_two_hop_counts_bruteforce(art, sym_df):
+    from graphsetintersection_ray.pipelines.linkpred import two_hop_counts
+
+    nbrs = {}
+    for s, d in zip(sym_df.src.to_numpy(), sym_df.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    want = {}
+    for v, ns in nbrs.items():
+        two = set()
+        for w in ns:
+            two |= nbrs.get(w, set())
+        two.discard(v)
+        if two:
+            want[v] = len(two)
+    got = two_hop_counts(art).to_pandas()
+    assert dict(zip(got.v.astype(int), got.two_hop.astype(int))) == want
