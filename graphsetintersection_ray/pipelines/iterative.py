@@ -91,6 +91,34 @@ def pagerank(
     return _finalize(eng, xform), stats
 
 
+def personalized_pagerank(
+    art: GraphArtifacts,
+    source: int = 0,
+    max_iters: int = 100,
+    tol: float = 1e-6,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    round_to: int | None = None,
+) -> tuple:
+    """(v, score): random walk with restart from ``source`` — same BSP
+    power iteration as pagerank with the restart mass concentrated."""
+    eng = engine_for(art, ckpt_dir)
+    stats = eng.personalized_pagerank(
+        source, max_iters=max_iters, tol=tol, resume=resume,
+        checkpoint_every=1 if ckpt_dir else 0,
+    )
+
+    def xform(t: pa.Table) -> pa.Table:
+        score = t["state"].to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            score = round_half_away(score, round_to)
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "score": pa.array(score, pa.float64())}
+        )
+
+    return _finalize(eng, xform), stats
+
+
 def bfs_distances(
     art: GraphArtifacts,
     source: int = 0,

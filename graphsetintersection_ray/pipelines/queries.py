@@ -230,6 +230,20 @@ def q_pagerank(sf_dir: str):
     return out
 
 
+PPR_SOURCE = 0  # deterministic seed vertex for the oracle query
+
+
+def q_ppr_fixed(sf_dir: str):
+    """Personalized PageRank from vertex PPR_SOURCE, exactly
+    PAGERANK_ORACLE_ITERS iterations (SQL-reproducible), rounded at 6."""
+    art = build_graph(sf_dir)
+    out, _ = it.personalized_pagerank(
+        art, source=PPR_SOURCE, max_iters=PAGERANK_ORACLE_ITERS,
+        tol=0.0, resume=False, round_to=6,
+    )
+    return out
+
+
 def q_connected_components(sf_dir: str):
     art = build_graph(sf_dir)
     out, _ = it.connected_components(art, resume=False)
@@ -876,6 +890,7 @@ QUERIES = {
     "coreness": q_coreness,
     "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
+    "ppr_fixed": q_ppr_fixed,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
@@ -1082,6 +1097,30 @@ GROUP BY a.src"""
   SELECT v, score FROM prr WHERE it = {PAGERANK_ORACLE_ITERS}
 )
 SELECT v, round(score, 6) AS score FROM pr"""
+    ),
+    "ppr_fixed": _with(
+        f"""ppr AS (
+  WITH RECURSIVE prr(v, score, it) AS (
+    SELECT v,
+           CASE WHEN v = {PPR_SOURCE} THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END,
+           0
+    FROM deg
+    UNION ALL
+    SELECT s.dst,
+           CASE WHEN s.dst = {PPR_SOURCE} THEN CAST(0.15 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END
+             + CAST(0.85 AS DOUBLE) * sum(p.score / d.degree),
+           p.it + 1
+    FROM prr p
+    JOIN deg d ON d.v = p.v
+    JOIN sym s ON s.src = p.v
+    WHERE p.it < {PAGERANK_ORACLE_ITERS}
+    GROUP BY s.dst, p.it
+  )
+  SELECT v, score FROM prr WHERE it = {PAGERANK_ORACLE_ITERS}
+)
+SELECT v, round(score, 6) AS score FROM ppr"""
     ),
     "connected_components": _with(
         """reach AS (

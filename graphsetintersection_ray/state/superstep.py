@@ -98,6 +98,14 @@ class PartitionWorker:
     def init_state(self, kind: str, n_total: int, source: int | None = None) -> None:
         if kind == "pagerank":
             self.state = np.full(len(self.u), 1.0 / max(n_total, 1), np.float64)
+        elif kind == "ppr":
+            # personalized PageRank: all restart mass on the source vertex
+            self.state = np.zeros(len(self.u), np.float64)
+            self.ppr_source = source
+            if source is not None:
+                idx = np.searchsorted(self.u, source)
+                if idx < len(self.u) and self.u[idx] == source:
+                    self.state[idx] = 1.0
         elif kind in ("cc", "labelprop"):
             self.state = self.u.astype(np.int64).copy()
         elif kind == "bfs":
@@ -108,6 +116,12 @@ class PartitionWorker:
                     self.state[idx] = 0
         else:
             raise ValueError(kind)
+
+    def set_source(self, kind: str, source: int | None) -> None:
+        """Re-attach the restart/source vertex after a checkpoint reload
+        (load_state restores only the state vector)."""
+        if kind == "ppr":
+            self.ppr_source = source
 
     def load_state(self, path: str) -> None:
         t = pq.read_table(_part_dir(path, self.p))
@@ -136,7 +150,7 @@ class PartitionWorker:
         Combiner runs HERE (np.bincount over compressed dst ids) — the
         shuffle moves one row per (dst, src-partition), not per edge."""
         t0 = time.time()
-        if kind == "pagerank":
+        if kind in ("pagerank", "ppr"):
             per_edge = np.repeat(
                 np.divide(
                     self.state, self.deg, out=np.zeros_like(self.state),
@@ -168,7 +182,7 @@ class PartitionWorker:
                 )
                 continue
             uniq, inv = np.unique(dsts, return_inverse=True)
-            if kind == "pagerank":
+            if kind in ("pagerank", "ppr"):
                 red = np.bincount(inv, weights=vals, minlength=len(uniq))
             else:
                 red = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
@@ -192,14 +206,22 @@ class PartitionWorker:
 
     def apply_messages(self, kind: str, n_total: int, *tables: pa.Table) -> dict:
         t0 = time.time()
-        if kind == "pagerank":
+        if kind in ("pagerank", "ppr"):
             incoming = np.zeros(len(self.u), np.float64)
             for t in tables:
                 dst = t["dst"].to_numpy(zero_copy_only=False)
                 val = t["val"].to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(self.u, dst)
                 np.add.at(incoming, idx, val)
-            new = (1.0 - DAMPING) / max(n_total, 1) + DAMPING * incoming
+            if kind == "ppr":
+                new = DAMPING * incoming
+                src = getattr(self, "ppr_source", None)
+                if src is not None:
+                    sidx = np.searchsorted(self.u, src)
+                    if sidx < len(self.u) and self.u[sidx] == src:
+                        new[sidx] += 1.0 - DAMPING
+            else:
+                new = (1.0 - DAMPING) / max(n_total, 1) + DAMPING * incoming
             delta = float(np.abs(new - self.state).max()) if len(new) else 0.0
             l1 = float(np.abs(new - self.state).sum()) if len(new) else 0.0
             self.state = new
@@ -305,6 +327,10 @@ class SuperstepEngine:
         if start_iter >= 0:
             d = self._iter_dir(algo, start_iter)
             ray.get([w.load_state.remote(d) for w in self.workers])
+            if source is not None:
+                ray.get(
+                    [w.set_source.remote(kind, source) for w in self.workers]
+                )
         else:
             ray.get(
                 [
@@ -386,6 +412,27 @@ class SuperstepEngine:
             lambda rs: max(r["max_delta"] for r in rs) < tol,
             resume=resume,
             checkpoint_every=checkpoint_every,
+        )
+
+    def personalized_pagerank(
+        self,
+        source: int,
+        max_iters: int = 100,
+        tol: float = 1e-6,
+        resume: bool = True,
+        checkpoint_every: int = 1,
+    ) -> dict:
+        """Random walk with restart: all (1−d) restart mass on ``source``
+        instead of uniform — the proximity/seeded-relevance variant of the
+        same power iteration. Checkpoints are namespaced per source."""
+        return self._run(
+            f"ppr_s{source}",
+            "ppr",
+            max_iters,
+            lambda rs: max(r["max_delta"] for r in rs) < tol,
+            resume=resume,
+            checkpoint_every=checkpoint_every,
+            source=source,
         )
 
     def connected_components(

@@ -809,3 +809,28 @@ def test_two_hop_counts_bruteforce(art, sym_df):
             want[v] = len(two)
     got = two_hop_counts(art).to_pandas()
     assert dict(zip(got.v.astype(int), got.two_hop.astype(int))) == want
+
+
+def test_personalized_pagerank_allclose_numpy(art, sym_df):
+    """PPR (restart mass on vertex 0) vs dense NumPy random walk with
+    restart; also: scores sum to 1 and the plain-pagerank path is
+    untouched (engine shares the kind plumbing)."""
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    ppr, _ = it.personalized_pagerank(art, source=0, tol=1e-9, resume=False)
+    got = ppr.to_pandas().sort_values("v").reset_index(drop=True)
+    N = art.n_vertices
+    A = np.zeros((N, N))
+    A[sym_df.dst, sym_df.src] = 1.0
+    M = A / A.sum(axis=0)[None, :]
+    e = np.zeros(N)
+    e[0] = 1.0
+    s = e.copy()
+    for _ in range(1000):
+        s2 = 0.15 * e + 0.85 * (M @ s)
+        if np.abs(s2 - s).max() < 1e-9:
+            s = s2
+            break
+        s = s2
+    assert np.allclose(got.score.to_numpy(), s, atol=1e-7)
+    assert abs(got.score.sum() - 1.0) < 1e-9
