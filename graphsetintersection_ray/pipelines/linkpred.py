@@ -349,11 +349,16 @@ def _pair_index(tp: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return row_of_pair, i, j  # pairs (i, j) with 0 <= i < j
 
 
-def _wedge_pair_partials(t: pa.Table) -> pa.Table:
+def _wedge_pair_partials(t: pa.Table, max_center_degree: int | None = None) -> pa.Table:
     """CSR rows (u, nbrs) → batch-local counts of unordered neighbor
     pairs: (pk = a<<32|b with a<b, c). Every wedge centered at u
     contributes one pair of its endpoints — the open+closed wedge count
-    of classic common-neighbor link prediction."""
+    of classic common-neighbor link prediction.
+
+    ``max_center_degree`` is the hub skew guard (the jaccard max_df
+    analog): a center of degree d expands to d(d−1)/2 pairs inside ONE
+    batch, so at open-domain scale hubs must be dropped (and logged) or
+    the task OOMs. None = exact (the oracle config)."""
     empty = pa.table(
         {"pk": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
     )
@@ -363,6 +368,21 @@ def _wedge_pair_partials(t: pa.Table) -> pa.Table:
     offsets = nbrs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = nbrs.values.to_numpy(zero_copy_only=False).astype(np.int64)
     lens = np.diff(offsets)
+    if max_center_degree is not None and (lens > max_center_degree).any():
+        import logging
+
+        n_hubs = int((lens > max_center_degree).sum())
+        logging.getLogger(__name__).info(
+            "link_candidates skew guard: dropping %d hub centers with "
+            "degree > %d", n_hubs, max_center_degree,
+        )
+        keep = lens <= max_center_degree
+        row_sel = np.flatnonzero(keep)
+        flat = np.concatenate(
+            [flat[offsets[r]:offsets[r + 1]] for r in row_sel]
+        ) if len(row_sel) else flat[:0]
+        lens = lens[keep]
+        offsets = np.concatenate([[0], np.cumsum(lens)])
     tp = lens * (lens - 1) // 2
     if int(tp.sum()) == 0:
         return empty
@@ -383,7 +403,9 @@ def _wedge_pair_partials(t: pa.Table) -> pa.Table:
     )
 
 
-def link_candidates(art, topn: int = 50) -> ray.data.Dataset:
+def link_candidates(
+    art, topn: int = 50, max_center_degree: int | None = None
+) -> ray.data.Dataset:
     """(u, v, cn): the ``topn`` NON-adjacent vertex pairs with the most
     common neighbors — the open-wedge side of link prediction (every
     wedge the triangle kernel would probe and miss). Deterministic order:
@@ -393,12 +415,15 @@ def link_candidates(art, topn: int = 50) -> ray.data.Dataset:
     Plan: one pass over the symmetric CSR emits batch-local pair counts
     (Σ deg²/2 wedges, combined per batch before the shuffle), one bucketed
     sum, an anti-join against the edge table, then a top-k sort of the
-    (already small) aggregate."""
+    (already small) aggregate. ``max_center_degree`` gates hub centers at
+    open-domain scale (see _wedge_pair_partials); None = exact, the
+    oracle config."""
     from graphsetintersection_ray.stages.graph_build import build_csr
 
     csr = build_csr(art.sym, num_partitions=art.num_partitions)
     pairs = csr.map_batches(
-        _wedge_pair_partials, batch_format="pyarrow", batch_size=None
+        lambda t: _wedge_pair_partials(t, max_center_degree),
+        batch_format="pyarrow", batch_size=None,
     )
     cnt = compact_blocks(sum_by(pairs, ["pk"], "c", out_col="cn"))
     marks = _packed_edges(art.edges).map_batches(

@@ -834,3 +834,27 @@ def test_personalized_pagerank_allclose_numpy(art, sym_df):
         s = s2
     assert np.allclose(got.score.to_numpy(), s, atol=1e-7)
     assert abs(got.score.sum() - 1.0) < 1e-9
+
+
+def test_link_candidates_skew_guard(art, sym_df):
+    """max_center_degree drops exactly the hub-centered wedges (the
+    jaccard max_df analog)."""
+    from graphsetintersection_ray.pipelines.linkpred import link_candidates
+
+    nbrs = {}
+    for s, d in zip(sym_df.src.to_numpy(), sym_df.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    edges = {(u, v) for u, vs in nbrs.items() for v in vs if u < v}
+    g = int(np.median([len(v) for v in nbrs.values()]))
+    cn = {}
+    for c, ns in nbrs.items():
+        if len(ns) > g:
+            continue
+        for a in ns:
+            for b in ns:
+                if a < b and (a, b) not in edges:
+                    cn[(a, b)] = cn.get((a, b), 0) + 1
+    want = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = link_candidates(art, topn=10, max_center_degree=g).to_pandas()
+    got_list = [((int(r.u), int(r.v)), int(r.cn)) for r in got.itertuples()]
+    assert got_list == want
