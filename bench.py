@@ -127,6 +127,15 @@ def run_bench() -> dict:
         queries["sf_cc"] = round(time.time() - t0, 3)
         release_engines()  # free actor CPU reservations before the next stage
 
+        # side metric (NOT part of the headline value): the per-edge
+        # support family — reuses the cached wedge state, so this times the
+        # corner-relation aggregation alone
+        from graphsetintersection_ray.pipelines.linkpred import edge_support
+
+        t0 = time.time()
+        edge_support(art).count()
+        extras["sf_edge_support_sec"] = round(time.time() - t0, 3)
+
         # -- synthetic corpus (the scale workload) -------------------------
         t0 = time.time()
         synth = synth_transcripts(SYNTH_CONVS, n_tools=SYNTH_TOOLS, seed=42)
@@ -173,6 +182,9 @@ def run_bench() -> dict:
     extras = dict(trials[0][1])
     for k in ("intersections_per_sec", "pr_edges_per_sec"):
         extras[k] = max(e[k] for _, e in trials)
+    extras["sf_edge_support_sec"] = min(
+        e["sf_edge_support_sec"] for _, e in trials
+    )
     trial_totals = [round(sum(q.values()), 3) for q, _ in trials]
 
     # kernel microbench — the reference's intersection throughput metric

@@ -150,18 +150,68 @@ def _packed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
     return edges.map_batches(pack, batch_format="pyarrow", batch_size=None)
 
 
+def _attach_by_ek(
+    left: ray.data.Dataset,
+    agg: ray.data.Dataset,
+    val_cols: list[str],
+    num_partitions: int,
+    n_left: int | None = None,
+) -> ray.data.Dataset:
+    """LEFT-join an ek-keyed aggregate onto ``left`` (which carries an
+    ``ek`` column), zero-filling misses.
+
+    Under the broadcast gate the aggregate (≤ one row per edge) is pulled
+    once, sorted, ``ray.put`` and probed with searchsorted per batch —
+    the hash-join operator's actor fixed cost (~seconds) dominates these
+    small aggregates otherwise (same gating rationale as
+    orient_by_degree). Above the gate the hash join runs; join inputs are
+    compacted (shuffle outputs carry column-less empty blocks that break
+    Acero)."""
+    import ray as _ray
+
+    if n_left is not None and n_left <= tri.BROADCAST_MAX_EDGES:
+        adf = agg.to_pandas()
+        ek_b = adf["ek"].to_numpy().astype(np.int64)
+        order = np.argsort(ek_b)
+        ek_b = ek_b[order]
+        vals_b = {c: adf[c].to_numpy()[order].astype(np.float64) for c in val_cols}
+        ref = _ray.put((ek_b, vals_b))
+
+        def attach(t: pa.Table) -> pa.Table:
+            ekq = t["ek"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ekb, valsb = _ray.get(ref)
+            cols = {n: t[n] for n in t.column_names}
+            if len(ekb) == 0:
+                for c in val_cols:
+                    cols[c] = pa.array(np.zeros(len(ekq)), pa.float64())
+                return pa.table(cols)
+            idx = np.minimum(np.searchsorted(ekb, ekq), len(ekb) - 1)
+            hit = ekb[idx] == ekq
+            for c in val_cols:
+                v = np.zeros(len(ekq), np.float64)
+                v[hit] = valsb[c][idx[hit]]
+                cols[c] = pa.array(v, pa.float64())
+            return pa.table(cols)
+
+        return left.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    return compact_blocks(left).join(
+        compact_blocks(agg),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("ek",),
+    )
+
+
 def edge_support(art) -> ray.data.Dataset:
     """(u, v, support): triangles through every canonical edge — the
     k-truss support function. Zero-support edges included (LEFT join)."""
     rel = edge_corner_rel(
         art.oriented, art.num_partitions, art.n_vertices, art.n_edges
     )
-    sup = compact_blocks(sum_by(rel, ["ek"], "c", out_col="support"))
-    joined = _packed_edges(art.edges).join(
-        sup,
-        join_type="left_outer",
-        num_partitions=art.num_partitions,
-        on=("ek",),
+    sup = sum_by(rel, ["ek"], "c", out_col="support")
+    joined = _attach_by_ek(
+        _packed_edges(art.edges), sup, ["support"],
+        art.num_partitions, art.n_edges,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -247,14 +297,10 @@ def link_scores(art) -> ray.data.Dataset:
         terms = _aa_terms_broadcast(rel, deg_ref)
     else:
         terms = _aa_terms_join(rel, art.degrees, art.num_partitions)
-    agg = compact_blocks(
-        sum_by(terms, ["ek"], ["c", "aap"], out_col=["cn", "aa"])
-    )
-    joined = _packed_edges(art.edges).join(
-        agg,
-        join_type="left_outer",
-        num_partitions=art.num_partitions,
-        on=("ek",),
+    agg = sum_by(terms, ["ek"], ["c", "aap"], out_col=["cn", "aa"])
+    joined = _attach_by_ek(
+        _packed_edges(art.edges), agg, ["cn", "aa"],
+        art.num_partitions, art.n_edges,
     )
 
     if broadcast:
@@ -610,7 +656,7 @@ def trussness(art, max_rounds: int = 100_000) -> ray.data.Dataset:
         rel = edge_corner_rel(
             oriented_r, art.num_partitions, art.n_vertices, n_alive
         )
-        sup = compact_blocks(sum_by(rel, ["ek"], "c", out_col="support"))
+        sup = sum_by(rel, ["ek"], "c", out_col="support").materialize()
         if sup.count() == 0:
             # no triangle left anywhere: every surviving edge has support 0,
             # which can only happen while k == 2 (higher levels imply the
@@ -634,11 +680,8 @@ def trussness(art, max_rounds: int = 100_000) -> ray.data.Dataset:
                 ).materialize()
             )
             break
-        joined = alive.join(
-            sup,
-            join_type="left_outer",
-            num_partitions=art.num_partitions,
-            on=("ek",),
+        joined = _attach_by_ek(
+            alive, sup, ["support"], art.num_partitions, n_alive
         ).map_batches(
             lambda t: t.set_column(
                 t.schema.get_field_index("support"),
