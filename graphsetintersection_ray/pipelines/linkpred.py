@@ -471,44 +471,77 @@ def link_candidates(
         lambda t: _wedge_pair_partials(t, max_center_degree),
         batch_format="pyarrow", batch_size=None,
     )
-    cnt = compact_blocks(sum_by(pairs, ["pk"], "c", out_col="cn"))
-    marks = _packed_edges(art.edges).map_batches(
-        lambda t: pa.table(
-            {
-                "ek": t["ek"],
-                "is_edge": pa.array(
-                    np.ones(t.num_rows, np.int8), pa.int8()
-                ),
-            }
-        ),
-        batch_format="pyarrow", batch_size=None,
-    )
-    joined = cnt.join(
-        marks,
-        join_type="left_outer",
-        num_partitions=art.num_partitions,
-        on=("pk",),
-        right_on=("ek",),
-    )
+    cnt = sum_by(pairs, ["pk"], "c", out_col="cn")
 
-    def non_edges(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = t.filter(pc.is_null(t["is_edge"]))
-        pk = keep["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def _unpack(pk: np.ndarray, cn) -> pa.Table:
         return pa.table(
             {
                 "u": pa.array((pk >> np.int64(32)).astype(np.int32), pa.int32()),
                 "v": pa.array(
                     (pk & np.int64(0xFFFFFFFF)).astype(np.int32), pa.int32()
                 ),
-                "cn": keep["cn"].cast(pa.int64()),
+                "cn": pa.array(np.asarray(cn).astype(np.int64), pa.int64()),
             }
         )
 
-    cand = joined.map_batches(
-        non_edges, batch_format="pyarrow", batch_size=None
-    )
+    if art.n_edges <= tri.BROADCAST_MAX_EDGES:
+        # anti-join via a broadcast sorted edge-key array — the small side
+        # is the edge set, the big side (wedge-pair counts) stays
+        # distributed; skips the hash-join operator's actor fixed cost
+        import ray as _ray
+
+        edf = art.edges.to_pandas()
+        eks = np.sort(_pack(edf["src"].to_numpy(), edf["dst"].to_numpy()))
+        ek_ref = _ray.put(eks)
+
+        def non_edges_bc(t: pa.Table) -> pa.Table:
+            pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ekb = _ray.get(ek_ref)
+            if len(ekb):
+                idx = np.minimum(np.searchsorted(ekb, pk), len(ekb) - 1)
+                keep = ekb[idx] != pk
+            else:
+                keep = np.ones(len(pk), bool)
+            return _unpack(
+                pk[keep],
+                t["cn"].to_numpy(zero_copy_only=False)[keep],
+            )
+
+        cand = cnt.map_batches(
+            non_edges_bc, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        marks = _packed_edges(art.edges).map_batches(
+            lambda t: pa.table(
+                {
+                    "ek": t["ek"],
+                    "is_edge": pa.array(
+                        np.ones(t.num_rows, np.int8), pa.int8()
+                    ),
+                }
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        joined = compact_blocks(cnt).join(
+            marks,
+            join_type="left_outer",
+            num_partitions=art.num_partitions,
+            on=("pk",),
+            right_on=("ek",),
+        )
+
+        def non_edges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = t.filter(pc.is_null(t["is_edge"]))
+            pk = keep["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _unpack(
+                pk, keep["cn"].to_numpy(zero_copy_only=False)
+            )
+
+        cand = joined.map_batches(
+            non_edges, batch_format="pyarrow", batch_size=None
+        )
     return cand.sort(
         ["cn", "u", "v"], descending=[True, False, False]
     ).limit(topn)
@@ -527,40 +560,17 @@ def two_hop_counts(art) -> ray.data.Dataset:
     from graphsetintersection_ray.stages.graph_build import build_csr
     from graphsetintersection_ray.stages.shuffle import distinct_by
 
-    csr = compact_blocks(
-        build_csr(art.sym, num_partitions=art.num_partitions, packed=True)
-    )
-    joined = art.sym.join(
-        csr,
-        join_type="inner",
-        num_partitions=art.num_partitions,
-        on=("dst",),
-        right_on=("u",),
+    _EMPTY_VN2 = pa.table(
+        {"v": pa.array([], pa.int32()), "n2": pa.array([], pa.int32())}
     )
 
-    def expand(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"v": pa.array([], pa.int32()), "n2": pa.array([], pa.int32())}
-        )
-        if t.num_rows == 0 or "nbrs_bin" not in t.column_names:
-            return empty
-        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        blobs = t["nbrs_bin"].to_numpy(zero_copy_only=False)
-        blobs = np.array(
-            [b"" if x is None else x for x in blobs], dtype=object
-        )
-        lens = np.fromiter(
-            (len(x) for x in blobs), np.int64, count=len(blobs)
-        ) // 4
-        n2 = np.frombuffer(b"".join(blobs), dtype="<i4").astype(np.int64)
-        v = np.repeat(src, lens)
+    def _dedup_vn2(v: np.ndarray, n2: np.ndarray) -> pa.Table:
         keep = n2 != v  # exclude the 2-hop walk back to the start
         v, n2 = v[keep], n2[keep]
         if len(v) == 0:
-            return empty
+            return _EMPTY_VN2
         # batch-local dedup before the shuffle
-        pk = (v << np.int64(32)) | n2
-        pk = np.unique(pk)
+        pk = np.unique((v << np.int64(32)) | n2)
         return pa.table(
             {
                 "v": pa.array((pk >> np.int64(32)).astype(np.int32), pa.int32()),
@@ -570,10 +580,70 @@ def two_hop_counts(art) -> ray.data.Dataset:
             }
         )
 
-    pairs = distinct_by(
-        joined.map_batches(expand, batch_format="pyarrow", batch_size=None),
-        ["v", "n2"],
-    )
+    if art.n_edges <= tri.BROADCAST_MAX_EDGES:
+        # broadcast dense symmetric CSR (offsets, flat) — the join-free
+        # path under the same gate as the triangle wedge state
+        import ray as _ray
+
+        sdf = art.sym.to_pandas()
+        s = sdf["src"].to_numpy().astype(np.int64)
+        d = sdf["dst"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        counts = np.bincount(s, minlength=art.n_vertices)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        adj_ref = _ray.put((offsets, d))
+
+        def expand_bc(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _EMPTY_VN2
+            offs, flat = _ray.get(adj_ref)
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = offs[dst + 1] - offs[dst]
+            total = int(lens.sum())
+            if total == 0:
+                return _EMPTY_VN2
+            idx = np.repeat(offs[dst], lens) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(lens) - lens, lens)
+            )
+            return _dedup_vn2(np.repeat(src, lens), flat[idx])
+
+        expanded = art.sym.map_batches(
+            expand_bc, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        csr = compact_blocks(
+            build_csr(art.sym, num_partitions=art.num_partitions, packed=True)
+        )
+        joined = art.sym.join(
+            csr,
+            join_type="inner",
+            num_partitions=art.num_partitions,
+            on=("dst",),
+            right_on=("u",),
+        )
+
+        def expand(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "nbrs_bin" not in t.column_names:
+                return _EMPTY_VN2
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            blobs = t["nbrs_bin"].to_numpy(zero_copy_only=False)
+            blobs = np.array(
+                [b"" if x is None else x for x in blobs], dtype=object
+            )
+            lens = np.fromiter(
+                (len(x) for x in blobs), np.int64, count=len(blobs)
+            ) // 4
+            n2 = np.frombuffer(b"".join(blobs), dtype="<i4").astype(np.int64)
+            return _dedup_vn2(np.repeat(src, lens), n2)
+
+        expanded = joined.map_batches(
+            expand, batch_format="pyarrow", batch_size=None
+        )
+
+    pairs = distinct_by(expanded, ["v", "n2"])
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -858,3 +858,29 @@ def test_link_candidates_skew_guard(art, sym_df):
     got = link_candidates(art, topn=10, max_center_degree=g).to_pandas()
     got_list = [((int(r.u), int(r.v)), int(r.cn)) for r in got.itertuples()]
     assert got_list == want
+
+
+def test_wedge_queries_join_paths_equal_broadcast(art):
+    """link_candidates / two_hop_counts at-scale branches (hash join /
+    packed-CSR join) must equal the broadcast branches bit-for-bit."""
+    from graphsetintersection_ray.pipelines import iterative as it_mod
+    from graphsetintersection_ray.pipelines import linkpred as lp
+    from graphsetintersection_ray.pipelines import triangle as tri_mod
+
+    it_mod.release_engines()
+    base_lc = lp.link_candidates(art, topn=25).to_pandas().reset_index(drop=True)
+    base_th = (
+        lp.two_hop_counts(art).to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    old = tri_mod.BROADCAST_MAX_EDGES
+    tri_mod.BROADCAST_MAX_EDGES = 0
+    try:
+        lc = lp.link_candidates(art, topn=25).to_pandas().reset_index(drop=True)
+        th = (
+            lp.two_hop_counts(art).to_pandas().sort_values("v")
+            .reset_index(drop=True)
+        )
+    finally:
+        tri_mod.BROADCAST_MAX_EDGES = old
+    pd.testing.assert_frame_equal(base_lc, lc, check_dtype=False)
+    pd.testing.assert_frame_equal(base_th, th, check_dtype=False)
