@@ -143,6 +143,101 @@ def q_link_scores(sf_dir: str):
     return link_scores(build_graph(sf_dir))
 
 
+def q_degree_hist(sf_dir: str):
+    """(degree, cnt): the degree distribution — one bucketed count over
+    the degree table."""
+    from graphsetintersection_ray.stages.shuffle import counted_groups
+
+    art = build_graph(sf_dir)
+    return counted_groups(art.degrees, ["degree"], count_col="cnt").map_batches(
+        lambda t: pa.table(
+            {
+                "degree": t["degree"].cast(pa.int64()),
+                "cnt": t["cnt"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Pearson correlation of endpoint degrees over
+    all directed edges of the symmetric table) — five exact integer sums
+    reduced per batch, one float expression at the end (round-6 parity
+    with the SQL oracle's HUGEINT sums)."""
+    import math
+
+    import ray as _ray
+
+    art = build_graph(sf_dir)
+    if art.n_vertices <= gb.BROADCAST_MAX_VERTICES:
+        ddf = art.degrees.to_pandas()
+        deg_vec = np.zeros(art.n_vertices, np.int64)
+        deg_vec[ddf["v"].to_numpy()] = ddf["degree"].to_numpy()
+        ref = _ray.put(deg_vec)
+
+        def partial(t: pa.Table) -> pa.Table:
+            dv = _ray.get(ref)
+            x = dv[t["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
+            y = dv[t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
+            return pa.table(
+                {
+                    "m": pa.array([len(x)], pa.int64()),
+                    "sx": pa.array([int(x.sum())], pa.int64()),
+                    "sy": pa.array([int(y.sum())], pa.int64()),
+                    "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                    "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                    "syy": pa.array([int((y * y).sum())], pa.int64()),
+                }
+            )
+
+        sums = art.sym.map_batches(partial, batch_format="pyarrow")
+    else:
+        # at-scale: attach degrees via the two projected hash joins
+        # (orient_by_degree pattern) and reduce the same integer sums
+        j1 = art.sym.join(
+            art.degrees, join_type="inner",
+            num_partitions=art.num_partitions, on=("src",), right_on=("v",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"dst": t["dst"], "deg_src": t["degree"]}
+            ),
+            batch_format="pyarrow",
+        )
+        j2 = j1.join(
+            art.degrees, join_type="inner",
+            num_partitions=art.num_partitions, on=("dst",), right_on=("v",),
+        )
+
+        def partial_j(t: pa.Table) -> pa.Table:
+            x = t["deg_src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "m": pa.array([len(x)], pa.int64()),
+                    "sx": pa.array([int(x.sum())], pa.int64()),
+                    "sy": pa.array([int(y.sum())], pa.int64()),
+                    "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                    "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                    "syy": pa.array([int((y * y).sum())], pa.int64()),
+                }
+            )
+
+        sums = j2.map_batches(partial_j, batch_format="pyarrow")
+
+    sdf = sums.to_pandas()  # O(#batches) rows — a scalar reduce
+    m = int(sdf["m"].sum())
+    sx, sy = int(sdf["sx"].sum()), int(sdf["sy"].sum())
+    sxy = int(sdf["sxy"].sum())
+    sxx, syy = int(sdf["sxx"].sum()), int(sdf["syy"].sum())
+    num = float(m * sxy - sx * sy)
+    den = math.sqrt(float((m * sxx - sx * sx)) * float((m * syy - sy * sy)))
+    r = num / den if den else 0.0
+    return pa.table(
+        {"assortativity": pa.array([float(round_half_away(r, 6))], pa.float64())}
+    )
+
+
 def q_clustering_coeff(sf_dir: str):
     """(v, lcc): local clustering coefficient 2·T(v)/(deg·(deg−1)) for
     every vertex (0.0 below degree 2), rounded half-away at 6 decimals —
@@ -885,6 +980,8 @@ QUERIES = {
     "edge_support": q_edge_support,
     "link_scores": q_link_scores,
     "clustering_coeff": q_clustering_coeff,
+    "degree_hist": q_degree_hist,
+    "assortativity": q_assortativity,
     "link_candidates": q_link_candidates,
     "two_hop_counts": q_two_hop_counts,
     "coreness": q_coreness,
@@ -1062,6 +1159,25 @@ FROM edges e
 JOIN deg du ON du.v = e.src
 JOIN deg dv ON dv.v = e.dst
 LEFT JOIN agg ON agg.u = e.src AND agg.v = e.dst"""
+    ),
+    "degree_hist": _with(
+        """SELECT degree, CAST(count(*) AS BIGINT) AS cnt
+FROM deg GROUP BY degree"""
+    ),
+    "assortativity": _with(
+        """s AS (
+  SELECT du.degree AS x, dv.degree AS y
+  FROM sym JOIN deg du ON du.v = sym.src JOIN deg dv ON dv.v = sym.dst
+),
+agg AS (
+  SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM s
+)
+SELECT round((m*sxy - sx*sy)
+             / sqrt(CAST((m*sxx - sx*sx) AS DOUBLE)
+                    * CAST((m*syy - sy*sy) AS DOUBLE)), 6) AS assortativity
+FROM agg"""
     ),
     "link_candidates": _with(
         """wp AS (

@@ -884,3 +884,27 @@ def test_wedge_queries_join_paths_equal_broadcast(art):
         tri_mod.BROADCAST_MAX_EDGES = old
     pd.testing.assert_frame_equal(base_lc, lc, check_dtype=False)
     pd.testing.assert_frame_equal(base_th, th, check_dtype=False)
+
+
+def test_degree_stats(art, sym_df):
+    """degree_hist sums to V; assortativity equals np.corrcoef of
+    endpoint degrees over directed sym edges (independent replay)."""
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.pipelines.queries import (
+        q_assortativity, q_degree_hist,
+    )
+
+    hist = q_degree_hist(SF).to_pandas()
+    assert int(hist.cnt.sum()) == art.n_vertices
+    deg = sym_df.groupby("src").size()
+    dv = np.zeros(art.n_vertices, np.int64)
+    dv[deg.index.to_numpy()] = deg.to_numpy()
+    hd = dict(zip(hist.degree.astype(int), hist.cnt.astype(int)))
+    vals, cnts = np.unique(dv[dv > 0], return_counts=True)
+    assert hd == dict(zip(vals.tolist(), cnts.tolist()))
+
+    x = dv[sym_df.src.to_numpy()]
+    y = dv[sym_df.dst.to_numpy()]
+    want = float(round_half_away(np.corrcoef(x, y)[0, 1], 6))
+    got = float(q_assortativity(SF).to_pandas().assortativity.iloc[0])
+    assert abs(got - want) < 1e-6
