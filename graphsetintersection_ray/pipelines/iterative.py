@@ -181,3 +181,82 @@ def label_propagation(
         )
 
     return _finalize(eng, xform), stats
+
+
+def ensure_directed_csr(art: GraphArtifacts) -> tuple[str, str]:
+    """Build (once, manifest-guarded) the DIRECTED CSR pair next to the
+    symmetric one: out-CSR partitioned by src, in-CSR (reversed edges)
+    partitioned by dst — the adjacency HITS walks in both directions."""
+    import json
+
+    import pyarrow as _pa
+
+    from graphsetintersection_ray.stages import graph_build as gb
+
+    base = os.path.dirname(art.csr_path)
+    out_path = os.path.join(base, "csr_out")
+    in_path = os.path.join(base, "csr_in")
+    manifest = os.path.join(base, "_directed_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            m = json.load(f)
+        if (
+            m.get("fingerprint") == art.fingerprint
+            and m.get("csr_partitions") == art.csr_partitions
+        ):
+            return out_path, in_path
+
+    def rev(t: _pa.Table) -> _pa.Table:
+        return _pa.table({"src": t["dst"], "dst": t["src"]})
+
+    buckets = max(art.csr_partitions, min(64, 4 * art.n_edges // 500_000 + 8))
+    for path, edges in (
+        (out_path, art.edges),
+        (in_path, art.edges.map_batches(rev, batch_format="pyarrow")),
+    ):
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        csr = gb.build_csr(
+            edges, num_partitions=art.csr_partitions, shuffle_buckets=buckets
+        )
+        gb.write_csr_dataset(csr, path, art.csr_partitions)
+    with open(manifest, "w") as f:
+        json.dump(
+            {"fingerprint": art.fingerprint, "csr_partitions": art.csr_partitions},
+            f,
+        )
+    return out_path, in_path
+
+
+def hits(
+    art: GraphArtifacts,
+    iters: int = 6,
+    round_to: int | None = None,
+) -> tuple:
+    """(v, hub, auth): HITS on the canonical directed edge set — ``iters``
+    unnormalized power iterations (linear updates, so the single final L2
+    normalization matches per-iteration normalization exactly), giving a
+    chained-CTE SQL oracle."""
+    eng = engine_for(art, None)
+    out_path, in_path = ensure_directed_csr(art)
+    stats = eng.hits(out_path, in_path, iters=iters)
+
+    def xform(t: pa.Table) -> pa.Table:
+        hub = t["hub"].to_numpy(zero_copy_only=False)
+        auth = t["auth"].to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            hub = round_half_away(hub, round_to)
+            auth = round_half_away(auth, round_to)
+        return pa.table(
+            {
+                "v": t["v"].cast(pa.int32()),
+                "hub": pa.array(hub, pa.float64()),
+                "auth": pa.array(auth, pa.float64()),
+            }
+        )
+
+    if eng.n_total > _collect_max_vertices():
+        return eng.hits_dataset().map_batches(xform, batch_format="pyarrow"), stats
+    return xform(eng.collect_hits()), stats

@@ -339,6 +339,19 @@ def q_ppr_fixed(sf_dir: str):
     return out
 
 
+HITS_ORACLE_ITERS = 6
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities on the canonical directed edge set: 6 full
+    unnormalized power iterations + one final global L2 normalization
+    (linear updates make that exactly equal to per-iteration
+    normalization), so the SQL oracle is an exact chained-CTE replay."""
+    art = build_graph(sf_dir)
+    res, _ = it.hits(art, iters=HITS_ORACLE_ITERS, round_to=6)
+    return res
+
+
 def q_connected_components(sf_dir: str):
     art = build_graph(sf_dir)
     out, _ = it.connected_components(art, resume=False)
@@ -883,6 +896,26 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-duplicate clusters: exact-Jaccard pairs → connected
+    components (alternating large-star/small-star over the pair graph)
+    → (doc_id, cluster=min id in component) for every paired doc."""
+    from graphsetintersection_ray.stages.dedup import jaccard_pairs, pair_components
+
+    pairs = jaccard_pairs(_docs(sf_dir), threshold=0.5, max_df=None)
+    return pair_components(pairs)
+
+
+def q_dedup_survivors(sf_dir: str):
+    """End-to-end near-dedup: keep the canonical (minimum-id) document
+    per duplicate cluster plus all unpaired documents."""
+    from graphsetintersection_ray.stages.dedup import jaccard_pairs, near_dedup
+
+    docs = _docs(sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.5, max_df=None)
+    return near_dedup(docs, pairs)
+
+
 def q_simhash_pairs(sf_dir: str):
     from graphsetintersection_ray.stages.dedup import simhash_near_pairs
 
@@ -988,6 +1021,7 @@ QUERIES = {
     "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
     "ppr_fixed": q_ppr_fixed,
+    "hits": q_hits,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,
@@ -1018,6 +1052,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "simhash_pairs": q_simhash_pairs,
     "knn_topk": q_knn_topk,
     "knn_lsh": q_knn_lsh,
@@ -1084,6 +1120,68 @@ sh AS (
 ),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
+
+def _hits_oracle_sql(k: int) -> str:
+    """Chained-CTE replay of k unnormalized HITS iterations over the
+    canonical directed ``edges`` + one final L2 normalization."""
+    parts = ["h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM deg)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"a{i} AS (SELECT d.v, coalesce(s.x, 0.0) AS auth FROM deg d "
+            f"LEFT JOIN (SELECT e.dst AS v, sum(h.hub) AS x FROM edges e "
+            f"JOIN h{i - 1} h ON h.v = e.src GROUP BY e.dst) s ON s.v = d.v)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT d.v, coalesce(s.x, 0.0) AS hub FROM deg d "
+            f"LEFT JOIN (SELECT e.src AS v, sum(a.auth) AS x FROM edges e "
+            f"JOIN a{i} a ON a.v = e.dst GROUP BY e.src) s ON s.v = d.v)"
+        )
+    parts.append(
+        f"hits AS (SELECT h.v, h.hub, a.auth FROM h{k} h JOIN a{k} a ON a.v = h.v)"
+    )
+    parts.append(
+        "nrm AS (SELECT sqrt(sum(hub*hub)) AS nh, sqrt(sum(auth*auth)) AS na "
+        "FROM hits)"
+    )
+    return _with(
+        ", ".join(parts)
+        + " SELECT v, round(hub / nh, 6) AS hub, round(auth / na, 6) AS auth "
+        "FROM hits, nrm"
+    )
+
+
+# duplicate clusters: transitive closure over the exact-jaccard pair
+# graph (WITH RECURSIVE), cluster label = min doc_id in the component
+_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLES_SQL
+    + """,
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b, doc_a FROM prs
+),
+reach(v, w) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.v, u.b FROM reach r JOIN und u ON u.a = r.w
+),
+roots AS (
+  SELECT v AS doc_id, least(v, min(w)) AS cluster FROM reach GROUP BY v
+)
+"""
+)
 
 ORACLE_SQL = {
     "transcripts": TRANSCRIPTS_SQL,
@@ -1214,6 +1312,7 @@ GROUP BY a.src"""
 )
 SELECT v, round(score, 6) AS score FROM pr"""
     ),
+    "hits": _hits_oracle_sql(HITS_ORACLE_ITERS),
     "ppr_fixed": _with(
         f"""ppr AS (
   WITH RECURSIVE prr(v, score, it) AS (
@@ -1481,6 +1580,11 @@ FROM inter
 JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""",
+    "dedup_clusters": _DUP_CLUSTERS_SQL + "SELECT doc_id, cluster FROM roots",
+    "dedup_survivors": _DUP_CLUSTERS_SQL
+    + """SELECT d.doc_id, d.text FROM documents d
+LEFT JOIN roots r ON r.doc_id = d.doc_id
+WHERE r.cluster IS NULL OR r.cluster = d.doc_id""",
     "knn_topk": """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
            FROM embeddings WHERE vec_id < 10),

@@ -533,3 +533,304 @@ def simhash_near_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
         .map_groups(bucket_pairs, batch_format="pandas"),
         ["doc_a", "doc_b", "hamming"],
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster connected components + canonical-survivor dedup
+# --------------------------------------------------------------------------
+
+# broadcast the drop-id set into the filter stage only while it is small;
+# above this the anti-join runs as a distributed hash join
+DEDUP_BROADCAST_MAX = 4_000_000
+
+
+def _edges_signature(edges: rd.Dataset) -> tuple[int, int]:
+    """(row_count, order-independent checksum) of an (u, v) edge set —
+    O(#blocks) driver work, used only for star-round convergence."""
+
+    def sig(b: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            pd.util.hash_array(b["u"].to_numpy())
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) ^ pd.util.hash_array(b["v"].to_numpy())
+        return pd.DataFrame(
+            {"cnt": [len(b)], "chk": [int(h.sum(dtype=np.uint64))]}
+        )
+
+    s = edges.map_batches(sig, batch_format="pandas").to_pandas()
+    cnt = int(s["cnt"].sum())
+    chk = int(np.asarray(s["chk"], dtype=np.uint64).sum(dtype=np.uint64))
+    return cnt, chk
+
+
+def _large_star(g: pd.DataFrame) -> pa.Table:
+    """Large-star round over one bucket of the SYMMETRIC adjacency
+    (columns u, v = neighbor): for every node n, link each strictly
+    larger neighbor to m = min(N(n) ∪ {n})."""
+    if len(g) == 0:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    u = g["u"].to_numpy()
+    v = g["v"].to_numpy()
+    gm = pd.Series(v).groupby(pd.Series(u)).min()
+    m_of = pd.Series(np.minimum(gm.to_numpy(), gm.index.to_numpy()), index=gm.index)
+    m = pd.Series(u).map(m_of).to_numpy()
+    keep = v > u
+    out_u, out_v = v[keep], m[keep]
+    ne = out_u != out_v
+    return pa.table(
+        {"u": pa.array(out_u[ne], pa.int64()), "v": pa.array(out_v[ne], pa.int64())}
+    )
+
+
+def _small_star(g: pd.DataFrame) -> pa.Table:
+    """Small-star round over one bucket of the (u > v)-oriented edge set:
+    for every node u, link each smaller neighbor (and u itself) to
+    m = min(N<(u))."""
+    if len(g) == 0:
+        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    u = g["u"].to_numpy()
+    v = g["v"].to_numpy()
+    gm = pd.Series(v).groupby(pd.Series(u)).min()
+    m = pd.Series(u).map(pd.Series(gm)).to_numpy()
+    out_u = np.concatenate([v, gm.index.to_numpy()])
+    out_v = np.concatenate([m, gm.to_numpy()])
+    ne = out_u != out_v
+    return pa.table(
+        {"u": pa.array(out_u[ne], pa.int64()), "v": pa.array(out_v[ne], pa.int64())}
+    )
+
+
+def _driver_union_find(pairs_df: pd.DataFrame) -> pa.Table:
+    """Union-find with path compression over a small pair list (the
+    under-threshold path): exact min-id component labels."""
+    a = pairs_df.iloc[:, 0].to_numpy(np.int64)
+    b = pairs_df.iloc[:, 1].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    parent = np.arange(len(ids))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(ai, bi):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.array([find(i) for i in range(len(ids))])
+    # component label = min original id in the component; roots are
+    # compacted indices, and ids is sorted, so ids[root] IS the min
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(ids[roots], pa.int64()),
+        }
+    )
+
+
+def pair_components(
+    pairs: rd.Dataset,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    num_buckets: int = 32,
+    max_rounds: int = 30,
+    driver_max_pairs: int | None = None,
+) -> rd.Dataset:
+    """Connected components over an arbitrary-id pair list → (doc_id,
+    cluster) where cluster = min id in the component, for every id that
+    appears in a pair.
+
+    Under ``driver_max_pairs`` (env GRAFT_PAIR_CC_DRIVER_MAX, default
+    2M) the pair list collapses to a driver union-find — duplicate-pair
+    graphs are usually tiny relative to the corpus. Above it: alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — O(log n) rounds, each round one
+    bounded bucketed shuffle over the CURRENT edge set, never over the
+    corpus, so a 100 TB corpus with heavy duplication only ever shuffles
+    the pair graph. Unlike the superstep CC engine (state/superstep.py),
+    neither path needs a dense vertex encoding: ids stay raw int64 doc
+    ids. Both paths are equality-tested at a forced-zero threshold."""
+    import os
+
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        distinct_by,
+    )
+
+    if driver_max_pairs is None:
+        driver_max_pairs = int(
+            os.environ.get("GRAFT_PAIR_CC_DRIVER_MAX", 2_000_000)
+        )
+    pairs = pairs.materialize()
+    if pairs.count() <= driver_max_pairs:
+        df = pairs.select_columns([col_a, col_b]).to_pandas()
+        return rd.from_arrow(_driver_union_find(df))
+
+    def canon(b: pd.DataFrame) -> pa.Table:
+        a = b[col_a].to_numpy()
+        c = b[col_b].to_numpy()
+        keep = a != c
+        return pa.table(
+            {
+                "u": pa.array(np.maximum(a, c)[keep], pa.int64()),
+                "v": pa.array(np.minimum(a, c)[keep], pa.int64()),
+            }
+        )
+
+    edges = distinct_by(
+        pairs.map_batches(canon, batch_format="pandas"), ["u", "v"], num_buckets
+    ).materialize()
+    prev = _edges_signature(edges)
+
+    for _ in range(max_rounds):
+        # large-star works on symmetric adjacency grouped by node
+        symm = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": pa.concat_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                    "v": pa.concat_arrays(
+                        [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        after_large = distinct_by(
+            bucket_groups(
+                symm.map_batches(
+                    lambda b: _add_bucket(b, ["u"], num_buckets),
+                    batch_format="pandas",
+                ),
+                lambda t: _large_star(t.to_pandas()),
+                num_buckets,
+                batch_format="pyarrow",
+            ),
+            ["u", "v"],
+            num_buckets,
+        )
+        edges = distinct_by(
+            bucket_groups(
+                after_large.map_batches(
+                    lambda b: _add_bucket(b, ["u"], num_buckets),
+                    batch_format="pandas",
+                ),
+                lambda t: _small_star(t.to_pandas()),
+                num_buckets,
+                batch_format="pyarrow",
+            ),
+            ["u", "v"],
+            num_buckets,
+        ).materialize()
+        cur = _edges_signature(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        logger.warning("pair_components: no convergence in %d rounds", max_rounds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # converged star edges (child > root): each child maps to its
+        # root, and every root maps to itself
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([u, v]),
+                "cluster": pa.concat_arrays([v, v]),
+            }
+        )
+
+    return distinct_by(
+        edges.map_batches(finish, batch_format="pyarrow"),
+        ["doc_id", "cluster"],
+        num_buckets,
+    )
+
+
+def near_dedup(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    num_buckets: int = 32,
+    broadcast_max: int = DEDUP_BROADCAST_MAX,
+) -> rd.Dataset:
+    """End-to-end near-duplicate removal: duplicate pairs → connected
+    components → keep only the canonical (minimum-id) document per
+    cluster plus every unpaired document.
+
+    The drop-id set (non-canonical cluster members) is broadcast via
+    ``ray.put`` into a vectorized ``np.isin`` filter while it is small;
+    above ``broadcast_max`` it anti-joins through a bounded bucket
+    cogroup (union + one sort shuffle — no actor-pool hash-join stage to
+    contend for CPUs), so a corpus that is 50% duplicates never lands on
+    the driver."""
+    import ray
+
+    from graphsetintersection_ray.stages.shuffle import _add_bucket, bucket_groups
+
+    comp = pair_components(pairs, num_buckets=num_buckets)
+    drops = comp.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["doc_id"], t["cluster"])).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    n_drop = drops.count()
+    if n_drop <= broadcast_max:
+        drop_ref = ray.put(
+            np.sort(drops.to_pandas()["doc_id"].to_numpy().astype(np.int64))
+        )
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            bad = np.isin(ids, ray.get(drop_ref), assume_unique=False)
+            return t.filter(pa.array(~bad))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    # distributed anti-join: union docs with marker rows (doc_id + nulls),
+    # cogroup by doc_id bucket, drop doc rows whose id has a marker
+    docs = docs.map_batches(lambda t: t, batch_format="pyarrow")
+    schema = docs.schema().base_schema
+    cols = schema.names
+
+    def mark_docs(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__drop", pa.array(np.zeros(t.num_rows, np.int8))
+        )
+
+    def mark_drops(t: pa.Table) -> pa.Table:
+        arrays = [
+            t["doc_id"] if c == "doc_id" else pa.nulls(t.num_rows, schema.field(c).type)
+            for c in cols
+        ]
+        return pa.table(
+            dict(zip(cols, arrays))
+        ).append_column("__drop", pa.array(np.ones(t.num_rows, np.int8)))
+
+    unioned = docs.map_batches(mark_docs, batch_format="pyarrow").union(
+        drops.map_batches(mark_drops, batch_format="pyarrow")
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        bad = g.loc[g["__drop"] == 1, "doc_id"].to_numpy()
+        keep_rows = (g["__drop"] == 0) & ~g["doc_id"].isin(bad)
+        out = g.loc[keep_rows, cols]
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    return bucket_groups(
+        unioned.map_batches(
+            lambda b: _add_bucket(b, ["doc_id"], num_buckets),
+            batch_format="pandas",
+        ),
+        anti,
+        num_buckets,
+    )

@@ -239,6 +239,110 @@ class PartitionWorker:
             self.metrics.update(apply_sec=time.time() - t0)
             return {"changed": changed}
 
+    # -- HITS (hubs/authorities over the directed edge set) ------------------
+
+    def _load_aligned_csr(self, path: str) -> tuple[np.ndarray, np.ndarray]:
+        """Load a directed CSR partition and align it to ``self.u``:
+        vertices of this partition absent from the directed table get
+        empty segments, so hub/auth state vectors index positionally."""
+        d = _part_dir(path, self.p)
+        lens_full = np.zeros(len(self.u), np.int64)
+        if not os.path.isdir(d):
+            return np.concatenate([[0], np.cumsum(lens_full)]), np.empty(0, np.int64)
+        t = pq.read_table(d)
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = t["nbrs"].combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lists.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        order = np.argsort(u, kind="stable")
+        # gather segments into sorted-by-u order without a Python loop
+        starts = offs[:-1][order]
+        ls = lens[order]
+        ends_out = np.cumsum(ls)
+        j = (
+            np.arange(int(ls.sum()), dtype=np.int64)
+            - np.repeat(ends_out - ls, ls)
+            + np.repeat(starts, ls)
+        )
+        flat_sorted = flat[j]
+        pos = np.searchsorted(self.u, u[order])
+        lens_full[pos] = ls
+        return np.concatenate([[0], np.cumsum(lens_full)]), flat_sorted
+
+    def load_directed(self, out_path: str, in_path: str) -> None:
+        """Attach the directed adjacency (canonical src→dst edges): the
+        out-CSR partitioned by src and the in-CSR partitioned by dst —
+        both aligned to this partition's vertex list."""
+        self.out_offs, self.out_flat = self._load_aligned_csr(out_path)
+        self.in_offs, self.in_flat = self._load_aligned_csr(in_path)
+        P = self.P
+        self._out_sel = [
+            np.flatnonzero(self.out_flat % P == q) for q in range(P)
+        ]
+        self._in_sel = [np.flatnonzero(self.in_flat % P == q) for q in range(P)]
+
+    def hits_init(self) -> None:
+        self.hub = np.ones(len(self.u), np.float64)
+        self.auth = np.ones(len(self.u), np.float64)
+
+    def hits_messages(self, which: str) -> list[pa.Table]:
+        """'hub': current hub scores along out-edges (u→v) — the auth
+        contributions. 'auth': current auth scores along in-edges (v→u
+        reversed) — the hub contributions. Same combiner pre-aggregation
+        as compute_messages (one row per (dst, src-partition))."""
+        if which == "hub":
+            state, offs, flat, sels = self.hub, self.out_offs, self.out_flat, self._out_sel
+        else:
+            state, offs, flat, sels = self.auth, self.in_offs, self.in_flat, self._in_sel
+        per_edge = np.repeat(state, np.diff(offs))
+        out = []
+        for q in range(self.P):
+            sel = sels[q]
+            dsts = flat[sel]
+            vals = per_edge[sel]
+            if len(dsts) == 0:
+                out.append(
+                    pa.table(
+                        {"dst": pa.array([], pa.int64()),
+                         "val": pa.array([], pa.float64())}
+                    )
+                )
+                continue
+            uniq, inv = np.unique(dsts, return_inverse=True)
+            red = np.bincount(inv, weights=vals, minlength=len(uniq))
+            out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
+        return out
+
+    def hits_apply(self, which: str, *tables: pa.Table) -> None:
+        incoming = np.zeros(len(self.u), np.float64)
+        for t in tables:
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            np.add.at(incoming, np.searchsorted(self.u, dst), val)
+        if which == "hub":
+            self.auth = incoming
+        else:
+            self.hub = incoming
+
+    def hits_sumsq(self) -> tuple[float, float]:
+        return float((self.hub**2).sum()), float((self.auth**2).sum())
+
+    def hits_scale(self, hub_norm: float, auth_norm: float) -> None:
+        if hub_norm > 0:
+            self.hub /= hub_norm
+        if auth_norm > 0:
+            self.auth /= auth_norm
+
+    def hits_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "v": pa.array(self.u),
+                "hub": pa.array(self.hub),
+                "auth": pa.array(self.auth),
+            }
+        )
+
 
 class SuperstepEngine:
     """Drives P PartitionWorkers through BSP supersteps with per-iteration
@@ -485,6 +589,54 @@ class SuperstepEngine:
             checkpoint_every=checkpoint_every,
             source=source,
         )
+
+    def hits(
+        self, out_csr_path: str, in_csr_path: str, iters: int = 6
+    ) -> dict:
+        """HITS hubs/authorities by power iteration on the canonical
+        directed edge set: auth_k = Aᵀ·hub_{k-1}, hub_k = A·auth_k, run
+        ``iters`` full iterations unnormalized (the updates are linear, so
+        one final global L2 normalization is equivalent to per-iteration
+        normalization) — which keeps the SQL oracle an exact chained-CTE
+        replay. Two message exchanges per iteration through the same
+        pre-aggregated all-to-all as PageRank."""
+        ray.get(
+            [w.load_directed.remote(out_csr_path, in_csr_path) for w in self.workers]
+        )
+        ray.get([w.hits_init.remote() for w in self.workers])
+        t0 = time.time()
+        for _ in range(iters):
+            for which in ("hub", "auth"):
+                msgs = [
+                    w.hits_messages.options(num_returns=self.P).remote(which)
+                    for w in self.workers
+                ]
+                if self.P == 1:
+                    msgs = [[r] for r in msgs]
+                ray.get(
+                    [
+                        w.hits_apply.remote(
+                            which, *[msgs[p][q] for p in range(self.P)]
+                        )
+                        for q, w in enumerate(self.workers)
+                    ]
+                )
+        ss = ray.get([w.hits_sumsq.remote() for w in self.workers])
+        hub_norm = float(np.sqrt(sum(h for h, _ in ss)))
+        auth_norm = float(np.sqrt(sum(a for _, a in ss)))
+        ray.get([w.hits_scale.remote(hub_norm, auth_norm) for w in self.workers])
+        return {"iters": iters, "sec": time.time() - t0}
+
+    def hits_dataset(self):
+        """(v, hub, auth) as a Ray Dataset — one block per partition, no
+        driver concatenation (the at-scale result path)."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs([w.hits_table.remote() for w in self.workers])
+
+    def collect_hits(self) -> pa.Table:
+        tables = ray.get([w.hits_table.remote() for w in self.workers])
+        return pa.concat_tables([t for t in tables if t.num_rows])
 
     def collect_state(self) -> pa.Table:
         """Gather (v, state) from all partitions (small results only —

@@ -475,3 +475,78 @@ def test_lsh_dup_pairs_high_sim_recall(ray_session):
     out = dup_pairs(emb, threshold=0.95, method="lsh").to_pandas()
     got = set(zip(out.vec_a, out.vec_b))
     assert set(planted) <= got
+
+
+def test_pair_components_chain_and_clusters(ray_session):
+    """Driver union-find CC over an adversarial pair graph: a long chain
+    (worst case for naive min-propagation), a star, a triangle, and an
+    isolated pair — cluster label must be the component minimum."""
+    import ray.data as rd
+    from graphsetintersection_ray.stages.dedup import pair_components
+
+    pairs = []
+    pairs += [(i + 1, i) for i in range(100, 120)]      # chain 100..120
+    pairs += [(7, k) for k in (200, 201, 202, 203)]     # star rooted at 7
+    pairs += [(300, 301), (301, 302), (300, 302)]       # triangle
+    pairs += [(400, 401)]                               # lone pair
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).sample(
+        frac=1.0, random_state=7
+    )
+    out = (
+        pair_components(rd.from_pandas(df), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out.doc_id, out.cluster))
+    for v in range(100, 121):
+        assert got[v] == 100
+    for v in (7, 200, 201, 202, 203):
+        assert got[v] == 7
+    for v in (300, 301, 302):
+        assert got[v] == 300
+    assert got[400] == 400 and got[401] == 400
+    assert len(out) == 21 + 5 + 3 + 2
+
+
+def test_pair_components_star_rounds_match_driver(ray_session):
+    """The at-scale large-star/small-star path (forced with
+    driver_max_pairs=0) must equal the driver union-find on a graph with
+    a chain (multi-round convergence), a star, and a lone pair."""
+    import ray.data as rd
+    from graphsetintersection_ray.stages.dedup import pair_components
+
+    pairs = [(i + 1, i) for i in range(50, 58)]
+    pairs += [(9, k) for k in (70, 71, 72)]
+    pairs += [(80, 81)]
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).sample(
+        frac=1.0, random_state=3
+    )
+    ds = rd.from_pandas(df)
+    drv = pair_components(ds, num_buckets=4).to_pandas()
+    dist = pair_components(
+        ds, num_buckets=4, driver_max_pairs=0
+    ).to_pandas()
+    drv = drv.sort_values("doc_id").reset_index(drop=True)
+    dist = dist.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_near_dedup_survivors(docs_ds):
+    """Survivor set = canonical doc per near-dup cluster + unpaired docs,
+    on the planted-duplicate fixture, via both the broadcast filter and
+    the forced distributed anti-join."""
+    from graphsetintersection_ray.stages.dedup import jaccard_pairs, near_dedup
+
+    pairs = jaccard_pairs(docs_ds, threshold=0.5, max_df=None)
+    kept = near_dedup(docs_ds, pairs).to_pandas().sort_values("doc_id")
+    # clusters: {0,10} near-dup, {1,11} exact dup -> keep 0,1,2,3
+    assert kept.doc_id.tolist() == [0, 1, 2, 3]
+
+    kept2 = (
+        near_dedup(docs_ds, pairs, broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert kept2.doc_id.tolist() == [0, 1, 2, 3]
+    assert set(kept2.columns) == set(kept.columns)

@@ -908,3 +908,26 @@ def test_degree_stats(art, sym_df):
     want = float(round_half_away(np.corrcoef(x, y)[0, 1], 6))
     got = float(q_assortativity(SF).to_pandas().assortativity.iloc[0])
     assert abs(got - want) < 1e-6
+
+
+def test_hits_allclose_numpy(art):
+    """HITS on the canonical directed edges vs dense numpy power
+    iteration (same unnormalized-then-final-L2 semantics)."""
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    res, stats = it.hits(art, iters=6)
+    got = res.to_pandas().sort_values("v").reset_index(drop=True)
+
+    edf = art.edges.to_pandas()
+    N = art.n_vertices
+    A = np.zeros((N, N))
+    A[edf.src, edf.dst] = 1.0
+    hub = np.ones(N)
+    for _ in range(6):
+        auth = A.T @ hub
+        hub = A @ auth
+    hub = hub / np.linalg.norm(hub)
+    auth = auth / np.linalg.norm(auth)
+    assert got.v.tolist() == list(range(N))
+    assert np.allclose(got.hub.to_numpy(), hub, atol=1e-9)
+    assert np.allclose(got.auth.to_numpy(), auth, atol=1e-9)
