@@ -260,3 +260,26 @@ def hits(
     if eng.n_total > _collect_max_vertices():
         return eng.hits_dataset().map_batches(xform, batch_format="pyarrow"), stats
     return xform(eng.collect_hits()), stats
+
+
+def neighborhood_function(
+    art: GraphArtifacts, m: int = 256, seed: int = 77
+) -> tuple:
+    """(radius, est_reachable): HyperBall approximate neighborhood
+    function — est_reachable[t] ≈ Σ_v |ball(v, t)| on the symmetric
+    graph, grown to the fixpoint radius (= graph diameter on each
+    component)."""
+    eng = engine_for(art, None)
+    stats = eng.hyperball(m=m, seed=seed)
+    nf = stats["nf"]
+    return (
+        pa.table(
+            {
+                "radius": pa.array(np.arange(len(nf), dtype=np.int64)),
+                "est_reachable": pa.array(
+                    round_half_away(np.asarray(nf, np.float64), 4), pa.float64()
+                ),
+            }
+        ),
+        stats,
+    )

@@ -352,6 +352,18 @@ def q_hits(sf_dir: str):
     return res
 
 
+def q_neighborhood_function(sf_dir: str):
+    """HyperBall approximate neighborhood function (radius,
+    est_reachable): per-vertex HyperLogLog ball counters max-merged along
+    edges to the fixpoint radius. No SQL oracle (probabilistic sketch) —
+    the semantic check replays the exact neighborhood function with BFS
+    matrix powers and bounds the relative error, plus a same-seed
+    determinism replay (tools/check_oracles.py)."""
+    art = build_graph(sf_dir)
+    res, _ = it.neighborhood_function(art)
+    return res
+
+
 def q_connected_components(sf_dir: str):
     art = build_graph(sf_dir)
     out, _ = it.connected_components(art, resume=False)
@@ -1022,6 +1034,7 @@ QUERIES = {
     "pagerank_fixed": q_pagerank_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
+    "neighborhood_function": q_neighborhood_function,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,

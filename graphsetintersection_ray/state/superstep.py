@@ -343,6 +343,115 @@ class PartitionWorker:
             }
         )
 
+    # -- HyperBall (approximate neighborhood function) ------------------------
+
+    @staticmethod
+    def _hll_rank(w: np.ndarray, width: int) -> np.ndarray:
+        """Position of the highest set bit from the top of a ``width``-bit
+        value, i.e. leading zeros + 1 (HLL rank); w == 0 → width + 1."""
+        bl = np.zeros(len(w), np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            m = (v >> np.uint64(s)) > 0
+            bl[m] += s
+            v[m] >>= np.uint64(s)
+        bl[w > 0] += 1  # bit_length
+        return (width - bl + 1).astype(np.uint8)
+
+    def hb_init(self, m: int, seed: int) -> None:
+        """Per-vertex HyperLogLog registers seeded with {v} itself
+        (radius-0 ball). Deterministic splitmix64 vertex hash."""
+        self.hb_m = m
+        b = int(np.log2(m))
+        x = (self.u.astype(np.uint64) + np.uint64(seed)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        bucket = (x & np.uint64(m - 1)).astype(np.int64)
+        rest = x >> np.uint64(b)
+        rank = self._hll_rank(rest, 64 - b)
+        self.hb = np.zeros((len(self.u), m), np.uint8)
+        self.hb[np.arange(len(self.u)), bucket] = rank
+
+    def _hb_estimates(self) -> np.ndarray:
+        m = float(self.hb_m)
+        if len(self.u) == 0:
+            return np.empty(0, np.float64)
+        z = np.exp2(-self.hb.astype(np.float64)).sum(axis=1)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / z
+        zeros = (self.hb == 0).sum(axis=1).astype(np.float64)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        est[small] = m * np.log(m / zeros[small])
+        return est
+
+    def hb_messages(self) -> list[pa.Table]:
+        """Per destination partition: register rows max-merged by dst.
+        Transient cost is E×m bytes per partition (the per-edge register
+        gather) — size m and the per-partition edge budget together."""
+        rows_per_edge = np.repeat(
+            np.arange(len(self.u)), np.diff(self.offsets)
+        )
+        out = []
+        for q in range(self.P):
+            sel = self._dst_sel[q]
+            dsts = self.flat[sel]
+            if len(dsts) == 0:
+                out.append(
+                    pa.table(
+                        {
+                            "dst": pa.array([], pa.int64()),
+                            "regs": pa.array(
+                                [], pa.list_(pa.uint8(), self.hb_m)
+                            ),
+                        }
+                    )
+                )
+                continue
+            uniq, inv = np.unique(dsts, return_inverse=True)
+            acc = np.zeros((len(uniq), self.hb_m), np.uint8)
+            np.maximum.at(acc, inv, self.hb[rows_per_edge[sel]])
+            out.append(
+                pa.table(
+                    {
+                        "dst": pa.array(uniq),
+                        "regs": pa.FixedSizeListArray.from_arrays(
+                            pa.array(acc.ravel()), self.hb_m
+                        ),
+                    }
+                )
+            )
+        return out
+
+    def hb_apply(self, *tables: pa.Table) -> dict:
+        new = self.hb.copy()
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            regs = (
+                t["regs"]
+                .combine_chunks()
+                .values.to_numpy(zero_copy_only=False)
+                .reshape(-1, self.hb_m)
+            )
+            np.maximum.at(new, np.searchsorted(self.u, dst), regs)
+        changed = int((new != self.hb).any(axis=1).sum())
+        self.hb = new
+        return {"changed": changed, "sum_est": float(self._hb_estimates().sum())}
+
+    def hb_sum(self) -> float:
+        return float(self._hb_estimates().sum())
+
+    def hb_table(self) -> pa.Table:
+        return pa.table(
+            {"v": pa.array(self.u), "ball": pa.array(self._hb_estimates())}
+        )
+
 
 class SuperstepEngine:
     """Drives P PartitionWorkers through BSP supersteps with per-iteration
@@ -626,6 +735,45 @@ class SuperstepEngine:
         auth_norm = float(np.sqrt(sum(a for _, a in ss)))
         ray.get([w.hits_scale.remote(hub_norm, auth_norm) for w in self.workers])
         return {"iters": iters, "sec": time.time() - t0}
+
+    def hyperball(
+        self, max_iters: int = 64, m: int = 64, seed: int = 77
+    ) -> dict:
+        """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+        Centralities with HyperBall", 2013): per-vertex HyperLogLog
+        counters of the radius-t ball, grown by max-merging neighbor
+        registers each superstep until no register changes. Returns the
+        approximate neighborhood function ``nf[t] = Σ_v |ball(v,t)|``
+        — the basis for effective-diameter / average-distance estimates
+        at scales where exact all-pairs BFS is impossible. Registers are
+        m bytes/vertex; the exchange is the same pre-aggregated
+        all-to-all as PageRank with max instead of sum."""
+        ray.get([w.hb_init.remote(m, seed) for w in self.workers])
+        nf = [float(sum(ray.get([w.hb_sum.remote() for w in self.workers])))]
+        t0 = time.time()
+        for _ in range(max_iters):
+            msgs = [
+                w.hb_messages.options(num_returns=self.P).remote()
+                for w in self.workers
+            ]
+            if self.P == 1:
+                msgs = [[r] for r in msgs]
+            results = ray.get(
+                [
+                    w.hb_apply.remote(*[msgs[p][q] for p in range(self.P)])
+                    for q, w in enumerate(self.workers)
+                ]
+            )
+            if sum(r["changed"] for r in results) == 0:
+                break
+            nf.append(float(sum(r["sum_est"] for r in results)))
+        return {"nf": nf, "radius": len(nf) - 1, "sec": time.time() - t0}
+
+    def hb_dataset(self):
+        """(v, ball) final per-vertex ball-size estimates as a Dataset."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs([w.hb_table.remote() for w in self.workers])
 
     def hits_dataset(self):
         """(v, hub, auth) as a Ray Dataset — one block per partition, no

@@ -931,3 +931,30 @@ def test_hits_allclose_numpy(art):
     assert got.v.tolist() == list(range(N))
     assert np.allclose(got.hub.to_numpy(), hub, atol=1e-9)
     assert np.allclose(got.auth.to_numpy(), auth, atol=1e-9)
+
+
+def test_hyperball_neighborhood_function(art, sym_df):
+    """HyperBall nf vs the exact neighborhood function (boolean matrix
+    powers): fixpoint radius must be exact, summed estimates within the
+    single-sketch HLL error budget, and same-seed replay identical."""
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    res, stats = it.neighborhood_function(art)
+    got = res.to_pandas()
+
+    n = art.n_vertices
+    reach = np.eye(n, dtype=bool)
+    reach[sym_df.src, sym_df.dst] = True
+    adj = reach.astype(np.float32)
+    exact = [float(n)]
+    prev = np.eye(n, dtype=bool)
+    cur = reach
+    while (cur != prev).any():
+        exact.append(float(cur.sum()))
+        prev = cur
+        cur = cur | ((cur.astype(np.float32) @ adj) > 0)
+    assert len(got) == len(exact)
+    rel = np.abs(got.est_reachable.to_numpy() - np.array(exact)) / np.array(exact)
+    assert rel.max() < 0.20
+    res2, _ = it.neighborhood_function(art)
+    pd.testing.assert_frame_equal(got, res2.to_pandas())

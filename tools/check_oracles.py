@@ -605,8 +605,62 @@ def _check_trussness(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_neighborhood_fn(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """HyperBall neighborhood function vs the EXACT one (boolean matrix
+    powers of the symmetric adjacency): the fixpoint radius must equal
+    the exact diameter, each radius's summed estimate must be within the
+    HLL error budget (m=256 → ~6.5% σ per sketch; ball sketches within one
+    component are CORRELATED, so the sum does not average them out —
+    the bound is 3σ of a single sketch, 20%), and a same-seed
+    replay must be bit-identical."""
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import (
+        QUERIES,
+        q_neighborhood_function,
+    )
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    n = int(max(edf.src.max(), edf.dst.max())) + 1
+    reach = np.eye(n, dtype=bool)
+    reach[edf.src, edf.dst] = True
+    reach[edf.dst, edf.src] = True
+    adj = reach.copy()
+    exact = [float(n)]
+    prev = np.eye(n, dtype=bool)
+    cur = reach
+    adj_f = adj.astype(np.float32)
+    while (cur != prev).any():
+        exact.append(float(cur.sum()))
+        prev = cur
+        cur = cur | ((cur.astype(np.float32) @ adj_f) > 0)
+    got = rdf.sort_values("radius").reset_index(drop=True)
+    radius_ok = len(got) == len(exact)
+    rel = [
+        abs(g - e) / e
+        for g, e in zip(got.est_reachable.tolist(), exact)
+    ]
+    replay = (
+        q_neighborhood_function(sf_dir)
+        .to_pandas()
+        .sort_values("radius")
+        .reset_index(drop=True)
+    )
+    deterministic = replay.equals(got)
+    max_rel = max(rel) if rel else 1.0
+    return {
+        "check": "exact_bfs_matrix_powers+same_seed_replay",
+        "exact_radius": len(exact) - 1,
+        "got_radius": len(got) - 1,
+        "max_rel_err": float(max_rel),
+        "deterministic": bool(deterministic),
+        "pass": bool(radius_ok and max_rel < 0.20 and deterministic),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
+    "neighborhood_function": _check_neighborhood_fn,
     "coreness": _check_coreness,
     "trussness": _check_trussness,
     "gro_order": _check_gro_order,
