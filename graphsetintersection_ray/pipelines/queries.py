@@ -955,6 +955,16 @@ def q_knn_ivf(sf_dir: str):
     return ivf_topk(_embs(sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """(vec_id, cluster): distributed Lloyd's spherical k-means (k=8,
+    10 iterations, deterministic smallest-vec_id init). Semantic oracle =
+    exact numpy replay of the same algorithm (tools/check_oracles.py)
+    plus planted-cluster recovery in pytest."""
+    from graphsetintersection_ray.stages.similarity import kmeans_clusters
+
+    return kmeans_clusters(_embs(sf_dir), k=8)
+
+
 def q_embedding_dups(sf_dir: str):
     """Oracle configuration: the EXACT block-pair engine (matches the SQL
     all-pairs join). The production default is the near-linear LSH route —
@@ -1071,6 +1081,7 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "kmeans_clusters": q_kmeans_clusters,
     "embedding_dups": q_embedding_dups,
     "media_metadata": q_media_metadata,
     "event_windows": q_event_windows,
@@ -1136,7 +1147,12 @@ cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 
 def _hits_oracle_sql(k: int) -> str:
     """Chained-CTE replay of k unnormalized HITS iterations over the
-    canonical directed ``edges`` + one final L2 normalization."""
+    canonical directed ``edges`` + one final L2 normalization.
+
+    Every CTE is declared MATERIALIZED: the chain references ``edges`` /
+    ``deg`` ~2k times and each a_i/h_i twice, and DuckDB's default CTE
+    inlining re-derives the whole transcript→graph prelude per reference
+    — exponential work/memory at sf0.01+ without the hint."""
     parts = ["h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM deg)"]
     for i in range(1, k + 1):
         parts.append(
@@ -1156,11 +1172,14 @@ def _hits_oracle_sql(k: int) -> str:
         "nrm AS (SELECT sqrt(sum(hub*hub)) AS nh, sqrt(sum(auth*auth)) AS na "
         "FROM hits)"
     )
-    return _with(
+    import re
+
+    sql = _with(
         ", ".join(parts)
         + " SELECT v, round(hub / nh, 6) AS hub, round(auth / na, 6) AS auth "
         "FROM hits, nrm"
     )
+    return re.sub(r"(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
 
 
 # duplicate clusters: transitive closure over the exact-jaccard pair

@@ -580,3 +580,102 @@ def lsh_topk(
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed spherical k-means (topic clustering over embeddings)
+# --------------------------------------------------------------------------
+
+KMEANS_ITERS = 10
+
+
+def kmeans_clusters(
+    embeddings: rd.Dataset, k: int = 8, iters: int = KMEANS_ITERS
+) -> rd.Dataset:
+    """(vec_id, cluster): Lloyd's spherical k-means over the full corpus
+    — the topic-clustering stage of a training-data pipeline.
+
+    Deterministic and exactly replayable: init = the k smallest-vec_id
+    vectors (value-defined, independent of block order), assignment =
+    argmax cosine with ties to the lowest cluster, update = renormalized
+    mean; empty clusters keep their previous centroid.
+
+    Scale shape: per iteration ONE streaming pass — centroids broadcast
+    via ``ray.put`` (k×dim doubles), each batch emits pre-aggregated
+    per-cluster (count, vector-sum) partials, and the driver reduces
+    k×#blocks small rows to the next centroid slab. No shuffle of the
+    corpus, ever; the final labeling is one more map pass."""
+    embeddings = embeddings.materialize()
+
+    def _smallest(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) <= k:
+            return t.select(["vec_id", "embedding"])
+        keep = np.argsort(ids, kind="stable")[:k]
+        return t.select(["vec_id", "embedding"]).take(pa.array(np.sort(keep)))
+
+    seed_df = (
+        embeddings.map_batches(_smallest, batch_format="pyarrow")
+        .to_pandas()
+        .nsmallest(k, "vec_id")
+        .sort_values("vec_id")
+    )
+    cent = _normalize(np.stack(seed_df["embedding"].to_numpy()).astype(np.float64))
+    kk = len(cent)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            ids, mat = _emb_matrix(t)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            mat = _normalize(mat)
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros((kk, mat.shape[1]), np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=kk)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(nz, pa.int64()),
+                    "n": pa.array(counts[nz], pa.int64()),
+                    "vsum": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+                }
+            )
+
+        agg = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new_cent = cent.copy()
+        for c_id, grp in agg.groupby("cluster"):
+            s = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+            nrm = np.linalg.norm(s)
+            if nrm > 0:
+                new_cent[int(c_id)] = s / nrm
+        cent = new_cent
+
+    cent_ref = ray.put(cent)
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, mat = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}
+            )
+        assign = np.argmax(_normalize(mat) @ c.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(label, batch_format="pyarrow")

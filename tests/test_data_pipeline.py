@@ -550,3 +550,33 @@ def test_near_dedup_survivors(docs_ds):
     )
     assert kept2.doc_id.tolist() == [0, 1, 2, 3]
     assert set(kept2.columns) == set(kept.columns)
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Distributed spherical k-means on well-separated planted clusters:
+    assignments must recover the planted partition (up to relabeling)
+    and be deterministic across runs."""
+    import ray.data as rd
+    from graphsetintersection_ray.stages.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(42)
+    centers = np.eye(4, 16)  # 4 orthogonal cluster directions
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + 0.05 * rng.standard_normal(16)
+        rows.append({"vec_id": i, "embedding": v.astype(np.float64).tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    out = kmeans_clusters(ds, k=4).to_pandas().sort_values("vec_id")
+    planted = out.vec_id.to_numpy() % 4
+    got = out.cluster.to_numpy()
+    # one-to-one relabeling: each planted cluster maps to exactly one
+    # k-means cluster and vice versa
+    mapping = {}
+    for p, g in zip(planted, got):
+        assert mapping.setdefault(p, g) == g
+    assert len(set(mapping.values())) == 4
+
+    out2 = kmeans_clusters(ds, k=4).to_pandas().sort_values("vec_id")
+    assert out.cluster.tolist() == out2.cluster.tolist()

@@ -658,9 +658,59 @@ def _check_neighborhood_fn(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_kmeans(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """kmeans_clusters vs an exact single-process numpy replay of the
+    same algorithm (smallest-vec_id init, argmax-cosine assignment with
+    ties to the lowest cluster, renormalized-mean update, 10 iterations).
+    Distributed partial sums reduce in a different order than one numpy
+    pass, so centroids can differ at float epsilon and near-equidistant
+    points may flip — the bar is >= 99% agreement, plus exact
+    distributed determinism (two runs identical)."""
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+    from graphsetintersection_ray.stages.similarity import (
+        KMEANS_ITERS,
+        _normalize,
+    )
+
+    edf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    edf = edf.sort_values("vec_id").reset_index(drop=True)
+    ids = edf["vec_id"].to_numpy()
+    mat = _normalize(np.stack(edf["embedding"].to_numpy()).astype(np.float64))
+    k = 8
+    cent = mat[np.argsort(ids, kind="stable")[:k]]
+    for _ in range(KMEANS_ITERS):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        new = cent.copy()
+        for c in range(k):
+            s = mat[assign == c].sum(axis=0)
+            nrm = np.linalg.norm(s)
+            if nrm > 0:
+                new[c] = s / nrm
+        cent = new
+    want = np.argmax(mat @ cent.T, axis=1)
+    got = rdf.sort_values("vec_id").reset_index(drop=True)
+    agree = float(
+        (got.cluster.to_numpy() == want[np.searchsorted(ids, got.vec_id)]).mean()
+    )
+    rdf2 = QUERIES["kmeans_clusters"](sf_dir).to_pandas()
+    deterministic = (
+        got.cluster.tolist()
+        == rdf2.sort_values("vec_id").reset_index(drop=True).cluster.tolist()
+    )
+    return {
+        "check": "numpy_exact_replay+determinism",
+        "agreement": agree,
+        "deterministic": bool(deterministic),
+        "pass": bool(agree >= 0.99 and deterministic and len(got) == len(ids)),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
     "neighborhood_function": _check_neighborhood_fn,
+    "kmeans_clusters": _check_kmeans,
     "coreness": _check_coreness,
     "trussness": _check_trussness,
     "gro_order": _check_gro_order,
