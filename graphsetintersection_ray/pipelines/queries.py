@@ -1007,6 +1007,26 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample over events: per event_type keep
+    event_id % ceil(n_type/1000) == 0 — equal-size samples across skewed
+    strata, value-defined and replayable."""
+    from graphsetintersection_ray.stages.streaming import stratified_sample
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    return stratified_sample(ev, target_per_stratum=1000)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles (q = 0.25/0.5/0.9,
+    quantile_disc semantics) via the (lang, n_tokens) count histogram —
+    no sort of the corpus."""
+    from graphsetintersection_ray.stages.text import token_quantiles
+
+    return token_quantiles(_docs(sf_dir))
+
+
 def q_media_metadata(sf_dir: str):
     from graphsetintersection_ray.stages.multimodal import (
         MediaMetadata,
@@ -1087,6 +1107,8 @@ QUERIES = {
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
     "sample_docs": q_sample_docs,
+    "stratified_sample": q_stratified_sample,
+    "token_quantiles": q_token_quantiles,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -1661,4 +1683,36 @@ FROM o GROUP BY user_id""",
     "sample_docs": (
         "SELECT doc_id, text FROM documents WHERE doc_id % 16 = 0"
     ),
+    "stratified_sample": """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type
+FROM events e JOIN c ON c.event_type = e.event_type
+WHERE e.event_id % greatest(1, CAST(ceil(n / 1000.0) AS BIGINT)) = 0""",
+    "token_quantiles": "WITH "
+    + _LANG_SCORES_SQL
+    + """,
+lang AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS lang_pred
+  FROM sc
+),
+tok AS (
+  SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n
+  FROM documents
+),
+j AS (SELECT l.lang_pred, t.n FROM lang l JOIN tok t ON t.doc_id = l.doc_id)
+SELECT lang_pred, CAST(0.25 AS DOUBLE) AS q,
+       quantile_disc(n, 0.25) AS n_tokens FROM j GROUP BY lang_pred
+UNION ALL
+SELECT lang_pred, CAST(0.5 AS DOUBLE), quantile_disc(n, 0.5)
+FROM j GROUP BY lang_pred
+UNION ALL
+SELECT lang_pred, CAST(0.9 AS DOUBLE), quantile_disc(n, 0.9)
+FROM j GROUP BY lang_pred""",
 }

@@ -99,3 +99,48 @@ def sessionize(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     return bucketed.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def stratified_sample(
+    events: rd.Dataset,
+    stratum_col: str = "event_type",
+    key_col: str = "event_id",
+    target_per_stratum: int = 1000,
+) -> rd.Dataset:
+    """Deterministic stratified sample: per stratum keep rows whose key
+    satisfies ``key % stride == 0`` with ``stride = ceil(n_s / target)``
+    — equalizing per-stratum sample sizes regardless of skew (the rare
+    stratum is kept whole, the hot one thinned).
+
+    Scale shape: one pre-aggregated count shuffle over (stratum) — a
+    handful of rows — broadcast as a dict into a vectorized filter pass.
+    Value-defined (key-modulus) selection, so the sample is replayable
+    from the raw table and independent of block order."""
+    import ray
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    ones = events.map_batches(
+        lambda t: pa.table(
+            {
+                stratum_col: t[stratum_col],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    counts = sum_by(ones, [stratum_col], "n").to_pandas()
+    stride = {
+        s: max(1, int(np.ceil(n / target_per_stratum)))
+        for s, n in zip(counts[stratum_col], counts["n"])
+    }
+    stride_ref = ray.put(stride)
+
+    def pick(t: pa.Table) -> pa.Table:
+        st = ray.get(stride_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        strata = t[stratum_col].to_pandas()
+        strides = strata.map(st).fillna(1).to_numpy(np.int64)
+        return t.filter(pa.array(keys % strides == 0))
+
+    return events.map_batches(pick, batch_format="pyarrow")

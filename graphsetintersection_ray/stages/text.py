@@ -158,3 +158,59 @@ def fingerprint(batch: pd.DataFrame) -> pa.Table:
             "fp": pa.array(fps, pa.string()),
         }
     )
+
+
+def token_quantiles(docs, qs=(0.25, 0.5, 0.9)):
+    """(lang_pred, q, n_tokens): EXACT per-language token-count quantiles
+    (discrete, DuckDB quantile_disc semantics: the value at sorted index
+    ceil(q·n) − 1).
+
+    Scale shape: quantiles over a 10¹²-row corpus without a sort — one
+    map pass emits (lang, n_tokens) per doc, one pre-aggregated count
+    shuffle builds the (lang, n_tokens) histogram (cardinality bounded
+    by languages × max doc length, NOT by corpus rows), and the driver
+    cumsums that small histogram."""
+    import numpy as np
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    def per_doc(batch: pd.DataFrame) -> pa.Table:
+        lang = lang_id(batch)["lang_pred"]
+        toks = token_count(batch)["n_tokens"]
+        return pa.table(
+            {
+                "lang_pred": lang,
+                "n_tokens": toks,
+                "cnt": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    hist = (
+        sum_by(
+            docs.map_batches(per_doc, batch_format="pandas"),
+            ["lang_pred", "n_tokens"],
+            "cnt",
+        )
+        .to_pandas()
+        .sort_values(["lang_pred", "n_tokens"])
+    )
+    out_lang, out_q, out_n = [], [], []
+    for lang, g in hist.groupby("lang_pred", sort=True):
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["n_tokens"].to_numpy()
+        n = int(cum[-1])
+        for q in qs:
+            rank = int(np.ceil(q * n))
+            out_lang.append(lang)
+            out_q.append(float(q))
+            out_n.append(int(vals[np.searchsorted(cum, max(rank, 1))]))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang_pred": pa.array(out_lang, pa.string()),
+                "q": pa.array(out_q, pa.float64()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+    )
