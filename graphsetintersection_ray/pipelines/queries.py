@@ -1027,6 +1027,24 @@ def q_token_quantiles(sf_dir: str):
     return token_quantiles(_docs(sf_dir))
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    """(lang_pred, doc_id, quality, rk): each language's 10
+    highest-quality docs — group top-k with deterministic (quality
+    DESC, doc_id ASC) order, via per-block partial top-ks."""
+    from graphsetintersection_ray.stages.text import top_per_lang
+
+    return top_per_lang(_docs(sf_dir), k=10)
+
+
+def q_decontaminate(sf_dir: str):
+    """(doc_id, fp): corpus minus every doc whose normalized-content
+    fingerprint matches the value-defined benchmark set
+    (doc_id % 97 == 0) — eval-leakage removal by content, not id."""
+    from graphsetintersection_ray.stages.dedup import decontaminate
+
+    return decontaminate(_docs(sf_dir), benchmark_mod=97)
+
+
 def q_media_metadata(sf_dir: str):
     from graphsetintersection_ray.stages.multimodal import (
         MediaMetadata,
@@ -1109,6 +1127,8 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
     "token_quantiles": q_token_quantiles,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "decontaminate": q_decontaminate,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -1715,4 +1735,44 @@ FROM j GROUP BY lang_pred
 UNION ALL
 SELECT lang_pred, CAST(0.9 AS DOUBLE), quantile_disc(n, 0.9)
 FROM j GROUP BY lang_pred""",
+    "top_docs_per_lang": "WITH "
+    + _LANG_SCORES_SQL
+    + """,
+lang AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS lang_pred
+  FROM sc
+),
+q AS (
+  SELECT doc_id,
+    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1)
+          * least(CAST(1.0 AS DOUBLE),
+                  len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) / 100.0),
+          6) AS quality
+  FROM documents
+),
+r AS (
+  SELECT l.lang_pred, q.doc_id, q.quality,
+    row_number() OVER (
+      PARTITION BY l.lang_pred ORDER BY q.quality DESC, q.doc_id
+    ) AS rk
+  FROM lang l JOIN q ON q.doc_id = l.doc_id
+)
+SELECT lang_pred, doc_id, quality, rk FROM r WHERE rk <= 10""",
+    "decontaminate": """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+bl AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0)
+SELECT f.doc_id, f.fp FROM fp f
+WHERE f.fp NOT IN (SELECT fp FROM bl)""",
 }

@@ -834,3 +834,90 @@ def near_dedup(
         anti,
         num_buckets,
     )
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    benchmark_mod: int = 97,
+    num_buckets: int = 32,
+    broadcast_max: int = DEDUP_BROADCAST_MAX,
+) -> rd.Dataset:
+    """Benchmark decontamination: drop every document whose normalized
+    content fingerprint matches a document in the benchmark set (here
+    value-defined as ``doc_id % benchmark_mod == 0`` so the check is
+    replayable without external data). Removes the benchmark docs
+    themselves AND any exact near-verbatim copy of them elsewhere in
+    the corpus — the standard eval-leakage guard in training-data
+    pipelines. Returns the surviving (doc_id, fp) rows.
+
+    Scale shape: one fingerprint pass over the corpus; the blocklist
+    (corpus_size / benchmark_mod fps) is broadcast via ``ray.put`` into
+    a vectorized isin filter while small, and above ``broadcast_max``
+    the same bounded bucket-cogroup anti-join as ``dedup_survivors``
+    runs keyed on fp — no driver materialization of the corpus either
+    way."""
+    import ray
+
+    from graphsetintersection_ray.stages.shuffle import _add_bucket, bucket_groups
+    from graphsetintersection_ray.stages.text import fingerprint
+
+    fps = docs.map_batches(fingerprint, batch_format="pandas").materialize()
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % benchmark_mod == 0)).select(["fp"])
+
+    bench = fps.map_batches(_bench_rows, batch_format="pyarrow").materialize()
+
+    if bench.count() <= broadcast_max:
+        block_ref = ray.put(
+            np.unique(bench.to_pandas()["fp"].to_numpy(dtype=object))
+        )
+
+        def keep(b: pd.DataFrame) -> pa.Table:
+            bad = b["fp"].isin(ray.get(block_ref)).to_numpy()
+            return pa.Table.from_pandas(b[~bad], preserve_index=False)
+
+        return fps.map_batches(keep, batch_format="pandas")
+
+    # distributed anti-join on fp: union doc rows with blocklist marker
+    # rows, cogroup by fp bucket, keep doc rows whose fp has no marker
+    def mark_docs(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bench", pa.array(np.zeros(t.num_rows, np.int8))
+        )
+
+    def mark_bench(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "fp": t["fp"],
+            }
+        ).append_column("__bench", pa.array(np.ones(t.num_rows, np.int8)))
+
+    unioned = fps.map_batches(mark_docs, batch_format="pyarrow").union(
+        bench.map_batches(mark_bench, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("fp", pa.string())]
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        bad = set(g.loc[g["__bench"] == 1, "fp"])
+        keep_rows = (g["__bench"] == 0) & ~g["fp"].isin(bad)
+        return pa.Table.from_pandas(
+            g.loc[keep_rows, ["doc_id", "fp"]],
+            schema=out_schema,
+            preserve_index=False,
+        )
+
+    return bucket_groups(
+        unioned.map_batches(
+            lambda b: _add_bucket(b, ["fp"], num_buckets),
+            batch_format="pandas",
+        ),
+        anti,
+        num_buckets,
+    )

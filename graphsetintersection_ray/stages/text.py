@@ -214,3 +214,71 @@ def token_quantiles(docs, qs=(0.25, 0.5, 0.9)):
             }
         )
     )
+
+
+class _LangQualityTopK:
+    """Actor-pool partial top-k: per batch, emit each language's k best
+    (quality DESC, doc_id ASC) docs — the global per-language top-k is
+    contained in the union of per-block top-ks under the same total
+    order, so the final reduce sees at most k × #langs × #blocks rows."""
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+        self.scorer = TextQualityScorer()
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        q = self.scorer(batch).to_pandas()
+        lang = lang_id(batch).to_pandas()
+        df = pd.DataFrame(
+            {
+                "lang_pred": lang["lang_pred"],
+                "doc_id": q["doc_id"],
+                "quality": q["quality"],
+            }
+        )
+        df = df.sort_values(
+            ["lang_pred", "quality", "doc_id"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang_pred", sort=False).head(self.k),
+            preserve_index=False,
+        )
+
+
+def top_per_lang(docs, k: int = 10):
+    """(lang_pred, doc_id, quality, rk): each language's k
+    highest-quality documents with rank 1..k — deterministic total
+    order (quality DESC, doc_id ASC), the group-top-k selection step of
+    a per-language data-curation pipeline.
+
+    Scale shape: one actor-pool pass emits per-block per-language
+    partial top-ks; the driver reduce input is bounded by
+    k × #langs × #blocks rows regardless of corpus size."""
+    import ray.data as rd
+
+    partials = (
+        docs.map_batches(
+            _LangQualityTopK,
+            fn_constructor_kwargs={"k": k},
+            concurrency=2,
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(
+            ["lang_pred", "quality", "doc_id"],
+            ascending=[True, False, True],
+        )
+    )
+    top = partials.groupby("lang_pred", sort=True).head(k).copy()
+    top["rk"] = top.groupby("lang_pred").cumcount() + 1
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang_pred": pa.array(top["lang_pred"], pa.string()),
+                "doc_id": pa.array(top["doc_id"], pa.int64()),
+                "quality": pa.array(top["quality"], pa.float64()),
+                "rk": pa.array(top["rk"].to_numpy(), pa.int64()),
+            }
+        )
+    )

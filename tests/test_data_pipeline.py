@@ -580,3 +580,108 @@ def test_kmeans_recovers_planted_clusters(ray_session):
 
     out2 = kmeans_clusters(ds, k=4).to_pandas().sort_values("vec_id")
     assert out.cluster.tolist() == out2.cluster.tolist()
+
+
+def test_stratified_sample_equalizes_skewed_strata(ray_session):
+    """Hot stratum thinned to ~target, rare stratum kept whole, selection
+    value-defined (key-modulus) so block order can't change the sample."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import stratified_sample
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(10_000, dtype=np.int64),
+            "event_type": ["hot"] * 9_900 + ["rare"] * 100,
+        }
+    )
+    out = stratified_sample(
+        rd.from_pandas(df).repartition(8), target_per_stratum=500
+    ).to_pandas()
+    by = out.groupby("event_type").size()
+    # stride for hot = ceil(9900/500) = 20 -> 495 rows; rare stride 1 -> all 100
+    assert by["hot"] == 495
+    assert by["rare"] == 100
+    # replayable: the kept hot keys are exactly the multiples of 20
+    hot = np.sort(out[out.event_type == "hot"].event_id.to_numpy())
+    assert (hot % 20 == 0).all()
+
+
+def test_token_quantiles_matches_sorted_definition(ray_session):
+    """quantile_disc semantics: value at sorted index ceil(q*n)-1 per lang."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import token_quantiles
+
+    rng = np.random.default_rng(7)
+    texts = [
+        " ".join(["the"] * int(k)) for k in rng.integers(1, 40, size=200)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+    out = (
+        token_quantiles(rd.from_pandas(df).repartition(4))
+        .to_pandas()
+        .set_index("q")
+    )
+    # all-"the" docs are English; token count = word count
+    n_tok = np.sort(df.text.str.split().str.len().to_numpy())
+    assert set(out.index) == {0.25, 0.5, 0.9}
+    for q in (0.25, 0.5, 0.9):
+        expect = int(n_tok[int(np.ceil(q * len(n_tok))) - 1])
+        assert int(out.loc[q, "n_tokens"]) == expect
+
+
+def test_decontaminate_removes_benchmark_content(ray_session):
+    """Benchmark docs AND their verbatim copies are dropped, broadcast
+    and distributed anti-join paths agree."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.dedup import decontaminate
+
+    # doc 0 is a benchmark doc (0 % 5 == 0); doc 7 copies its content
+    texts = {
+        0: "held out eval question about arithmetic",
+        1: "ordinary web text one",
+        2: "ordinary web text two",
+        3: "ordinary web text three",
+        4: "ordinary web text four",
+        6: "ordinary web text six",
+        7: "held out eval question about arithmetic",  # leak of doc 0
+        8: "ordinary web text eight",
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    docs = rd.from_pandas(df).repartition(3)
+    out = decontaminate(docs, benchmark_mod=5).to_pandas()
+    # 0 and 5 are benchmark ids (5 absent); 0 and its copy 7 must go
+    assert set(out.doc_id) == {1, 2, 3, 4, 6, 8}
+    # forced-zero broadcast threshold -> distributed bucket anti-join
+    out2 = decontaminate(
+        docs, benchmark_mod=5, broadcast_max=0, num_buckets=4
+    ).to_pandas()
+    assert set(out2.doc_id) == set(out.doc_id)
+    assert sorted(out2.fp) == sorted(out.fp)
+
+
+def test_top_per_lang_partial_topk_is_exact(ray_session):
+    """Per-block partial top-k union contains the global top-k: result
+    equals a direct single-partition computation under any blocking."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import top_per_lang
+
+    rng = np.random.default_rng(3)
+    texts = []
+    for i in range(120):
+        lang_word = ["the and of", "der und die", "el la de"][i % 3]
+        filler = " ".join(["word"] * int(rng.integers(1, 120)))
+        texts.append(f"{lang_word} {filler}")
+    df = pd.DataFrame({"doc_id": np.arange(120), "text": texts})
+    many = top_per_lang(rd.from_pandas(df).repartition(10), k=5).to_pandas()
+    one = top_per_lang(rd.from_pandas(df), k=5).to_pandas()
+    key = ["lang_pred", "rk"]
+    assert many.sort_values(key).reset_index(drop=True).equals(
+        one.sort_values(key).reset_index(drop=True)
+    )
+    assert (many.groupby("lang_pred").rk.max() <= 5).all()
