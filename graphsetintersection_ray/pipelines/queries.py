@@ -1045,6 +1045,14 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), benchmark_mod=97)
 
 
+def q_ngram_counts(sf_dir: str):
+    """(bigram, n): the corpus's 50 most frequent adjacent token
+    bigrams, deterministic (n DESC, bigram ASC) cut."""
+    from graphsetintersection_ray.stages.text import ngram_counts
+
+    return ngram_counts(_docs(sf_dir), top=50)
+
+
 def q_media_metadata(sf_dir: str):
     from graphsetintersection_ray.stages.multimodal import (
         MediaMetadata,
@@ -1129,6 +1137,7 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
     "decontaminate": q_decontaminate,
+    "ngram_counts": q_ngram_counts,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -1775,4 +1784,15 @@ WITH fp AS (
 bl AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0)
 SELECT f.doc_id, f.fp FROM fp f
 WHERE f.fp NOT IN (SELECT fp FROM bl)""",
+    "ngram_counts": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+)
+SELECT bigram, count(*) AS n FROM pairs
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""",
 }

@@ -282,3 +282,76 @@ def top_per_lang(docs, k: int = 10):
             }
         )
     )
+
+
+def ngram_counts(docs, top: int = 50):
+    """(bigram, n): the corpus's ``top`` most frequent adjacent token
+    bigrams (lowercased ASCII tokens), deterministic (n DESC, bigram
+    ASC) tie order — corpus n-gram statistics for contamination and
+    boilerplate analysis.
+
+    Scale shape: per-batch local bigram counts (one tokenize pass, one
+    vectorized value_counts) → pre-aggregated count shuffle keyed on
+    bigram → exact top-k via per-block partial top-k (after global
+    aggregation each bigram is unique, so the union of per-block
+    top-ks contains the global top-k); the driver reduce is bounded by
+    top × #blocks rows."""
+    import itertools
+
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    def local_counts(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        total = int(lens.sum())
+        if total < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.fromiter(
+            itertools.chain.from_iterable(toks), dtype=object, count=total
+        )
+        # a bigram starts at every position except each doc's last token
+        valid = np.ones(total, bool)
+        valid[np.cumsum(lens[lens > 0]) - 1] = False
+        starts = valid[:-1]
+        big = pd.Series(flat[:-1][starts]) + " " + pd.Series(flat[1:][starts])
+        vc = big.value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    summed = sum_by(
+        docs.map_batches(local_counts, batch_format="pandas"),
+        ["bigram"],
+        "n",
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]
+        )
+        return pa.Table.from_pandas(df.head(top), preserve_index=False)
+
+    cand = (
+        summed.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "bigram"], ascending=[False, True])
+        .head(top)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bigram": pa.array(cand["bigram"].to_numpy(object), pa.string()),
+                "n": pa.array(cand["n"].to_numpy(np.int64)),
+            }
+        )
+    )

@@ -685,3 +685,33 @@ def test_top_per_lang_partial_topk_is_exact(ray_session):
         one.sort_values(key).reset_index(drop=True)
     )
     assert (many.groupby("lang_pred").rk.max() <= 5).all()
+
+
+def test_ngram_counts_cross_batch_and_boundaries(ray_session):
+    """Bigrams never span documents; counts aggregate across blocks;
+    the top-k cut uses the deterministic (n DESC, bigram ASC) order."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import ngram_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "a b c",
+                "b c d",
+                "c a B",  # case-folded: "c a", "a b"
+                "x",      # no bigram
+                "",       # empty
+                "a b",
+            ],
+        }
+    )
+    out = (
+        ngram_counts(rd.from_pandas(df).repartition(4), top=3)
+        .to_pandas()
+        .set_index("bigram")["n"]
+    )
+    # full counts: a-b:3, b-c:2, c-a:1, c-d:1, x none
+    assert list(out.index) == ["a b", "b c", "c a"]
+    assert out["a b"] == 3 and out["b c"] == 2 and out["c a"] == 1
