@@ -850,23 +850,25 @@ def decontaminate(
     the corpus — the standard eval-leakage guard in training-data
     pipelines. Returns the surviving (doc_id, fp) rows.
 
-    Scale shape: one fingerprint pass over the corpus; the blocklist
-    (corpus_size / benchmark_mod fps) is broadcast via ``ray.put`` into
-    a vectorized isin filter while small, and above ``broadcast_max``
-    the same bounded bucket-cogroup anti-join as ``dedup_survivors``
-    runs keyed on fp — no driver materialization of the corpus either
-    way."""
+    Scale shape: the blocklist is built by fingerprinting ONLY the
+    benchmark slice (1/benchmark_mod of the corpus) in its own small
+    pass; the corpus fingerprint pass then STREAMS — never
+    materialized — into either a broadcast ``ray.put`` + vectorized
+    isin filter (blocklist small) or, above ``broadcast_max``, the
+    same bounded bucket-cogroup anti-join as ``dedup_survivors`` keyed
+    on fp. No driver or object-store materialization of the corpus
+    either way."""
     import ray
 
     from graphsetintersection_ray.stages.shuffle import _add_bucket, bucket_groups
     from graphsetintersection_ray.stages.text import fingerprint
 
-    fps = docs.map_batches(fingerprint, batch_format="pandas").materialize()
-    def _bench_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % benchmark_mod == 0)).select(["fp"])
+    def _bench_fps(b: pd.DataFrame) -> pa.Table:
+        sel = b[(b["doc_id"].to_numpy(np.int64) % benchmark_mod) == 0]
+        return fingerprint(sel).select(["fp"])
 
-    bench = fps.map_batches(_bench_rows, batch_format="pyarrow").materialize()
+    bench = docs.map_batches(_bench_fps, batch_format="pandas").materialize()
+    fps = docs.map_batches(fingerprint, batch_format="pandas")
 
     if bench.count() <= broadcast_max:
         block_ref = ray.put(
