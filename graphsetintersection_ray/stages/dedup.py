@@ -153,16 +153,26 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    return (
-        docs.map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+    from graphsetintersection_ray.stages.shuffle import grouped_apply
+
+    return grouped_apply(
+        docs.map_batches(add_hash, batch_format="pandas"),
+        ["h"],
+        keep_first,
+        out_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
+        ),
     )
 
 
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (the shared verification shuffle)
 # --------------------------------------------------------------------------
+
+
+_PAIR_SCHEMA = pa.schema(
+    [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+)
 
 
 def _pairs_for_shingle_group(max_df: int | None):
@@ -239,6 +249,20 @@ def _attach_pair_counts(
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
+def _sized_buckets(n_rows: int, rows_per_bucket: int = 250_000) -> int:
+    """Shuffle fan-out sized by data volume: small inputs are fixed-cost
+    bound (64 near-empty blocks per stage measured 2x slower than 8 at
+    sf0.01), big inputs need buckets that fit a worker heap. Floor 8,
+    cap 64 single-node; raise GRAFT_DEDUP_BUCKETS at real multi-node
+    scale (bucket count is semantics-free)."""
+    import os
+
+    env = os.environ.get("GRAFT_DEDUP_BUCKETS")
+    if env:
+        return int(env)
+    return max(8, min(64, n_rows // rows_per_bucket + 8))
+
+
 def jaccard_pairs(
     docs: rd.Dataset,
     threshold: float = 0.5,
@@ -256,15 +280,21 @@ def jaccard_pairs(
     shingles (near-zero discriminative signal)."""
     sh = docs.map_batches(shingle_table, batch_format="pandas").materialize()
 
-    from graphsetintersection_ray.stages.shuffle import counted_groups
+    from graphsetintersection_ray.stages.shuffle import counted_groups, grouped_apply
 
-    counts = counted_groups(sh, ["doc_id"], count_col="n_sh")
+    nb = _sized_buckets(sh.count())
+    counts = counted_groups(sh, ["doc_id"], count_col="n_sh", num_buckets=nb)
     pair_counts = counted_groups(
-        sh.groupby("shingle").map_groups(
-            _pairs_for_shingle_group(max_df), batch_format="pandas"
+        grouped_apply(
+            sh,
+            ["shingle"],
+            _pairs_for_shingle_group(max_df),
+            out_schema=_PAIR_SCHEMA,
+            num_buckets=nb,
         ),
         ["doc_a", "doc_b"],
         count_col="i",
+        num_buckets=nb,
     )
     return _attach_pair_counts(
         pair_counts, counts, threshold, num_partitions=num_partitions
@@ -343,6 +373,8 @@ def minhash_lsh_pairs(
     many CANDIDATES would blow up pair generation, accepting approximate
     jaccard values for pairs carried by dropped shingles."""
     docs = docs.materialize()
+    # ~100 shingle/band rows per doc flow through each shuffle stage
+    nb = _sized_buckets(docs.count() * 100)
     sigs = docs.map_batches(
         minhash_signatures, batch_format="pandas", fn_kwargs=dict(k=k)
     )
@@ -384,14 +416,23 @@ def minhash_lsh_pairs(
         )
 
     from graphsetintersection_ray.stages.graph_build import compact_blocks
-    from graphsetintersection_ray.stages.shuffle import counted_groups, distinct_by
+    from graphsetintersection_ray.stages.shuffle import (
+        counted_groups,
+        distinct_by,
+        grouped_apply,
+    )
 
     candidates = compact_blocks(
         distinct_by(
-            sigs.map_batches(band_rows, batch_format="pyarrow")
-            .groupby(["band", "bh"])
-            .map_groups(bucket_pairs, batch_format="pandas"),
+            grouped_apply(
+                sigs.map_batches(band_rows, batch_format="pyarrow"),
+                ["band", "bh"],
+                bucket_pairs,
+                out_schema=_PAIR_SCHEMA,
+                num_buckets=nb,
+            ),
             ["doc_a", "doc_b"],
+            num_buckets=nb,
         )
     )
 
@@ -413,6 +454,7 @@ def minhash_lsh_pairs(
             batch_format="pyarrow",
         ),
         ["doc_id"],
+        num_buckets=nb,
     )
     sh = docs.map_batches(shingle_table, batch_format="pandas")
     sh_cand = compact_blocks(sh).join(
@@ -422,13 +464,20 @@ def minhash_lsh_pairs(
         on=("doc_id",),
     ).materialize()
 
-    counts = counted_groups(sh_cand, ["doc_id"], count_col="n_sh")
+    counts = counted_groups(
+        sh_cand, ["doc_id"], count_col="n_sh", num_buckets=nb
+    )
     pair_counts = counted_groups(
-        sh_cand.groupby("shingle").map_groups(
-            _pairs_for_shingle_group(verify_max_df), batch_format="pandas"
+        grouped_apply(
+            sh_cand,
+            ["shingle"],
+            _pairs_for_shingle_group(verify_max_df),
+            out_schema=_PAIR_SCHEMA,
+            num_buckets=nb,
         ),
         ["doc_a", "doc_b"],
         count_col="i",
+        num_buckets=nb,
     )
     # restrict to LSH candidates (inner join on the pair key)
     cand_pairs = compact_blocks(pair_counts).join(
@@ -523,14 +572,23 @@ def simhash_near_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             }
         )
 
-    from graphsetintersection_ray.stages.shuffle import distinct_by
+    from graphsetintersection_ray.stages.shuffle import distinct_by, grouped_apply
 
     # a pair recovered from several bands carries the same full-signature
     # hamming distance, so the multi-band dedup is a plain distinct
     return distinct_by(
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas"),
+        grouped_apply(
+            sigs.map_batches(band_rows, batch_format="pyarrow"),
+            ["band", "bh"],
+            bucket_pairs,
+            out_schema=pa.schema(
+                [
+                    pa.field("doc_a", pa.int64()),
+                    pa.field("doc_b", pa.int64()),
+                    pa.field("hamming", pa.int64()),
+                ]
+            ),
+        ),
         ["doc_a", "doc_b", "hamming"],
     )
 

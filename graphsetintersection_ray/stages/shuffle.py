@@ -155,3 +155,35 @@ def counted_groups(
         count,
         num_buckets,
     )
+
+
+def grouped_apply(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    fn,
+    out_schema: pa.Schema,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """``groupby(key_cols).map_groups(fn)`` via the bounded bucket path:
+    equal keys always share a bucket, so applying ``fn`` to each
+    key-group inside a bucket is globally correct, and the boundary sort
+    pins shuffle fan-in to exactly ``num_buckets`` partitions at every
+    parallelism level (Ray's native groupby fan-out tracks input block
+    count — the B_in x B_out object grid that anti-scales with cpus).
+    ``fn``: group DataFrame -> ``pa.Table``; every output (and the empty
+    bucket case) must match ``out_schema``."""
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        tables = [fn(sub) for _, sub in g.groupby(key_cols, sort=False)]
+        return pa.concat_tables(tables)
+
+    return bucket_groups(
+        ds.map_batches(
+            lambda b: _add_bucket(b, key_cols, num_buckets),
+            batch_format="pandas",
+        ),
+        per_bucket,
+        num_buckets,
+    )
