@@ -43,7 +43,21 @@ def tumbling_window_agg(events: rd.Dataset) -> rd.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    win_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("window_start", pa.timestamp("us")),
+            pa.field("n", pa.int64()),
+            pa.field("value_sum", pa.float64()),
+        ]
+    )
+
     def merge(g: pd.DataFrame) -> pa.Table:
+        # empty buckets reach fn as empty typed batches under the
+        # boundary sort; from_pandas on an empty object column would
+        # emit a null-typed column and poison schema unification
+        if len(g) == 0:
+            return win_schema.empty_table()
         out = (
             g.groupby(["event_type", "window_start"], sort=False)
             .agg(n=("n", "sum"), value_sum=("value_sum", "sum"))
@@ -53,17 +67,16 @@ def tumbling_window_agg(events: rd.Dataset) -> rd.Dataset:
         out["n"] = out["n"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    from graphsetintersection_ray.stages.shuffle import _add_bucket
+    from graphsetintersection_ray.stages.shuffle import _add_bucket, bucket_groups
 
-    return (
-        events.map_batches(partial, batch_format="pyarrow")
-        .map_batches(
+    return bucket_groups(
+        events.map_batches(partial, batch_format="pyarrow").map_batches(
             _add_bucket,
             batch_format="pandas",
             fn_kwargs=dict(cols=["event_type"], num_buckets=16),
-        )
-        .groupby("__bucket")
-        .map_groups(merge, batch_format="pandas")
+        ),
+        merge,
+        16,
     )
 
 
@@ -71,7 +84,13 @@ def sessionize(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     """(user_id, n_sessions): sessions split at >30-minute gaps in each
     user's (ts, event_id)-ordered stream."""
 
+    sess_schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("n_sessions", pa.int64())]
+    )
+
     def per_bucket(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return sess_schema.empty_table()
         order = np.lexsort(
             (b["event_id"].to_numpy(), b["ts"].to_numpy(), b["user_id"].to_numpy())
         )
@@ -90,15 +109,15 @@ def sessionize(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
     bucketed = events.map_batches(
         lambda b: b.assign(
             __bucket=(b["user_id"].to_numpy() % num_buckets)
         ),
         batch_format="pandas",
     )
-    return bucketed.groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas"
-    )
+    return bucket_groups(bucketed, per_bucket, num_buckets)
 
 
 def stratified_sample(
