@@ -97,10 +97,20 @@ def brute_force_topk(
             }
         )
 
-    return (
-        embeddings.map_batches(partial_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+    from graphsetintersection_ray.stages.shuffle import grouped_apply
+
+    return grouped_apply(
+        embeddings.map_batches(partial_topk, batch_format="pyarrow"),
+        ["query_id"],
+        final_topk,
+        out_schema=pa.schema(
+            [
+                pa.field("query_id", pa.int64()),
+                pa.field("neighbor_id", pa.int64()),
+                pa.field("sim", pa.float64()),
+            ]
+        ),
+        num_buckets=8,
     )
 
 
