@@ -128,9 +128,9 @@ def edge_corner_rel(
             batch_format="pyarrow",
             batch_size=8_192,
         )
-    return tri._joined_buckets(
-        oriented_edges, num_partitions, n_edges
-    ).map_groups(_bucket_corner_rel, batch_format="pandas")
+    return tri._joined_buckets(oriented_edges, num_partitions, n_edges)(
+        _bucket_corner_rel
+    )
 
 
 def _packed_edges(edges: ray.data.Dataset) -> ray.data.Dataset:

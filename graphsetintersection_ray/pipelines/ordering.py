@@ -142,6 +142,14 @@ def _sharded_permutation(art: GraphArtifacts, local_order_fn) -> ray.data.Datase
         return t.append_column("shard", pa.array(shard))
 
     def order_shard(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.schema(
+                [
+                    pa.field("shard", pa.int64()),
+                    pa.field("v", pa.int64()),
+                    pa.field("local_pos", pa.int64()),
+                ]
+            ).empty_table()
         members = np.sort(g["u"].to_numpy().astype(np.int64))
         adj = {}
         for u, blob in zip(g["u"], g["nbrs_bin"]):
@@ -162,12 +170,16 @@ def _sharded_permutation(art: GraphArtifacts, local_order_fn) -> ray.data.Datase
             }
         )
 
-    ordered = (
-        csr.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(order_shard, batch_format="pandas")
-        .materialize()
-    )
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+    # boundary sort: fan-in pinned to exactly `shards` blocks (one per
+    # contiguous id-range shard) at every parallelism level
+    ordered = bucket_groups(
+        csr.map_batches(add_shard, batch_format="pyarrow"),
+        order_shard,
+        shards,
+        bucket_col="shard",
+    ).materialize()
     # O(#shards) driver pass: dense global offsets per shard
     sizes = (
         ordered.groupby("shard")

@@ -410,7 +410,16 @@ def _joined_buckets(
         ),
         batch_format="pyarrow",
     )
-    return bucketed.groupby("bucket")
+
+    def run_grouped(fn):
+        # boundary sort pins shuffle fan-in to exactly n_buckets blocks
+        # (one per bucket) at every parallelism level; both bucket fns
+        # tolerate empty typed batches
+        from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+        return bucket_groups(bucketed, fn, n_buckets, bucket_col="bucket")
+
+    return run_grouped
 
 
 def _triangle_partials_join(
@@ -419,8 +428,8 @@ def _triangle_partials_join(
     n_edges: int,
 ) -> ray.data.Dataset:
     """Join-based partials — the at-scale path (no broadcast)."""
-    return _joined_buckets(oriented_edges, num_partitions, n_edges).map_groups(
-        _bucket_triangle_partials, batch_format="pandas"
+    return _joined_buckets(oriented_edges, num_partitions, n_edges)(
+        _bucket_triangle_partials
     )
 
 
@@ -469,9 +478,9 @@ def global_triangle_count_bsr(
     (the reference's tc.cpp:14-16 engine-agreement strategy)."""
     if n_edges is None:
         n_edges = oriented_edges.count()
-    partials = _joined_buckets(
-        oriented_edges, num_partitions, n_edges
-    ).map_groups(_bucket_triangle_count_bsr, batch_format="pandas")
+    partials = _joined_buckets(oriented_edges, num_partitions, n_edges)(
+        _bucket_triangle_count_bsr
+    )
     return int(partials.sum("partial") or 0)
 
 

@@ -50,7 +50,10 @@ def bucket_groups(
     blocks. Empty buckets reach ``fn`` as empty TYPED batches (schema is
     preserved through the sort); the helpers' fns all tolerate that.
     """
-    part = ds.sort(bucket_col, boundaries=list(range(1, num_buckets)))
+    if num_buckets <= 1:
+        part = ds.repartition(1)
+    else:
+        part = ds.sort(bucket_col, boundaries=list(range(1, num_buckets)))
     return part.map_batches(fn, batch_format=batch_format, batch_size=None)
 
 

@@ -21,6 +21,15 @@ import ray
 import ray.data as rd
 
 
+_TOPK_SCHEMA = pa.schema(
+    [
+        pa.field("query_id", pa.int64()),
+        pa.field("neighbor_id", pa.int64()),
+        pa.field("sim", pa.float64()),
+    ]
+)
+
+
 def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t["vec_id"].to_numpy(zero_copy_only=False)
     lists = t["embedding"].combine_chunks()
@@ -303,10 +312,19 @@ def lsh_dup_pairs(
             }
         )
 
-    pairs = (
-        embeddings.map_batches(with_buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from graphsetintersection_ray.stages.shuffle import grouped_apply
+
+    pairs = grouped_apply(
+        embeddings.map_batches(with_buckets, batch_format="pyarrow"),
+        ["bucket"],
+        bucket_pairs,
+        out_schema=pa.schema(
+            [
+                pa.field("vec_a", pa.int64()),
+                pa.field("vec_b", pa.int64()),
+                pa.field("sim", pa.float64()),
+            ]
+        ),
     )
     return distinct_by(pairs, ["vec_a", "vec_b", "sim"])
 
@@ -488,12 +506,19 @@ def ivf_topk(
             }
         )
 
-    return (
-        embeddings.map_batches(with_cell, batch_format="pyarrow")
-        .groupby("cell")
-        .map_groups(search_cell, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
+    from graphsetintersection_ray.stages.shuffle import grouped_apply
+
+    return grouped_apply(
+        grouped_apply(
+            embeddings.map_batches(with_cell, batch_format="pyarrow"),
+            ["cell"],
+            search_cell,
+            out_schema=_TOPK_SCHEMA,
+        ),
+        ["query_id"],
+        merge_topk,
+        out_schema=_TOPK_SCHEMA,
+        num_buckets=8,
     )
 
 
@@ -584,11 +609,16 @@ def lsh_topk(
             }
         )
 
-    return (
-        bucketed.groupby("bucket")
-        .map_groups(search_bucket, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
+    from graphsetintersection_ray.stages.shuffle import grouped_apply
+
+    return grouped_apply(
+        grouped_apply(
+            bucketed, ["bucket"], search_bucket, out_schema=_TOPK_SCHEMA
+        ),
+        ["query_id"],
+        merge_topk,
+        out_schema=_TOPK_SCHEMA,
+        num_buckets=8,
     )
 
 
