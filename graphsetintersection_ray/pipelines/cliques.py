@@ -351,6 +351,10 @@ def _maximal_cliques_distributed(art: GraphArtifacts) -> ray.data.Dataset:
         on=("w",),
         right_on=("w2",),
     )
+    # deliberately the NATIVE groupby (not the bounded bucket sort used
+    # elsewhere): per-seed Tomita recursion is compute-heavy and wildly
+    # skewed, so group-level task granularity (scheduler load-balances
+    # seeds) beats pinning seeds to a fixed bucket count
     out = joined.groupby("u").map_groups(
         lambda g: _egonet_bk(g, rank_ref), batch_format="pandas"
     )

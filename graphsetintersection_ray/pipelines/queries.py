@@ -793,6 +793,105 @@ def q_customer_revenue(sf_dir: str):
     )
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue. Dimension filter broadcast (customer keys), fact-fact hash
+    join lineitem ⋈ orders on orderkey, pre-aggregated revenue sum, and
+    an exact top-10 cut on the (revenue DESC, o_orderdate, l_orderkey)
+    total order via per-block partial top-ks."""
+    import ray as _ray
+
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    cutoff = np.datetime64("1998-01-01")
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys_ref = _ray.put(
+        np.sort(
+            cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"]
+            .to_numpy(np.int64)
+        )
+    )
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ck, _ray.get(keys_ref)) & (od < cutoff)
+        return t.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = sd > cutoff
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(filter_orders, batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(rev_rows, batch_format="pyarrow")
+
+    joined = compact_blocks(li).join(
+        compact_blocks(orders),
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    summed = sum_by(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        "rev",
+        out_col="revenue",
+        num_buckets=16,
+    )
+
+    sort_cols = ["revenue", "o_orderdate", "l_orderkey"]
+    asc = [False, True, True]
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["revenue"] = np.floor(df["revenue"].to_numpy() * 100 + 0.5) / 100
+        return pa.Table.from_pandas(
+            df.sort_values(sort_cols, ascending=asc).head(10),
+            preserve_index=False,
+        )
+
+    top = (
+        summed.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(sort_cols, ascending=asc)
+        .head(10)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array(top["l_orderkey"], pa.int64()),
+                "revenue": pa.array(top["revenue"], pa.float64()),
+                "o_orderdate": pa.array(top["o_orderdate"]),
+                "o_orderpriority": pa.array(top["o_orderpriority"], pa.string()),
+            }
+        )
+    )
+
+
 def q_top_parts(sf_dir: str):
     """Top-10 parts by total lineitem quantity (sort + limit + join)."""
     li = rd.read_parquet(
@@ -1113,6 +1212,7 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "customer_revenue": q_customer_revenue,
     "top_parts": q_top_parts,
+    "shipping_priority": q_shipping_priority,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "text_quality": q_text_quality,
@@ -1795,4 +1895,17 @@ pairs AS (
 )
 SELECT bigram, count(*) AS n FROM pairs
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""",
+    "shipping_priority": """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10""",
 }
