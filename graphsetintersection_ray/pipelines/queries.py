@@ -238,6 +238,17 @@ def q_assortativity(sf_dir: str):
     )
 
 
+def q_random_walks(sf_dir: str):
+    """(walk_id, pos, v): one deterministic 8-step random walk per
+    vertex — hash-chosen neighbor at each step, exactly replayable
+    (recursive-CTE SQL oracle). The corpus-generation input of
+    node2vec-style graph embedding training."""
+    from graphsetintersection_ray.pipelines.walks import random_walks
+
+    art = build_graph(sf_dir)
+    return random_walks(art, walk_len=8, seed=7)
+
+
 def q_clustering_coeff(sf_dir: str):
     """(v, lcc): local clustering coefficient 2·T(v)/(deg·(deg−1)) for
     every vertex (0.0 below degree 2), rounded half-away at 6 decimals —
@@ -1180,6 +1191,7 @@ QUERIES = {
     "edge_support": q_edge_support,
     "link_scores": q_link_scores,
     "clustering_coeff": q_clustering_coeff,
+    "random_walks": q_random_walks,
     "degree_hist": q_degree_hist,
     "assortativity": q_assortativity,
     "link_candidates": q_link_candidates,
@@ -1388,6 +1400,28 @@ ORACLE_SQL = {
         "SELECT v, count(*) AS triangles FROM ("
         "  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri "
         "  UNION ALL SELECT c FROM tri) GROUP BY v"
+    ),
+    "random_walks": _with(
+        """adjidx AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS deg_n
+  FROM sym
+),
+walk AS (
+  WITH RECURSIVE w(walk_id, pos, v) AS (
+    SELECT vid, 0, vid FROM verts
+    UNION ALL
+    SELECT w.walk_id, w.pos + 1, CAST(coalesce(a.dst, w.v) AS INTEGER)
+    FROM w LEFT JOIN adjidx a
+      ON a.src = w.v
+     AND a.idx = (CAST(w.walk_id AS BIGINT) * 1103
+                  + w.pos * 12347 + 7) % a.deg_n
+    WHERE w.pos < 7
+  )
+  SELECT * FROM w
+)
+SELECT walk_id, CAST(pos AS BIGINT) AS pos, v FROM walk"""
     ),
     "clustering_coeff": _with(
         """tri AS (

@@ -958,3 +958,26 @@ def test_hyperball_neighborhood_function(art, sym_df):
     assert rel.max() < 0.20
     res2, _ = it.neighborhood_function(art)
     pd.testing.assert_frame_equal(got, res2.to_pandas())
+
+
+def test_random_walks_are_valid_and_deterministic(ray_session):
+    """Every step follows an existing edge (or stays on a dead end);
+    same seed => identical corpus; walk count = vertex count."""
+    from graphsetintersection_ray.pipelines.graph import build_graph
+    from graphsetintersection_ray.pipelines.walks import random_walks
+
+    art = build_graph("/root/testdata/sf0.001")
+    w1 = random_walks(art, walk_len=5, seed=3).to_pandas()
+    w2 = random_walks(art, walk_len=5, seed=3).to_pandas()
+    key = ["walk_id", "pos"]
+    w1s = w1.sort_values(key).reset_index(drop=True)
+    assert w1s.equals(w2.sort_values(key).reset_index(drop=True))
+    assert set(w1.pos) == set(range(5))
+    assert w1.walk_id.nunique() == art.n_vertices
+
+    edges = art.sym.to_pandas()
+    eset = set(zip(edges.src, edges.dst))
+    for wid, g in w1s.groupby("walk_id"):
+        vs = g.sort_values("pos").v.to_numpy()
+        for a, b in zip(vs[:-1], vs[1:]):
+            assert (a, b) in eset or a == b
