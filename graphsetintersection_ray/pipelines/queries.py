@@ -85,6 +85,29 @@ nv AS (SELECT count(*) AS n FROM verts)
 """
 
 
+# deterministic per-vertex random walk (must match pipelines/walks.py:
+# same hash constants, dst-sorted adjacency, dead ends stay in place)
+_WALK_SQL = """adjidx AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS deg_n
+  FROM sym
+),
+walk AS (
+  WITH RECURSIVE w(walk_id, pos, v) AS (
+    SELECT vid, 0, vid FROM verts
+    UNION ALL
+    SELECT w.walk_id, w.pos + 1, CAST(coalesce(a.dst, w.v) AS INTEGER)
+    FROM w LEFT JOIN adjidx a
+      ON a.src = w.v
+     AND a.idx = (CAST(w.walk_id AS BIGINT) * 1103
+                  + w.pos * 12347 + 7) % a.deg_n
+    WHERE w.pos < 7
+  )
+  SELECT * FROM w
+)"""
+
+
 def _with(prelude_and_query: str) -> str:
     q = prelude_and_query.lstrip()
     sep = "" if q.upper().startswith("SELECT") else ", "
@@ -247,6 +270,18 @@ def q_random_walks(sf_dir: str):
 
     art = build_graph(sf_dir)
     return random_walks(art, walk_len=8, seed=7)
+
+
+def q_skipgram_pairs(sf_dir: str):
+    """(center, context, n): skip-gram window-2 co-occurrence counts over
+    the walk corpus — the node2vec trainer input pair table."""
+    from graphsetintersection_ray.pipelines.walks import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    art = build_graph(sf_dir)
+    return skipgram_pairs(random_walks(art, walk_len=8, seed=7), window=2)
 
 
 def q_clustering_coeff(sf_dir: str):
@@ -1192,6 +1227,7 @@ QUERIES = {
     "link_scores": q_link_scores,
     "clustering_coeff": q_clustering_coeff,
     "random_walks": q_random_walks,
+    "skipgram_pairs": q_skipgram_pairs,
     "degree_hist": q_degree_hist,
     "assortativity": q_assortativity,
     "link_candidates": q_link_candidates,
@@ -1402,26 +1438,18 @@ ORACLE_SQL = {
         "  UNION ALL SELECT c FROM tri) GROUP BY v"
     ),
     "random_walks": _with(
-        """adjidx AS (
-  SELECT src, dst,
-         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
-         count(*) OVER (PARTITION BY src) AS deg_n
-  FROM sym
-),
-walk AS (
-  WITH RECURSIVE w(walk_id, pos, v) AS (
-    SELECT vid, 0, vid FROM verts
-    UNION ALL
-    SELECT w.walk_id, w.pos + 1, CAST(coalesce(a.dst, w.v) AS INTEGER)
-    FROM w LEFT JOIN adjidx a
-      ON a.src = w.v
-     AND a.idx = (CAST(w.walk_id AS BIGINT) * 1103
-                  + w.pos * 12347 + 7) % a.deg_n
-    WHERE w.pos < 7
-  )
-  SELECT * FROM w
-)
+        _WALK_SQL
+        + """
 SELECT walk_id, CAST(pos AS BIGINT) AS pos, v FROM walk"""
+    ),
+    "skipgram_pairs": _with(
+        _WALK_SQL
+        + """
+SELECT w1.v AS center, w2.v AS context, count(*) AS n
+FROM walk w1 JOIN walk w2
+  ON w1.walk_id = w2.walk_id AND w1.pos <> w2.pos
+ AND abs(w1.pos - w2.pos) <= 2
+GROUP BY center, context"""
     ),
     "clustering_coeff": _with(
         """tri AS (

@@ -102,3 +102,75 @@ def random_walks(
     for o in outs[1:]:
         ds = ds.union(o)
     return ds
+
+
+def skipgram_pairs(
+    walks: rd.Dataset, window: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """(center, context, n): skip-gram co-occurrence counts within
+    ``window`` positions inside each walk — the (center, context) pair
+    corpus a word2vec/node2vec trainer consumes.
+
+    Scale shape: walks bucketed by walk_id (whole walks co-locate), one
+    vectorized offset-compare pass per window distance inside each
+    bucket, local pair counts pre-aggregated before one bounded
+    (center, context) count shuffle."""
+    import pandas as pd
+
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sum_by,
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("center", pa.int32()),
+            pa.field("context", pa.int32()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def local_pairs(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(["walk_id", "pos"])
+        wid = g["walk_id"].to_numpy()
+        v = g["v"].to_numpy()
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            if d >= len(v):
+                break
+            same = wid[:-d] == wid[d:]
+            a, b = v[:-d][same], v[d:][same]
+            cs.append(a)
+            xs.append(b)
+            cs.append(b)
+            xs.append(a)
+        if not cs:
+            return out_schema.empty_table()
+        df = pd.DataFrame(
+            {"center": np.concatenate(cs), "context": np.concatenate(xs)}
+        )
+        out = (
+            df.groupby(["center", "context"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "center": pa.array(out["center"].to_numpy(np.int32)),
+                "context": pa.array(out["context"].to_numpy(np.int32)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    part = bucket_groups(
+        walks.map_batches(
+            lambda b: _add_bucket(b, ["walk_id"], num_buckets),
+            batch_format="pandas",
+        ),
+        local_pairs,
+        num_buckets,
+    )
+    return sum_by(part, ["center", "context"], "n", num_buckets=num_buckets)
