@@ -15,6 +15,8 @@ shared lineage. Nothing lands on the driver.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -22,11 +24,76 @@ import ray.data as rd
 
 from graphsetintersection_ray.pipelines.graph import GraphArtifacts
 
+# below this directed-edge count the whole symmetric CSR is built on the
+# driver and broadcast once (ray.put) — each batch of start vertices then
+# walks ALL steps locally with vectorized gathers, zero joins. Above it,
+# the walk_len-1 hash-join path runs (the 100 TB path: adjacency never
+# leaves the cluster). Env-overridable so tests can force the join path.
+WALK_BROADCAST_MAX_EDGES = int(
+    os.environ.get("GRAFT_WALK_BROADCAST_MAX_EDGES", 20_000_000)
+)
+
 
 def random_walks(
     art: GraphArtifacts, walk_len: int = 8, seed: int = 7
 ) -> rd.Dataset:
     """(walk_id, pos, v): position ``pos`` of vertex ``walk_id``'s walk."""
+    if 2 * art.n_edges <= WALK_BROADCAST_MAX_EDGES:
+        return _random_walks_broadcast(art, walk_len, seed)
+    return _random_walks_join(art, walk_len, seed)
+
+
+def _random_walks_broadcast(
+    art: GraphArtifacts, walk_len: int, seed: int
+) -> rd.Dataset:
+    import ray as _ray
+
+    edf = art.sym.to_pandas()
+    src = edf["src"].to_numpy().astype(np.int64)
+    dst = edf["dst"].to_numpy().astype(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    n = art.n_vertices
+    indptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(src, minlength=n)))
+    )
+    ref = _ray.put((indptr, dst))
+
+    def walk_batch(t: pa.Table) -> pa.Table:
+        indptr_, dst_ = _ray.get(ref)
+        dst_pad = dst_ if len(dst_) else np.zeros(1, np.int64)
+        v0 = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(v0)
+        cur = v0.copy()
+        vs = [v0]
+        for pos in range(1, walk_len):
+            deg = indptr_[cur + 1] - indptr_[cur]
+            h = (v0 * 1103 + (pos - 1) * 12347 + seed) % np.maximum(deg, 1)
+            idx = indptr_[cur] + np.minimum(h, np.maximum(deg - 1, 0))
+            cur = np.where(
+                deg > 0, dst_pad[np.minimum(idx, len(dst_pad) - 1)], cur
+            )
+            vs.append(cur)
+        return pa.table(
+            {
+                "walk_id": pa.array(
+                    np.tile(v0, walk_len).astype(np.int32), pa.int32()
+                ),
+                "pos": pa.array(
+                    np.repeat(np.arange(walk_len, dtype=np.int64), m)
+                ),
+                "v": pa.array(
+                    np.concatenate(vs).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    return rd.range(n).map_batches(walk_batch, batch_format="pyarrow")
+
+
+def _random_walks_join(
+    art: GraphArtifacts, walk_len: int, seed: int
+) -> rd.Dataset:
     from graphsetintersection_ray.stages.graph_build import (
         build_csr,
         compact_blocks,

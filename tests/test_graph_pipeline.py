@@ -962,16 +962,25 @@ def test_hyperball_neighborhood_function(art, sym_df):
 
 def test_random_walks_are_valid_and_deterministic(ray_session):
     """Every step follows an existing edge (or stays on a dead end);
-    same seed => identical corpus; walk count = vertex count."""
+    same seed => identical corpus; walk count = vertex count; the
+    broadcast and join paths agree (join path forced at zero
+    threshold)."""
     from graphsetintersection_ray.pipelines.graph import build_graph
-    from graphsetintersection_ray.pipelines.walks import random_walks
+    from graphsetintersection_ray.pipelines import walks as wk
 
     art = build_graph("/root/testdata/sf0.001")
-    w1 = random_walks(art, walk_len=5, seed=3).to_pandas()
-    w2 = random_walks(art, walk_len=5, seed=3).to_pandas()
+    w1 = wk.random_walks(art, walk_len=5, seed=3).to_pandas()
+    w2 = wk.random_walks(art, walk_len=5, seed=3).to_pandas()
     key = ["walk_id", "pos"]
     w1s = w1.sort_values(key).reset_index(drop=True)
     assert w1s.equals(w2.sort_values(key).reset_index(drop=True))
+    old = wk.WALK_BROADCAST_MAX_EDGES
+    wk.WALK_BROADCAST_MAX_EDGES = 0
+    try:
+        wj = wk.random_walks(art, walk_len=5, seed=3).to_pandas()
+    finally:
+        wk.WALK_BROADCAST_MAX_EDGES = old
+    assert w1s.equals(wj.sort_values(key).reset_index(drop=True))
     assert set(w1.pos) == set(range(5))
     assert w1.walk_id.nunique() == art.n_vertices
 
