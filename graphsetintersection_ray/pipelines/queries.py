@@ -1190,6 +1190,14 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), benchmark_mod=97)
 
 
+def q_repetition_ratio(sf_dir: str):
+    """(doc_id, n_bigrams, n_distinct, rep_ratio): within-doc bigram
+    repetition (C4/Gopher boilerplate signal) — map-only, no shuffle."""
+    from graphsetintersection_ray.stages.text import repetition_ratio
+
+    return _docs(sf_dir).map_batches(repetition_ratio, batch_format="pandas")
+
+
 def q_ngram_counts(sf_dir: str):
     """(bigram, n): the corpus's 50 most frequent adjacent token
     bigrams, deterministic (n DESC, bigram ASC) cut."""
@@ -1286,6 +1294,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "decontaminate": q_decontaminate,
     "ngram_counts": q_ngram_counts,
+    "repetition_ratio": q_repetition_ratio,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -1957,6 +1966,19 @@ pairs AS (
 )
 SELECT bigram, count(*) AS n FROM pairs
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""",
+    "repetition_ratio": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+)
+SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT bg) AS n_distinct,
+       round(1 - CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 6)
+         AS rep_ratio
+FROM b GROUP BY doc_id""",
     "shipping_priority": """
 SELECT l.l_orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -355,3 +355,51 @@ def ngram_counts(docs, top: int = 50):
             }
         )
     )
+
+
+def repetition_ratio(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, n_bigrams, n_distinct, rep_ratio): within-document
+    adjacent-bigram repetition — the C4/Gopher-style boilerplate signal
+    (rep_ratio = 1 − distinct/total bigrams; docs with < 2 tokens are
+    excluded, matching the SQL oracle's group semantics). Map-only: no
+    shuffle at any scale."""
+    import itertools
+
+    toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+    lens = toks.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "n_distinct": pa.array([], pa.int64()),
+            "rep_ratio": pa.array([], pa.float64()),
+        }
+    )
+    if total < 2:
+        return empty
+    flat = np.fromiter(
+        itertools.chain.from_iterable(toks), dtype=object, count=total
+    )
+    doc_of = np.repeat(batch["doc_id"].to_numpy(np.int64), lens)
+    valid = np.ones(total, bool)
+    valid[np.cumsum(lens[lens > 0]) - 1] = False
+    starts = valid[:-1]
+    if not starts.any():
+        return empty
+    big = pd.Series(flat[:-1][starts]) + " " + pd.Series(flat[1:][starts])
+    df = pd.DataFrame({"doc_id": doc_of[:-1][starts], "bg": big})
+    g = df.groupby("doc_id", sort=False)["bg"].agg(["size", "nunique"])
+    g = g.reset_index()
+    ratio = round_half_away(
+        1.0 - g["nunique"].to_numpy(np.float64) / g["size"].to_numpy(np.float64),
+        6,
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "n_bigrams": pa.array(g["size"].to_numpy(np.int64)),
+            "n_distinct": pa.array(g["nunique"].to_numpy(np.int64)),
+            "rep_ratio": pa.array(ratio, pa.float64()),
+        }
+    )

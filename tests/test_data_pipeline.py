@@ -715,3 +715,30 @@ def test_ngram_counts_cross_batch_and_boundaries(ray_session):
     # full counts: a-b:3, b-c:2, c-a:1, c-d:1, x none
     assert list(out.index) == ["a b", "b c", "c a"]
     assert out["a b"] == 3 and out["b c"] == 2 and out["c a"] == 1
+
+
+def test_repetition_ratio_values(ray_session):
+    """rep_ratio = 1 - distinct/total bigrams per doc; <2-token docs
+    excluded; blocks don't change per-doc values."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import repetition_ratio
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b a b a b", "x y z", "w", ""],
+        }
+    )
+    out = (
+        rd.from_pandas(df)
+        .repartition(3)
+        .map_batches(repetition_ratio, batch_format="pandas")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1]
+    assert out.loc[0, "n_bigrams"] == 5 and out.loc[0, "n_distinct"] == 2
+    assert abs(out.loc[0, "rep_ratio"] - 0.6) < 1e-9
+    assert out.loc[1, "rep_ratio"] == 0.0
