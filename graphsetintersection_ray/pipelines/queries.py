@@ -1190,6 +1190,17 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), benchmark_mod=97)
 
 
+def q_curation_filter(sf_dir: str):
+    """(doc_id, lang_pred, quality, rep_ratio): the documents a
+    curation pipeline KEEPS — English, quality >= 0.3, bigram
+    repetition <= 0.05 — one fused actor-pool map pass."""
+    from graphsetintersection_ray.stages.text import CurationFilter
+
+    return _docs(sf_dir).map_batches(
+        CurationFilter, batch_format="pandas", concurrency=2
+    )
+
+
 def q_repetition_ratio(sf_dir: str):
     """(doc_id, n_bigrams, n_distinct, rep_ratio): within-doc bigram
     repetition (C4/Gopher boilerplate signal) — map-only, no shuffle."""
@@ -1295,6 +1306,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "ngram_counts": q_ngram_counts,
     "repetition_ratio": q_repetition_ratio,
+    "curation_filter": q_curation_filter,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -1979,6 +1991,51 @@ SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT bg) AS n_distinct,
        round(1 - CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 6)
          AS rep_ratio
 FROM b GROUP BY doc_id""",
+    "curation_filter": "WITH "
+    + _LANG_SCORES_SQL
+    + """,
+lang AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS lang_pred
+  FROM sc
+),
+q AS (
+  SELECT doc_id,
+    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1)
+          * least(CAST(1.0 AS DOUBLE),
+                  len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) / 100.0),
+          6) AS quality
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+),
+rep AS (
+  SELECT doc_id,
+         round(1 - CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 6)
+           AS rep_ratio
+  FROM bg GROUP BY doc_id
+)
+SELECT d.doc_id, l.lang_pred, q.quality,
+       coalesce(r.rep_ratio, 0.0) AS rep_ratio
+FROM documents d
+JOIN lang l ON l.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN rep r ON r.doc_id = d.doc_id
+WHERE l.lang_pred = 'en' AND q.quality >= 0.3
+  AND coalesce(r.rep_ratio, 0.0) <= 0.05""",
     "shipping_priority": """
 SELECT l.l_orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -403,3 +403,53 @@ def repetition_ratio(batch: pd.DataFrame) -> pa.Table:
             "rep_ratio": pa.array(ratio, pa.float64()),
         }
     )
+
+
+class CurationFilter:
+    """Actor-pool end-to-end curation filter: keep documents that are
+    (a) detected English, (b) above a quality floor, (c) below a
+    repetition ceiling — the composed keep/drop decision of a
+    training-data curation pipeline, computed in ONE fused map pass
+    (all three signals vectorized per batch; no shuffle at any scale).
+    Docs with < 2 tokens have no repetition evidence and carry
+    rep_ratio 0.0 (they are rejected by the quality floor anyway)."""
+
+    def __init__(
+        self,
+        lang: str = "en",
+        min_quality: float = 0.3,
+        max_rep: float = 0.05,
+    ) -> None:
+        self.lang = lang
+        self.min_quality = min_quality
+        self.max_rep = max_rep
+        self.scorer = TextQualityScorer()
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        q = self.scorer(batch).to_pandas()
+        lang = lang_id(batch)["lang_pred"].to_pandas().to_numpy(object)
+        rep = repetition_ratio(batch).to_pandas().set_index("doc_id")[
+            "rep_ratio"
+        ]
+        rep_full = (
+            pd.Series(batch["doc_id"].to_numpy(np.int64))
+            .map(rep)
+            .fillna(0.0)
+            .to_numpy(np.float64)
+        )
+        quality = q["quality"].to_numpy(np.float64)
+        keep = (
+            (lang == self.lang)
+            & (quality >= self.min_quality)
+            & (rep_full <= self.max_rep)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                "lang_pred": pa.array(lang[keep], pa.string()),
+                "quality": pa.array(quality[keep], pa.float64()),
+                "rep_ratio": pa.array(rep_full[keep], pa.float64()),
+            }
+        )
