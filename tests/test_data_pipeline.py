@@ -742,3 +742,35 @@ def test_repetition_ratio_values(ray_session):
     assert out.loc[0, "n_bigrams"] == 5 and out.loc[0, "n_distinct"] == 2
     assert abs(out.loc[0, "rep_ratio"] - 0.6) < 1e-9
     assert out.loc[1, "rep_ratio"] == 0.0
+
+
+def test_curation_filter_composes_signals(ray_session):
+    """Keeps only English docs above the quality floor and below the
+    repetition ceiling; short docs are rejected by quality."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import CurationFilter
+
+    good = "the and of is " + " ".join(f"word{i}" for i in range(120))
+    repetitive = "the and of is " + "spam ham " * 80
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                good,                       # keep
+                repetitive,                 # rejected: repetition
+                "der und die ist " + good,  # mixed-language; outcome not asserted
+                "the",                      # rejected: too short (quality)
+            ],
+        }
+    )
+    out = (
+        rd.from_pandas(df)
+        .map_batches(CurationFilter, batch_format="pandas", concurrency=1)
+        .to_pandas()
+    )
+    assert 0 in set(out.doc_id)
+    assert 1 not in set(out.doc_id)
+    assert 3 not in set(out.doc_id)
+    assert (out.lang_pred == "en").all()
+    assert (out.quality >= 0.3).all() and (out.rep_ratio <= 0.05).all()
