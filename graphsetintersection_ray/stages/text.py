@@ -284,7 +284,7 @@ def top_per_lang(docs, k: int = 10):
     )
 
 
-def ngram_counts(docs, top: int = 50):
+def ngram_counts(docs, top: int = 50, num_buckets: int = 64):
     """(bigram, n): the corpus's ``top`` most frequent adjacent token
     bigrams (lowercased ASCII tokens), deterministic (n DESC, bigram
     ASC) tie order — corpus n-gram statistics for contamination and
@@ -295,7 +295,9 @@ def ngram_counts(docs, top: int = 50):
     bigram → exact top-k via per-block partial top-k (after global
     aggregation each bigram is unique, so the union of per-block
     top-ks contains the global top-k); the driver reduce is bounded by
-    top × #blocks rows."""
+    top × #blocks rows. At real multi-node scale raise ``num_buckets``
+    so one bucket of distinct bigram counts fits a worker heap (bucket
+    count is semantics-free)."""
     import itertools
 
     import ray.data as rd
@@ -333,6 +335,7 @@ def ngram_counts(docs, top: int = 50):
         docs.map_batches(local_counts, batch_format="pandas"),
         ["bigram"],
         "n",
+        num_buckets=num_buckets,
     )
 
     def partial_topk(t: pa.Table) -> pa.Table:

@@ -774,3 +774,57 @@ def test_curation_filter_composes_signals(ray_session):
     assert 3 not in set(out.doc_id)
     assert (out.lang_pred == "en").all()
     assert (out.quality >= 0.3).all() and (out.rep_ratio <= 0.05).all()
+
+
+def test_grouped_apply_string_keys_and_empty_buckets(ray_session):
+    """grouped_apply: equal keys co-locate (group fn sees whole groups),
+    empty buckets yield typed empty tables, output equals a pandas
+    reference groupby."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import grouped_apply
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(list("abcde"), size=300)
+    vals = rng.integers(0, 100, size=300)
+    df = pd.DataFrame({"k": keys, "x": vals})
+
+    def per_group(g: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([g["k"].iloc[0]], pa.string()),
+                "s": pa.array([int(g["x"].sum())], pa.int64()),
+                "n": pa.array([len(g)], pa.int64()),
+            }
+        )
+
+    out = (
+        grouped_apply(
+            rd.from_pandas(df).repartition(7),
+            ["k"],
+            per_group,
+            out_schema=pa.schema(
+                [
+                    pa.field("k", pa.string()),
+                    pa.field("s", pa.int64()),
+                    pa.field("n", pa.int64()),
+                ]
+            ),
+            num_buckets=16,  # > 5 keys -> some buckets MUST be empty
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("k")["x"]
+        .agg(["sum", "size"])
+        .reset_index()
+        .rename(columns={"sum": "s", "size": "n"})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.k) == list(ref.k)
+    assert list(out.s) == list(ref.s.astype(int))
+    assert list(out.n) == list(ref.n.astype(int))
