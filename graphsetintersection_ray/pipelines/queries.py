@@ -1217,6 +1217,19 @@ def q_ngram_counts(sf_dir: str):
     return ngram_counts(_docs(sf_dir), top=50)
 
 
+def q_asof_join(sf_dir: str):
+    """(purchase_id, purchase_ts, click_id, click_ts): each purchase
+    joined to the user's most recent prior click (event-time AS-OF
+    join, inner semantics)."""
+    from graphsetintersection_ray.stages.streaming import as_of_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return as_of_join(ev, left_type="purchase", right_type="click")
+
+
 def q_media_metadata(sf_dir: str):
     from graphsetintersection_ray.stages.multimodal import (
         MediaMetadata,
@@ -1307,6 +1320,7 @@ QUERIES = {
     "ngram_counts": q_ngram_counts,
     "repetition_ratio": q_repetition_ratio,
     "curation_filter": q_curation_filter,
+    "asof_join": q_asof_join,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -2036,6 +2050,24 @@ JOIN q ON q.doc_id = d.doc_id
 LEFT JOIN rep r ON r.doc_id = d.doc_id
 WHERE l.lang_pred = 'en' AND q.quality >= 0.3
   AND coalesce(r.rep_ratio, 0.0) <= 0.05""",
+    "asof_join": """
+WITH l AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT l.event_id AS purchase_id, l.ts AS purchase_ts,
+         r.event_id AS click_id, r.ts AS click_ts,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.ts DESC, r.event_id DESC
+         ) AS rk
+  FROM l JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+)
+SELECT purchase_id, purchase_ts, click_id, click_ts FROM cand
+WHERE rk = 1""",
     "shipping_priority": """
 SELECT l.l_orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

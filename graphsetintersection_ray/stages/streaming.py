@@ -163,3 +163,81 @@ def stratified_sample(
         return t.filter(pa.array(keys % strides == 0))
 
     return events.map_batches(pick, batch_format="pyarrow")
+
+
+def as_of_join(
+    events: rd.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Event-time AS-OF join (the custom-operator case Ray Data lacks
+    natively): for every ``left_type`` event, the most recent
+    ``right_type`` event of the SAME user with ``ts <= left.ts`` — ties
+    on ts broken by highest event_id; left events with no prior right
+    event are dropped (inner as-of semantics, matching the SQL oracle's
+    rk = 1 window).
+
+    Scale shape: both sides co-located by a user bucket (one bounded
+    boundary-sort shuffle), then one vectorized ``pandas.merge_asof``
+    (C-level backward search) per bucket. The partitioning assumption:
+    a single user's history fits one bucket — raise ``num_buckets`` so
+    buckets stay heap-sized; users are never split."""
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+    out_schema = pa.schema(
+        [
+            pa.field("purchase_id", pa.int64()),
+            pa.field("purchase_ts", pa.timestamp("us")),
+            pa.field("click_id", pa.int64()),
+            pa.field("click_ts", pa.timestamp("us")),
+        ]
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["event_type"].isin([left_type, right_type])
+        b = b.loc[keep, ["event_id", "ts", "user_id", "event_type"]].copy()
+        b["__bucket"] = (b["user_id"].to_numpy(np.int64) % num_buckets)
+        return b
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        left = g[g["event_type"] == left_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        right = g[g["event_type"] == right_type].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        if len(left) == 0 or len(right) == 0:
+            return out_schema.empty_table()
+        m = pd.merge_asof(
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            suffixes=("_l", "_r"),
+        )
+        # merge_asof keeps left.ts as "ts"; recover the right event's ts
+        r_ts = right.set_index("event_id")["ts"]
+        m = m.dropna(subset=["event_id_r"])
+        click_id = m["event_id_r"].astype(np.int64)
+        return pa.table(
+            {
+                "purchase_id": pa.array(
+                    m["event_id_l"].to_numpy(np.int64), pa.int64()
+                ),
+                "purchase_ts": pa.array(m["ts"]),
+                "click_id": pa.array(click_id.to_numpy(), pa.int64()),
+                "click_ts": pa.array(
+                    click_id.map(r_ts).to_numpy()
+                ),
+            }
+        )
+
+    return bucket_groups(
+        events.map_batches(pick, batch_format="pandas"),
+        join_bucket,
+        num_buckets,
+    )

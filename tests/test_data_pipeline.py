@@ -828,3 +828,35 @@ def test_grouped_apply_string_keys_and_empty_buckets(ray_session):
     assert list(out.k) == list(ref.k)
     assert list(out.s) == list(ref.s.astype(int))
     assert list(out.n) == list(ref.n.astype(int))
+
+
+def test_as_of_join_ties_and_missing(ray_session):
+    """Backward as-of semantics: equal-ts ties go to the highest
+    event_id, purchases before any click are dropped, users never mix."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import as_of_join
+
+    t = pd.Timestamp("2026-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: two clicks at the same ts, purchase at that ts
+        {"event_id": 100, "ts": t + 10 * s, "user_id": 1, "event_type": "click"},
+        {"event_id": 101, "ts": t + 10 * s, "user_id": 1, "event_type": "click"},
+        {"event_id": 200, "ts": t + 10 * s, "user_id": 1, "event_type": "purchase"},
+        # user 1: purchase BEFORE any click -> dropped
+        {"event_id": 201, "ts": t + 5 * s, "user_id": 1, "event_type": "purchase"},
+        # user 2: click later than user 1's purchase must not leak
+        {"event_id": 300, "ts": t + 20 * s, "user_id": 2, "event_type": "click"},
+        {"event_id": 301, "ts": t + 30 * s, "user_id": 2, "event_type": "purchase"},
+        # noise
+        {"event_id": 400, "ts": t, "user_id": 1, "event_type": "view"},
+    ]
+    out = (
+        as_of_join(rd.from_pandas(pd.DataFrame(rows)).repartition(3))
+        .to_pandas()
+        .set_index("purchase_id")
+    )
+    assert set(out.index) == {200, 301}
+    assert out.loc[200, "click_id"] == 101  # tie -> highest event_id
+    assert out.loc[301, "click_id"] == 300
