@@ -1230,6 +1230,19 @@ def q_asof_join(sf_dir: str):
     return as_of_join(ev, left_type="purchase", right_type="click")
 
 
+def q_range_join(sf_dir: str):
+    """(purchase_id, n_errors_1h): errors by the same user within the
+    hour before each purchase (event-time range join, zero-counts
+    included)."""
+    from graphsetintersection_ray.stages.streaming import range_join_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return range_join_counts(ev, left_type="purchase", right_type="error")
+
+
 def q_media_metadata(sf_dir: str):
     from graphsetintersection_ray.stages.multimodal import (
         MediaMetadata,
@@ -1321,6 +1334,7 @@ QUERIES = {
     "repetition_ratio": q_repetition_ratio,
     "curation_filter": q_curation_filter,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -2068,6 +2082,17 @@ cand AS (
 )
 SELECT purchase_id, purchase_ts, click_id, click_ts FROM cand
 WHERE rk = 1""",
+    "range_join": """
+WITH l AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT ts, user_id FROM events WHERE event_type = 'error'
+)
+SELECT l.event_id AS purchase_id, count(r.ts) AS n_errors_1h
+FROM l LEFT JOIN r ON r.user_id = l.user_id
+  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
+GROUP BY l.event_id""",
     "shipping_priority": """
 SELECT l.l_orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

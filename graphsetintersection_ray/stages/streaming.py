@@ -241,3 +241,92 @@ def as_of_join(
         join_bucket,
         num_buckets,
     )
+
+
+def range_join_counts(
+    events: rd.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "error",
+    window_us: int = 3600 * 1_000_000,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Event-time RANGE join (the other custom-operator case Ray Data
+    lacks natively): for every ``left_type`` event, the COUNT of
+    ``right_type`` events of the same user inside
+    ``[left.ts - window, left.ts]`` (both ends inclusive). Left events
+    with no matches report 0.
+
+    Scale shape: one bounded user-bucket shuffle co-locating both
+    sides, then two vectorized ``searchsorted`` probes per bucket over
+    a composite (dense-user, relative-ts) int64 key — no per-row or
+    per-user Python loop. Partitioning assumptions documented: a
+    user's history fits one bucket, and <= 2^16 distinct users per
+    bucket with a <= 2^47-microsecond (~4.5-year) timestamp span
+    (raise ``num_buckets`` to hold both at scale)."""
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+    out_schema = pa.schema(
+        [
+            pa.field("purchase_id", pa.int64()),
+            pa.field("n_errors_1h", pa.int64()),
+        ]
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["event_type"].isin([left_type, right_type])
+        b = b.loc[keep, ["event_id", "ts", "user_id", "event_type"]].copy()
+        b["__bucket"] = b["user_id"].to_numpy(np.int64) % num_buckets
+        return b
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        left = g[g["event_type"] == left_type]
+        if len(left) == 0:
+            return out_schema.empty_table()
+        right = g[g["event_type"] == right_type]
+        l_ts = left["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        l_id = left["event_id"].to_numpy(np.int64)
+        if len(right) == 0:
+            return pa.table(
+                {
+                    "purchase_id": pa.array(l_id, pa.int64()),
+                    "n_errors_1h": pa.array(
+                        np.zeros(len(l_id), np.int64)
+                    ),
+                }
+            )
+        r_ts = right["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        all_u = np.concatenate(
+            [left["user_id"].to_numpy(np.int64),
+             right["user_id"].to_numpy(np.int64)]
+        )
+        users, inv = np.unique(all_u, return_inverse=True)
+        l_u, r_u = inv[: len(left)], inv[len(left):]
+        t0 = min(int(l_ts.min()), int(r_ts.min()))
+        rel_l, rel_r = l_ts - t0, r_ts - t0
+        if len(users) >= 1 << 16 or max(
+            int(rel_l.max()), int(rel_r.max())
+        ) >= 1 << 47:
+            raise ValueError(
+                "range_join_counts bucket overflow: raise num_buckets "
+                f"(users={len(users)}, span_us={max(int(rel_l.max()), int(rel_r.max()))})"
+            )
+        key_r = np.sort((r_u << np.int64(47)) | rel_r)
+        hi = (l_u << np.int64(47)) | rel_l
+        lo = (l_u << np.int64(47)) | np.maximum(rel_l - window_us, 0)
+        n = np.searchsorted(key_r, hi, side="right") - np.searchsorted(
+            key_r, lo, side="left"
+        )
+        return pa.table(
+            {
+                "purchase_id": pa.array(l_id, pa.int64()),
+                "n_errors_1h": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return bucket_groups(
+        events.map_batches(pick, batch_format="pandas"),
+        count_bucket,
+        num_buckets,
+    )

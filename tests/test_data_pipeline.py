@@ -860,3 +860,29 @@ def test_as_of_join_ties_and_missing(ray_session):
     assert set(out.index) == {200, 301}
     assert out.loc[200, "click_id"] == 101  # tie -> highest event_id
     assert out.loc[301, "click_id"] == 300
+
+
+def test_range_join_window_boundaries(ray_session):
+    """Both window ends inclusive; zero-count purchases present; other
+    users' errors never counted."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import range_join_counts
+
+    t = pd.Timestamp("2026-01-01 12:00:00")
+    h, s = pd.Timedelta(hours=1), pd.Timedelta(seconds=1)
+    rows = [
+        {"event_id": 1, "ts": t - h, "user_id": 1, "event_type": "error"},      # exactly 1h before: IN
+        {"event_id": 2, "ts": t - h - s, "user_id": 1, "event_type": "error"},  # just outside: OUT
+        {"event_id": 3, "ts": t, "user_id": 1, "event_type": "error"},          # same instant: IN
+        {"event_id": 4, "ts": t - s, "user_id": 2, "event_type": "error"},      # other user: OUT
+        {"event_id": 10, "ts": t, "user_id": 1, "event_type": "purchase"},
+        {"event_id": 11, "ts": t, "user_id": 3, "event_type": "purchase"},      # no errors: 0
+    ]
+    out = (
+        range_join_counts(rd.from_pandas(pd.DataFrame(rows)).repartition(2))
+        .to_pandas()
+        .set_index("purchase_id")
+    )
+    assert out.loc[10, "n_errors_1h"] == 2
+    assert out.loc[11, "n_errors_1h"] == 0
