@@ -1190,6 +1190,14 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), benchmark_mod=97)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """(doc_id, term, score, rk): each doc's 3 highest tf-idf terms
+    (idf = ln(N/df); ties by term asc)."""
+    from graphsetintersection_ray.stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
 def q_curation_filter(sf_dir: str):
     """(doc_id, lang_pred, quality, rep_ratio): the documents a
     curation pipeline KEEPS — English, quality >= 0.3, bigram
@@ -1228,6 +1236,17 @@ def q_asof_join(sf_dir: str):
         columns=["event_id", "ts", "user_id", "event_type"],
     )
     return as_of_join(ev, left_type="purchase", right_type="click")
+
+
+def q_hopping_windows(sf_dir: str):
+    """(event_type, window_start, n, value_sum): 1-hour windows hopping
+    every 30 min — each event in exactly two overlapping windows."""
+    from graphsetintersection_ray.stages.streaming import hopping_window_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return hopping_window_agg(ev)
 
 
 def q_range_join(sf_dir: str):
@@ -1335,6 +1354,8 @@ QUERIES = {
     "curation_filter": q_curation_filter,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "hopping_windows": q_hopping_windows,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))
@@ -2093,6 +2114,39 @@ SELECT l.event_id AS purchase_id, count(r.ts) AS n_errors_1h
 FROM l LEFT JOIN r ON r.user_id = l.user_id
   AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
 GROUP BY l.event_id""",
+    "hopping_windows": """
+WITH e2 AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                 time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES])
+           AS window_start
+  FROM events
+)
+SELECT event_type, window_start, count(*) AS n,
+       round(sum(value), 2) AS value_sum
+FROM e2 GROUP BY event_type, window_start""",
+    "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS rk
+  FROM s
+)
+SELECT doc_id, term, score, rk FROM r WHERE rk <= 3""",
     "shipping_priority": """
 SELECT l.l_orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -330,3 +330,73 @@ def range_join_counts(
         count_bucket,
         num_buckets,
     )
+
+
+def hopping_window_agg(events: rd.Dataset) -> rd.Dataset:
+    """Per (event_type, 1-hour window hopping every 30 min): event count
+    + value sum. Each event lands in exactly two overlapping windows
+    (starts at floor30(ts) and floor30(ts) − 30 min). Same
+    partial-aggregate-then-bounded-merge shape as the tumbling variant:
+    replication factor (window/hop = 2) is paid BEFORE the per-batch
+    partial aggregation, so shuffle volume stays (types × windows), not
+    2 × events."""
+    HOP_US = 30 * 60 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts_us = ts.astype(np.int64)
+        base = (ts_us // HOP_US) * HOP_US
+        frames = []
+        for start in (base, base - HOP_US):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": t["event_type"].to_pandas(),
+                        "window_start": start.astype("datetime64[us]"),
+                        "n": 1,
+                        "value_sum": t["value"].to_numpy(
+                            zero_copy_only=False
+                        ),
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = (
+            df.groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("n", "sum"), value_sum=("value_sum", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    win_schema = pa.schema(
+        [
+            pa.field("event_type", pa.string()),
+            pa.field("window_start", pa.timestamp("us")),
+            pa.field("n", pa.int64()),
+            pa.field("value_sum", pa.float64()),
+        ]
+    )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return win_schema.empty_table()
+        out = (
+            g.groupby(["event_type", "window_start"], sort=False)
+            .agg(n=("n", "sum"), value_sum=("value_sum", "sum"))
+            .reset_index()
+        )
+        out["value_sum"] = np.floor(out["value_sum"] * 100 + 0.5) / 100
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from graphsetintersection_ray.stages.shuffle import _add_bucket, bucket_groups
+
+    return bucket_groups(
+        events.map_batches(partial, batch_format="pyarrow").map_batches(
+            _add_bucket,
+            batch_format="pandas",
+            fn_kwargs=dict(cols=["event_type"], num_buckets=16),
+        ),
+        merge,
+        16,
+    )

@@ -456,3 +456,129 @@ class CurationFilter:
                 "rep_ratio": pa.array(rep_full[keep], pa.float64()),
             }
         )
+
+
+def tfidf_top_terms(docs, k: int = 3, num_buckets: int = 64):
+    """(doc_id, term, score, rk): each document's ``k`` highest
+    tf-idf terms (tf = in-doc count, idf = ln(N/df), ties by term asc)
+    — the keyword-extraction step of a corpus-analysis pipeline.
+
+    Scale shape: tf is map-only (a document lives in one row); df is a
+    pre-aggregated (term) count shuffle over the (doc, term) pairs; the
+    idf attach is one hash join on term; the per-doc top-k runs in one
+    doc_id-bucketed pass (whole docs co-locate), vectorized
+    sort + cumcount per bucket. N is a metadata count."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sum_by,
+    )
+
+    n_docs = docs.count()
+
+    def tf_rows(batch: pd.DataFrame) -> pa.Table:
+        import itertools
+
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.fromiter(
+            itertools.chain.from_iterable(toks), dtype=object, count=total
+        )
+        doc_of = np.repeat(batch["doc_id"].to_numpy(np.int64), lens)
+        g = (
+            pd.DataFrame({"doc_id": doc_of, "term": flat})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "term": pa.array(g["term"].to_numpy(object), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(np.int64)),
+            }
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+    df = sum_by(
+        tf.map_batches(
+            lambda t: pa.table(
+                {
+                    "term": t["term"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["term"],
+        "n",
+        out_col="df",
+        num_buckets=num_buckets,
+    )
+    joined = compact_blocks(tf).join(
+        compact_blocks(df),
+        join_type="inner",
+        num_partitions=16,
+        on=("term",),
+    )
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        tf_ = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_ = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = round_half_away(tf_ * np.log(float(n_docs) / df_), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score_rows, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("term", pa.string()),
+            pa.field("score", pa.float64()),
+            pa.field("rk", pa.int64()),
+        ]
+    )
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        g["rk"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rk"] <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "term": pa.array(g["term"].to_numpy(object), pa.string()),
+                "score": pa.array(g["score"].to_numpy(np.float64)),
+                "rk": pa.array(g["rk"].to_numpy(np.int64)),
+            }
+        )
+
+    return bucket_groups(
+        scored.map_batches(
+            lambda b: _add_bucket(b, ["doc_id"], num_buckets),
+            batch_format="pandas",
+        ),
+        topk,
+        num_buckets,
+    )

@@ -886,3 +886,56 @@ def test_range_join_window_boundaries(ray_session):
     )
     assert out.loc[10, "n_errors_1h"] == 2
     assert out.loc[11, "n_errors_1h"] == 0
+
+
+def test_hopping_windows_double_count(ray_session):
+    """Each event lands in exactly two 1-hour windows 30 min apart, so
+    sum(n) over windows = 2 x events per type."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import hopping_window_agg
+
+    t = pd.Timestamp("2026-01-01 10:15:00")
+    df = pd.DataFrame(
+        {
+            "ts": [t, t + pd.Timedelta(minutes=20)],
+            "event_type": ["click", "click"],
+            "value": [1.0, 2.0],
+        }
+    )
+    out = hopping_window_agg(rd.from_pandas(df)).to_pandas()
+    assert out.n.sum() == 4
+    w = out.set_index("window_start")
+    # 10:15 -> windows starting 10:00 and 09:30; 10:35 -> 10:30 and 10:00
+    assert w.loc[pd.Timestamp("2026-01-01 10:00:00"), "n"] == 2
+    assert w.loc[pd.Timestamp("2026-01-01 10:00:00"), "value_sum"] == 3.0
+    assert w.loc[pd.Timestamp("2026-01-01 09:30:00"), "n"] == 1
+
+
+def test_tfidf_top_terms_ranking(ray_session):
+    """A term unique to one doc outranks corpus-wide terms; rk ordering
+    deterministic (score desc, term asc)."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import tfidf_top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "shared shared zebra",
+                "shared shared shared",
+                "shared quokka quokka",
+            ],
+        }
+    )
+    out = (
+        tfidf_top_terms(rd.from_pandas(df).repartition(2), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rk"])
+    )
+    top0 = out[(out.doc_id == 0) & (out.rk == 1)].term.iloc[0]
+    top2 = out[(out.doc_id == 2) & (out.rk == 1)].term.iloc[0]
+    assert top0 == "zebra" and top2 == "quokka"
+    # 'shared' appears in every doc: idf = ln(1) = 0
+    assert (out[out.term == "shared"].score == 0.0).all()
