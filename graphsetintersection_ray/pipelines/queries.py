@@ -1262,6 +1262,41 @@ def q_range_join(sf_dir: str):
     return range_join_counts(ev, left_type="purchase", right_type="error")
 
 
+def q_media_decode(sf_dir: str):
+    """(doc_id, n_samples, rms): REAL byte-level media decode — each doc
+    carries a deterministic PCM16 WAV payload; DecodeStage parses the
+    RIFF container with pure NumPy and emits normalized samples, reduced
+    here to length + RMS amplitude (rounded to 6)."""
+    from graphsetintersection_ray.stages.multimodal import (
+        DecodeStage,
+        attach_media_payload,
+    )
+
+    payloads = attach_media_payload(_docs(sf_dir), kind="wav")
+    frames = payloads.map_batches(
+        DecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        lists = t["frame"].combine_chunks()
+        vals = lists.values.to_numpy(zero_copy_only=False)
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        sq = np.add.reduceat(vals.astype(np.float64) ** 2, offs[:-1])
+        rms = np.sqrt(sq / np.maximum(lens, 1))
+        from graphsetintersection_ray.functions.kernels import round_half_away
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_samples": pa.array(lens, pa.int64()),
+                "rms": pa.array(round_half_away(rms, 6), pa.float64()),
+            }
+        )
+
+    return frames.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_media_metadata(sf_dir: str):
     from graphsetintersection_ray.stages.multimodal import (
         MediaMetadata,
@@ -1356,6 +1391,7 @@ QUERIES = {
     "range_join": q_range_join,
     "hopping_windows": q_hopping_windows,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "media_decode": q_media_decode,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as Arrow ``binary`` columns with metadata
-columns alongside. The decode step is STUBBED (no imaging/audio libs in
-this container): ``DecodeStage`` raises NotImplementedError unless
-constructed with ``fake=True``, in which case it produces a deterministic
-fake "decode" (seeded from the payload bytes) so the Ray-side plumbing —
-schema, actor signature, batch sizing, output layout — is real and tested.
+columns alongside. ``DecodeStage`` REALLY decodes the formats this
+container can handle with pure NumPy — PCM16 WAV and 24-bit uncompressed
+BMP (byte-level RIFF/BMP parsers below, exercised end-to-end by the
+``media_decode`` query) — and raises NotImplementedError for compressed
+codecs (JPEG/MP4/...) that need an imaging/audio library, unless
+constructed with ``fake=True`` (deterministic pseudo-decode keeping the
+plumbing testable for those formats).
 
 Actor-pool shape: decode/feature-extract are callable CLASSES passed to
 ``map_batches(Cls, concurrency=N, batch_size=B)`` — codec init happens
@@ -61,37 +63,55 @@ class MediaMetadata:
 
 
 class DecodeStage:
-    """STUB decode: binary payload → dense array. Real decode requires an
-    imaging/audio library not present in this container.
+    """Decode: binary payload → dense float32 frame.
 
-    With ``fake=False`` (default): raises NotImplementedError at first
-    batch — the documented production integration point.
-    With ``fake=True``: deterministic pseudo-decode (Philox keyed on the
-    payload checksum) producing a fixed-shape float32 "frame".
+    REAL for the container-friendly formats this environment can decode
+    with pure NumPy — PCM16 WAV (``RIFF`` magic → normalized samples in
+    [-1, 1)) and 24-bit uncompressed BMP (``BM`` magic → grayscale
+    mean(RGB)/255) — sniffed per payload by magic bytes.
+
+    Compressed codecs (JPEG/PNG/MP4/...) need an imaging/audio library
+    not present in this container: an unrecognized payload raises
+    NotImplementedError (the documented production integration point)
+    unless constructed with ``fake=True``, in which case it produces a
+    deterministic pseudo-decode (Philox keyed on the payload checksum)
+    with a fixed-shape float32 "frame" so downstream plumbing stays
+    testable for those formats too.
     """
 
     def __init__(self, fake: bool = False, shape: tuple = (8, 8)):
         self.fake = fake
         self.shape = shape
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode_one(self, c: bytes) -> np.ndarray:
+        if c[:4] == b"RIFF":
+            return (
+                decode_pcm16_wav(c).astype(np.float32) / np.float32(32768.0)
+            )
+        if c[:2] == b"BM":
+            img = decode_bmp24(c).astype(np.float32)
+            return (img.mean(axis=2) / np.float32(255.0)).ravel()
         if not self.fake:
             raise NotImplementedError(
-                "media decode requires an imaging/audio library; "
-                "construct DecodeStage(fake=True) for the deterministic stub"
+                "payload is not WAV/BMP; compressed-codec decode requires "
+                "an imaging/audio library — construct DecodeStage("
+                "fake=True) for the deterministic stub on such formats"
             )
+        key = int.from_bytes(hashlib.md5(c).digest()[:8], "little")
+        rng = np.random.Generator(np.random.Philox(key=[key, 0]))
+        return rng.random(int(np.prod(self.shape)), dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch["content"].to_pylist()
-        frames = []
-        for c in contents:
-            key = int.from_bytes(hashlib.md5(c).digest()[:8], "little")
-            rng = np.random.Generator(np.random.Philox(key=[key, 0]))
-            frames.append(
-                rng.random(int(np.prod(self.shape)), dtype=np.float32)
-            )
-        flat = np.concatenate(frames) if frames else np.empty(0, np.float32)
-        offsets = np.arange(len(frames) + 1, dtype=np.int32) * int(
-            np.prod(self.shape)
+        frames = [self._decode_one(c) for c in contents]
+        flat = (
+            np.concatenate(frames)
+            if frames
+            else np.empty(0, np.float32)
         )
+        offsets = np.concatenate(
+            ([0], np.cumsum([len(f) for f in frames]))
+        ).astype(np.int32)
         frame_col = pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(flat, pa.float32())
         )
@@ -205,3 +225,133 @@ class FeatureExtract:
             pa.array(offsets), pa.array(feats.ravel(), pa.float32())
         )
         return pa.table({"doc_id": batch["doc_id"], "feature": feat_col})
+
+
+# --------------------------------------------------------------------------
+# REAL pure-NumPy codecs for container-friendly formats (no external
+# libs): PCM16 WAV and 24-bit uncompressed BMP. Compressed codecs
+# (JPEG/MP4/...) remain the documented NotImplementedError integration
+# point in DecodeStage.
+# --------------------------------------------------------------------------
+
+
+def pcm16_wav_bytes(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """Encode a mono int16 sample vector as a standards-conformant
+    RIFF/WAVE PCM16 byte string."""
+    import struct
+
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_pcm16_wav(b: bytes) -> np.ndarray:
+    """Decode a mono PCM16 WAV byte string → int16 sample vector.
+    Walks the RIFF chunk list properly (fmt may not precede data
+    immediately in arbitrary writers)."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, _rate, _br, _ba, bits = fmt
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise NotImplementedError(
+            f"only mono PCM16 supported, got fmt={fmt}"
+        )
+    return np.frombuffer(data, dtype="<i2")
+
+
+def bmp24_bytes(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB image as a 24-bit uncompressed
+    BMP (bottom-up rows, BGR, 4-byte row padding)."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(img[y, :, ::-1].tobytes() + b"\x00" * pad)
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+    return hdr + info + data
+
+
+def decode_bmp24(b: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP byte string → (H, W, 3) uint8
+    RGB array."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", b[10:14])
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", b[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (bpp={bpp})")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    flat = np.frombuffer(b, np.uint8, count=stride * abs(h), offset=offset)
+    rows = flat.reshape(abs(h), stride)[:, :row_bytes].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def attach_media_payload(
+    docs: rd.Dataset, kind: str = "wav", n_samples: int = 256
+) -> rd.Dataset:
+    """Source stage: attach a REAL deterministic media payload per doc —
+    PCM16 WAV (``kind='wav'``, Philox(doc_id)-seeded samples) or 24-bit
+    BMP (``kind='bmp'``, 8x8 seeded RGB) — so the decode stage exercises
+    genuine byte-level codecs end-to-end."""
+
+    def to_payload(b: pd.DataFrame) -> pa.Table:
+        contents, mtypes = [], []
+        for did in b["doc_id"].to_numpy(np.int64):
+            rng = np.random.Generator(np.random.Philox(key=[int(did), 77]))
+            if kind == "wav":
+                samples = rng.integers(
+                    -32768, 32768, size=n_samples, dtype=np.int64
+                ).astype(np.int16)
+                contents.append(pcm16_wav_bytes(samples))
+                mtypes.append("audio/wav")
+            else:
+                img = rng.integers(
+                    0, 256, size=(8, 8, 3), dtype=np.int64
+                ).astype(np.uint8)
+                contents.append(bmp24_bytes(img))
+                mtypes.append("image/bmp")
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"], pa.int64()),
+                "content": pa.array(contents, pa.binary()),
+                "media_type": pa.array(mtypes, pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_payload, batch_format="pandas", batch_size=256)

@@ -939,3 +939,65 @@ def test_tfidf_top_terms_ranking(ray_session):
     assert top0 == "zebra" and top2 == "quokka"
     # 'shared' appears in every doc: idf = ln(1) = 0
     assert (out[out.term == "shared"].score == 0.0).all()
+
+
+def test_wav_bmp_codecs_roundtrip_and_decode_stage(ray_session):
+    """Pure-NumPy codecs are bit-exact roundtrips; DecodeStage sniffs
+    magics and really decodes WAV/BMP while still refusing unknown
+    formats without fake=True."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.multimodal import (
+        DecodeStage,
+        bmp24_bytes,
+        decode_bmp24,
+        decode_pcm16_wav,
+        pcm16_wav_bytes,
+    )
+
+    rng = np.random.default_rng(2)
+    samples = rng.integers(-32768, 32768, size=333, dtype=np.int64).astype(
+        np.int16
+    )
+    assert np.array_equal(decode_pcm16_wav(pcm16_wav_bytes(samples)), samples)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.int64).astype(np.uint8)
+    assert np.array_equal(decode_bmp24(bmp24_bytes(img)), img)
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "content": pa.array(
+                [pcm16_wav_bytes(samples), bmp24_bytes(img)], pa.binary()
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DecodeStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    wav_frame = np.asarray(out.loc[0, "frame"], np.float32)
+    assert len(wav_frame) == 333
+    assert np.array_equal(
+        wav_frame, samples.astype(np.float32) / np.float32(32768.0)
+    )
+    bmp_frame = np.asarray(out.loc[1, "frame"], np.float32)
+    assert len(bmp_frame) == 15
+    assert np.allclose(
+        bmp_frame,
+        (img.astype(np.float32).mean(axis=2) / 255.0).ravel(),
+    )
+
+    # unknown format still refuses without fake=True
+    with _pytest.raises(Exception):
+        DecodeStage()(
+            pa.table(
+                {
+                    "doc_id": pa.array([9], pa.int64()),
+                    "content": pa.array([b"\xff\xd8JPEGish"], pa.binary()),
+                }
+            )
+        )

@@ -707,8 +707,63 @@ def _check_kmeans(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_media_decode(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """media_decode vs an independent byte-free replay: regenerate each
+    doc's PCM16 samples from the same Philox(doc_id) stream (no WAV
+    bytes involved), recompute n_samples and RMS, require EXACT
+    equality — proving the RIFF encode→parse→normalize path is
+    lossless. Plus a bit-exact encode/decode roundtrip on 100 random
+    sample vectors and a BMP RGB roundtrip."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.stages.multimodal import (
+        bmp24_bytes,
+        decode_bmp24,
+        decode_pcm16_wav,
+        pcm16_wav_bytes,
+    )
+
+    got = rdf.sort_values("doc_id").reset_index(drop=True)
+    ok_rows = 0
+    for did, n, rms in zip(got.doc_id, got.n_samples, got.rms):
+        rng = np.random.Generator(np.random.Philox(key=[int(did), 77]))
+        samples = rng.integers(-32768, 32768, size=256, dtype=np.int64).astype(
+            np.int16
+        )
+        want = (samples.astype(np.float32) / np.float32(32768.0)).astype(
+            np.float64
+        )
+        want_rms = float(round_half_away(np.sqrt((want**2).mean()), 6))
+        if int(n) == len(samples) and float(rms) == want_rms:
+            ok_rows += 1
+    replay_exact = ok_rows == len(got)
+
+    rng = np.random.default_rng(5)
+    wav_rt = all(
+        np.array_equal(
+            decode_pcm16_wav(
+                pcm16_wav_bytes(s := rng.integers(-32768, 32768, size=int(k), dtype=np.int64).astype(np.int16))
+            ),
+            s,
+        )
+        for k in rng.integers(1, 500, size=100)
+    )
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.int64).astype(np.uint8)
+    bmp_rt = np.array_equal(decode_bmp24(bmp24_bytes(img)), img)
+    return {
+        "check": "philox_replay_exact+codec_roundtrips",
+        "replay_rows_exact": ok_rows,
+        "rows": len(got),
+        "wav_roundtrip_100": bool(wav_rt),
+        "bmp_roundtrip": bool(bmp_rt),
+        "pass": bool(replay_exact and wav_rt and bmp_rt and len(got) > 0),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
+    "media_decode": _check_media_decode,
     "neighborhood_function": _check_neighborhood_fn,
     "kmeans_clusters": _check_kmeans,
     "coreness": _check_coreness,
