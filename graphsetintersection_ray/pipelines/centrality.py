@@ -1,0 +1,168 @@
+"""Betweenness centrality — sampled-source Brandes, parallel over sources.
+
+Brandes' algorithm is a sum of independent per-source contributions, so
+the distributed shape is: broadcast the CSR once (``ray.put``), fan the
+source set out as a Dataset, run one vectorized Brandes pass per source
+inside ``map_batches`` (per-LEVEL numpy kernels — no per-edge Python),
+emit per-batch partial centrality rows, and reduce with one bounded
+(v) sum shuffle. Sources are value-defined (stride sampling) so runs
+are replayable.
+
+At-scale constraint (documented): the per-source pass probes a
+broadcast flat CSR, so graphs beyond object-store broadcast size need
+the superstep-BFS-per-source variant (distances via the BSP engine +
+join-based backward accumulation); like the reference's single-machine
+Brandes this round keeps the broadcast path and raises loudly above the
+threshold rather than silently degrading.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from graphsetintersection_ray.functions.kernels import round_half_away
+from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+
+BC_BROADCAST_MAX_EDGES = int(
+    os.environ.get("GRAFT_BC_BROADCAST_MAX_EDGES", 50_000_000)
+)
+
+
+def _flat_csr(art: GraphArtifacts) -> tuple[np.ndarray, np.ndarray]:
+    edf = art.sym.to_pandas()
+    src = edf["src"].to_numpy().astype(np.int64)
+    dst = edf["dst"].to_numpy().astype(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    indptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(src, minlength=art.n_vertices)))
+    )
+    return indptr, dst
+
+
+def brandes_source(
+    s: int, indptr: np.ndarray, dst: np.ndarray, n: int
+) -> np.ndarray:
+    """One source's dependency vector δ_s (textbook Brandes), with
+    per-LEVEL vectorized expansion and accumulation."""
+    dist = np.full(n, -1, np.int64)
+    sigma = np.zeros(n, np.float64)
+    dist[s] = 0
+    sigma[s] = 1.0
+    frontier = np.array([s], np.int64)
+    level_edges = []  # (u_arr, w_arr) tree/DAG edges per level
+    while len(frontier):
+        lens = indptr[frontier + 1] - indptr[frontier]
+        total = int(lens.sum())
+        if total == 0:
+            break
+        u_rep = np.repeat(frontier, lens)
+        starts = np.repeat(indptr[frontier], lens)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        w = dst[starts + within]
+        newly = dist[w] == -1
+        if newly.any():
+            dist[w[newly]] = dist[u_rep[newly]] + 1
+        on_dag = dist[w] == dist[u_rep] + 1
+        u_e, w_e = u_rep[on_dag], w[on_dag]
+        np.add.at(sigma, w_e, sigma[u_e])
+        level_edges.append((u_e, w_e))
+        frontier = np.unique(w[newly])
+    delta = np.zeros(n, np.float64)
+    for u_e, w_e in reversed(level_edges):
+        np.add.at(
+            delta, u_e, sigma[u_e] / sigma[w_e] * (1.0 + delta[w_e])
+        )
+    delta[s] = 0.0
+    return delta
+
+
+def betweenness(
+    art: GraphArtifacts, n_sources: int | None = None, num_buckets: int = 32
+) -> rd.Dataset:
+    """(v, bc): betweenness centrality — exact when ``n_sources`` is
+    None (every vertex a source), else estimated from a value-defined
+    stride sample of sources scaled by n/|S|. Undirected convention:
+    each pair counted once (sum of dependencies / 2), rounded to 6."""
+    import ray as _ray
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    if 2 * art.n_edges > BC_BROADCAST_MAX_EDGES:
+        raise NotImplementedError(
+            "betweenness beyond broadcast size needs the superstep-BFS "
+            "per-source variant; raise GRAFT_BC_BROADCAST_MAX_EDGES only "
+            "if the flat CSR fits the object store"
+        )
+    n = art.n_vertices
+    indptr, dst = _flat_csr(art)
+    ref = _ray.put((indptr, dst))
+    if n_sources is None or n_sources >= n:
+        sources = np.arange(n, dtype=np.int64)
+        scale = 1.0
+    else:
+        stride = int(np.ceil(n / n_sources))
+        sources = np.arange(0, n, stride, dtype=np.int64)
+        scale = n / len(sources)
+
+    def batch_bc(t: pa.Table) -> pa.Table:
+        indptr_, dst_ = _ray.get(ref)
+        acc = np.zeros(n, np.float64)
+        for s in t["s"].to_numpy(zero_copy_only=False):
+            acc += brandes_source(int(s), indptr_, dst_, n)
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "v": pa.array(nz.astype(np.int32), pa.int32()),
+                "part": pa.array(acc[nz], pa.float64()),
+            }
+        )
+
+    src_ds = rd.from_arrow(
+        pa.table({"s": pa.array(sources)})
+    ).repartition(min(32, max(1, len(sources) // 8)))
+    parts = src_ds.map_batches(batch_bc, batch_format="pyarrow")
+    summed = sum_by(parts, ["v"], "part", out_col="bc", num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        bc = t["bc"].to_numpy(zero_copy_only=False) * (scale / 2.0)
+        return pa.table(
+            {
+                "v": t["v"],
+                "bc": pa.array(round_half_away(bc, 6), pa.float64()),
+            }
+        )
+
+    out = summed.map_batches(finish, batch_format="pyarrow")
+
+    # vertices with zero centrality (leaves) still get a row — O(V)
+    # driver bitmap, same pattern as the clique singleton sweep
+    present = out.materialize()
+    seen = np.zeros(n, bool)
+    for b in present.map_batches(
+        lambda t: t.select(["v"]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        seen[b["v"].to_numpy(zero_copy_only=False)] = True
+    missing = np.flatnonzero(~seen).astype(np.int32)
+    if len(missing):
+        present = present.union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "v": pa.array(missing, pa.int32()),
+                        "bc": pa.array(
+                            np.zeros(len(missing), np.float64)
+                        ),
+                    }
+                )
+            )
+        )
+    return present

@@ -284,6 +284,16 @@ def q_skipgram_pairs(sf_dir: str):
     return skipgram_pairs(random_walks(art, walk_len=8, seed=7), window=2)
 
 
+def q_betweenness(sf_dir: str):
+    """(v, bc): EXACT betweenness centrality (all sources; undirected
+    pair-counted-once convention, rounded 6) — sampled-source Brandes
+    parallel over sources."""
+    from graphsetintersection_ray.pipelines.centrality import betweenness
+
+    art = build_graph(sf_dir)
+    return betweenness(art)
+
+
 def q_clustering_coeff(sf_dir: str):
     """(v, lcc): local clustering coefficient 2·T(v)/(deg·(deg−1)) for
     every vertex (0.0 below degree 2), rounded half-away at 6 decimals —
@@ -1392,6 +1402,7 @@ QUERIES = {
     "hopping_windows": q_hopping_windows,
     "tfidf_top_terms": q_tfidf_top_terms,
     "media_decode": q_media_decode,
+    "betweenness": q_betweenness,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))

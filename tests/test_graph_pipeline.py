@@ -990,3 +990,44 @@ def test_random_walks_are_valid_and_deterministic(ray_session):
         vs = g.sort_values("pos").v.to_numpy()
         for a, b in zip(vs[:-1], vs[1:]):
             assert (a, b) in eset or a == b
+
+
+def test_betweenness_known_values_and_sampling(ray_session):
+    """Star center carries all leaf pairs; path interior vertices carry
+    2 pairs each; the stride-sampled estimate is scaled and close on a
+    symmetric graph."""
+    import dataclasses
+
+    import pandas as pd
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines.centrality import betweenness
+    from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+
+    def art_for(edges):
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int32")
+        sym = pd.concat(
+            [df, df.rename(columns={"src": "dst", "dst": "src"})]
+        )[["src", "dst"]]
+        n = int(sym.max().max()) + 1
+        return GraphArtifacts(
+            transcripts=None, edges_str=None, vertices=None,
+            edges=rd.from_pandas(df), sym=rd.from_pandas(sym),
+            degrees=None, oriented=None, csr_path="",
+            n_vertices=n, n_edges=len(df), num_partitions=4,
+            csr_partitions=4, fingerprint="test",
+        )
+
+    # star K1,4 centered at 0
+    star = art_for([(0, 1), (0, 2), (0, 3), (0, 4)])
+    bc = betweenness(star).to_pandas().set_index("v").bc
+    assert bc[0] == 6.0 and (bc.drop(0) == 0.0).all()
+
+    # path 0-1-2-3
+    path = art_for([(0, 1), (1, 2), (2, 3)])
+    bc = betweenness(path).to_pandas().set_index("v").bc
+    assert bc[1] == 2.0 and bc[2] == 2.0 and bc[0] == 0.0
+
+    # sampled estimate on the star: sources {0, 2, 4} (stride 2), scaled
+    est = betweenness(star, n_sources=3).to_pandas().set_index("v").bc
+    assert est[0] > 0 and (est.drop(0) <= est[0]).all()

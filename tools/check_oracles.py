@@ -761,9 +761,64 @@ def _check_media_decode(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_betweenness(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """betweenness vs an INDEPENDENT scalar textbook Brandes (plain
+    Python adjacency lists, deque BFS, per-node predecessor lists —
+    deliberately nothing shared with the vectorized per-level kernel).
+    FP addition order differs across the distributed sum, so the bar is
+    max |got − round(want, 6)| <= 1e-6 over every vertex."""
+    from collections import deque
+
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    n = int(max(edf.src.max(), edf.dst.max())) + 1
+    adj = [[] for _ in range(n)]
+    for a, b in zip(edf.src, edf.dst):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    bc = np.zeros(n)
+    for s in range(n):
+        dist = [-1] * n
+        sigma = [0.0] * n
+        preds: list[list[int]] = [[] for _ in range(n)]
+        dist[s], sigma[s] = 0, 1.0
+        order, q = [], deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if dist[w] == -1:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = [0.0] * n
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    want = bc / 2.0
+    got = rdf.sort_values("v").reset_index(drop=True)
+    full = np.zeros(n)
+    full[got.v.to_numpy()] = got.bc.to_numpy()
+    max_diff = float(np.max(np.abs(full - np.round(want, 6))))
+    return {
+        "check": "independent_scalar_brandes_replay",
+        "rows": len(got),
+        "max_abs_diff": max_diff,
+        "pass": bool(len(got) == n and max_diff <= 1e-6),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
     "media_decode": _check_media_decode,
+    "betweenness": _check_betweenness,
     "neighborhood_function": _check_neighborhood_fn,
     "kmeans_clusters": _check_kmeans,
     "coreness": _check_coreness,
