@@ -166,3 +166,88 @@ def betweenness(
             )
         )
     return present
+
+
+def closeness(
+    art: GraphArtifacts, num_buckets: int = 32
+) -> rd.Dataset:
+    """(v, closeness): EXACT closeness centrality
+    (reach_v − 1) / Σ dist(v, ·) within v's component, rounded to 6
+    (0.0 for vertices with no co-reachable peers). Same source-parallel
+    shape as ``betweenness``: broadcast CSR, one vectorized BFS per
+    source, per-batch partial (Σdist, reach) vectors, one bounded sum
+    shuffle. Distances are symmetric on the undirected graph, so
+    accumulating per-source distance vectors yields every vertex's
+    total distance exactly."""
+    import ray as _ray
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    if 2 * art.n_edges > BC_BROADCAST_MAX_EDGES:
+        raise NotImplementedError(
+            "closeness beyond broadcast size needs the superstep-BFS "
+            "per-source variant (see betweenness note)"
+        )
+    n = art.n_vertices
+    indptr, dst = _flat_csr(art)
+    ref = _ray.put((indptr, dst))
+
+    def batch_close(t: pa.Table) -> pa.Table:
+        indptr_, dst_ = _ray.get(ref)
+        acc_d = np.zeros(n, np.int64)
+        acc_r = np.zeros(n, np.int64)
+        for s in t["s"].to_numpy(zero_copy_only=False):
+            dist = np.full(n, -1, np.int64)
+            dist[s] = 0
+            frontier = np.array([int(s)], np.int64)
+            level = 0
+            while len(frontier):
+                lens = indptr_[frontier + 1] - indptr_[frontier]
+                total = int(lens.sum())
+                if total == 0:
+                    break
+                starts = np.repeat(indptr_[frontier], lens)
+                within = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+                )
+                w = dst_[starts + within]
+                nxt = np.unique(w[dist[w] == -1])
+                if not len(nxt):
+                    break
+                level += 1
+                dist[nxt] = level
+                frontier = nxt
+            reached = dist >= 0
+            acc_d[reached] += dist[reached]
+            acc_r[reached] += 1
+        nz = np.flatnonzero(acc_r)
+        return pa.table(
+            {
+                "v": pa.array(nz.astype(np.int32), pa.int32()),
+                "sum_d": pa.array(acc_d[nz], pa.int64()),
+                "reach": pa.array(acc_r[nz], pa.int64()),
+            }
+        )
+
+    src_ds = rd.from_arrow(
+        pa.table({"s": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(min(32, max(1, n // 8)))
+    summed = sum_by(
+        src_ds.map_batches(batch_close, batch_format="pyarrow"),
+        ["v"],
+        ["sum_d", "reach"],
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sd = t["sum_d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rc = t["reach"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cl = np.where(sd > 0, (rc - 1.0) / np.maximum(sd, 1.0), 0.0)
+        return pa.table(
+            {
+                "v": t["v"],
+                "closeness": pa.array(round_half_away(cl, 6), pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")

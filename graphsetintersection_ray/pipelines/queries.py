@@ -294,6 +294,15 @@ def q_betweenness(sf_dir: str):
     return betweenness(art)
 
 
+def q_closeness(sf_dir: str):
+    """(v, closeness): EXACT closeness centrality (reach−1)/Σdist,
+    source-parallel BFS accumulation."""
+    from graphsetintersection_ray.pipelines.centrality import closeness
+
+    art = build_graph(sf_dir)
+    return closeness(art)
+
+
 def q_clustering_coeff(sf_dir: str):
     """(v, lcc): local clustering coefficient 2·T(v)/(deg·(deg−1)) for
     every vertex (0.0 below degree 2), rounded half-away at 6 decimals —
@@ -1403,6 +1412,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "media_decode": q_media_decode,
     "betweenness": q_betweenness,
+    "closeness": q_closeness,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))

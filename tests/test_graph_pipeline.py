@@ -1031,3 +1031,29 @@ def test_betweenness_known_values_and_sampling(ray_session):
     # sampled estimate on the star: sources {0, 2, 4} (stride 2), scaled
     est = betweenness(star, n_sources=3).to_pandas().set_index("v").bc
     assert est[0] > 0 and (est.drop(0) <= est[0]).all()
+
+
+def test_closeness_star_values(ray_session):
+    """K1,4: center closeness = 4/4 = 1.0; each leaf = 4/7."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines.centrality import closeness
+    from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+
+    df = pd.DataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], columns=["src", "dst"]
+    ).astype("int32")
+    sym = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    )[["src", "dst"]]
+    art = GraphArtifacts(
+        transcripts=None, edges_str=None, vertices=None,
+        edges=rd.from_pandas(df), sym=rd.from_pandas(sym),
+        degrees=None, oriented=None, csr_path="",
+        n_vertices=5, n_edges=4, num_partitions=2,
+        csr_partitions=2, fingerprint="t",
+    )
+    cl = closeness(art).to_pandas().set_index("v").closeness
+    assert cl[0] == 1.0
+    assert np.allclose(cl.drop(0), round(4 / 7, 6))

@@ -815,10 +815,54 @@ def _check_betweenness(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_closeness(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """closeness vs an independent scalar deque-BFS replay: for every
+    vertex, (reach−1)/Σdist within its component, exact integer sums so
+    equality after 6-decimal rounding must hold bit-for-bit."""
+    from collections import deque
+
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    n = int(max(edf.src.max(), edf.dst.max())) + 1
+    adj = [[] for _ in range(n)]
+    for a, b in zip(edf.src, edf.dst):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    want = np.zeros(n)
+    for s in range(n):
+        dist = [-1] * n
+        dist[s] = 0
+        q = deque([s])
+        tot, reach = 0, 0
+        while q:
+            u = q.popleft()
+            tot += dist[u]
+            reach += 1
+            for w in adj[u]:
+                if dist[w] == -1:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        want[s] = (reach - 1) / tot if tot > 0 else 0.0
+    got = rdf.sort_values("v").reset_index(drop=True)
+    full = np.zeros(n)
+    full[got.v.to_numpy()] = got.closeness.to_numpy()
+    max_diff = float(np.max(np.abs(full - np.round(want, 6))))
+    return {
+        "check": "independent_scalar_bfs_replay",
+        "rows": len(got),
+        "max_abs_diff": max_diff,
+        "pass": bool(max_diff <= 1e-9),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
     "media_decode": _check_media_decode,
     "betweenness": _check_betweenness,
+    "closeness": _check_closeness,
     "neighborhood_function": _check_neighborhood_fn,
     "kmeans_clusters": _check_kmeans,
     "coreness": _check_coreness,
