@@ -262,6 +262,79 @@ def hits(
     return xform(eng.collect_hits()), stats
 
 
+def ensure_symmetric_csr_pair(art: GraphArtifacts) -> str:
+    """Build (once, manifest-guarded) a symmetric-adjacency CSR in the
+    out/in on-disk format next to the engine's partitioned CSR — the
+    adjacency the eigenvector power iteration walks (out = in = S)."""
+    import json
+
+    from graphsetintersection_ray.stages import graph_build as gb
+
+    base = os.path.dirname(art.csr_path)
+    sym_path = os.path.join(base, "csr_symdir")
+    manifest = os.path.join(base, "_symdir_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            m = json.load(f)
+        if (
+            m.get("fingerprint") == art.fingerprint
+            and m.get("csr_partitions") == art.csr_partitions
+        ):
+            return sym_path
+    if os.path.isdir(sym_path):
+        import shutil
+
+        shutil.rmtree(sym_path)
+    buckets = max(art.csr_partitions, min(64, 4 * art.n_edges // 500_000 + 8))
+    csr = gb.build_csr(
+        art.sym, num_partitions=art.csr_partitions, shuffle_buckets=buckets
+    )
+    gb.write_csr_dataset(csr, sym_path, art.csr_partitions)
+    with open(manifest, "w") as f:
+        json.dump(
+            {"fingerprint": art.fingerprint, "csr_partitions": art.csr_partitions},
+            f,
+        )
+    return sym_path
+
+
+def eigenvector(
+    art: GraphArtifacts,
+    multiplies: int = 8,
+    round_to: int | None = 6,
+) -> tuple:
+    """(v, eig): eigenvector centrality — ``multiplies`` unnormalized
+    symmetric power iterations x ← S·x from x = 1, then ONE global L2
+    normalization (linear updates, so this equals per-iteration
+    normalization exactly), giving an exact chained-CTE SQL oracle.
+
+    Rides the HITS superstep machinery with out-CSR = in-CSR = the
+    symmetric adjacency: hub after ``multiplies``/2 HITS rounds is
+    S^multiplies · 1."""
+    assert multiplies % 2 == 0, "multiplies must be even (2 per HITS round)"
+    eng = engine_for(art, None)
+    sym_path = ensure_symmetric_csr_pair(art)
+    stats = eng.hits(sym_path, sym_path, iters=multiplies // 2)
+
+    def xform(t: pa.Table) -> pa.Table:
+        eig = t["hub"].to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            eig = round_half_away(eig, round_to)
+        return pa.table(
+            {
+                "v": t["v"].cast(pa.int32()),
+                "eig": pa.array(eig, pa.float64()),
+            }
+        )
+
+    if eng.n_total > _collect_max_vertices():
+        return (
+            eng.hits_dataset().map_batches(xform, batch_format="pyarrow"),
+            stats,
+        )
+    return xform(eng.collect_hits()), stats
+
+
 def neighborhood_function(
     art: GraphArtifacts, m: int = 256, seed: int = 77
 ) -> tuple:

@@ -407,6 +407,40 @@ def q_ppr_fixed(sf_dir: str):
 HITS_ORACLE_ITERS = 6
 
 
+EIGEN_MULTIPLIES = 8
+
+
+def q_eigenvector(sf_dir: str):
+    """(v, eig): eigenvector centrality — 8 unnormalized symmetric
+    power iterations from x = 1 + one final global L2 normalization
+    (linear updates make that exact), so the SQL oracle is an exact
+    chained-CTE replay. Unnormalized values stay integer-valued, so
+    the distributed sum order cannot perturb them."""
+    art = build_graph(sf_dir)
+    res, _ = it.eigenvector(art, multiplies=EIGEN_MULTIPLIES, round_to=6)
+    return res
+
+
+def _eigen_oracle_sql(k: int) -> str:
+    """Chained-CTE replay of k symmetric multiplies + L2 normalization
+    (MATERIALIZED for the same CTE-inlining reason as _hits_oracle_sql)."""
+    parts = ["x0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS x FROM deg)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"x{i} AS (SELECT d.v, coalesce(s.x, 0.0) AS x FROM deg d "
+            f"LEFT JOIN (SELECT s.src AS v, sum(p.x) AS x FROM sym s "
+            f"JOIN x{i - 1} p ON p.v = s.dst GROUP BY s.src) s ON s.v = d.v)"
+        )
+    parts.append(f"nrm AS (SELECT sqrt(sum(x*x)) AS nx FROM x{k})")
+    import re
+
+    sql = _with(
+        ", ".join(parts)
+        + f" SELECT v, round(x / nx, 6) AS eig FROM x{k}, nrm"
+    )
+    return re.sub(r"(\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+
+
 def q_hits(sf_dir: str):
     """HITS hubs/authorities on the canonical directed edge set: 6 full
     unnormalized power iterations + one final global L2 normalization
@@ -1355,6 +1389,7 @@ QUERIES = {
     "pagerank_fixed": q_pagerank_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
+    "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
@@ -1685,6 +1720,7 @@ GROUP BY a.src"""
 SELECT v, round(score, 6) AS score FROM pr"""
     ),
     "hits": _hits_oracle_sql(HITS_ORACLE_ITERS),
+    "eigenvector": _eigen_oracle_sql(EIGEN_MULTIPLIES),
     "ppr_fixed": _with(
         f"""ppr AS (
   WITH RECURSIVE prr(v, score, it) AS (

@@ -1057,3 +1057,20 @@ def test_closeness_star_values(ray_session):
     cl = closeness(art).to_pandas().set_index("v").closeness
     assert cl[0] == 1.0
     assert np.allclose(cl.drop(0), round(4 / 7, 6))
+
+
+def test_eigenvector_matches_dense_numpy(art, sym_df):
+    """8 symmetric multiplies from 1 + L2 normalization vs a dense
+    numpy replay; top-score vertex = dominant-eigenvector argmax."""
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    eig, _ = it.eigenvector(art, multiplies=8, round_to=None)
+    got = eig.to_pandas().sort_values("v").reset_index(drop=True)
+    N = art.n_vertices
+    A = np.zeros((N, N))
+    A[sym_df.src, sym_df.dst] = 1.0
+    x = np.ones(N)
+    for _ in range(8):
+        x = A @ x
+    x = x / np.linalg.norm(x)
+    assert np.allclose(got.eig.to_numpy(), x, atol=1e-12)
