@@ -168,27 +168,80 @@ def betweenness(
     return present
 
 
-def closeness(
-    art: GraphArtifacts, num_buckets: int = 32
+def _closeness_partials_superstep(
+    art: GraphArtifacts, sources: np.ndarray
 ) -> rd.Dataset:
-    """(v, closeness): EXACT closeness centrality
-    (reach_v − 1) / Σ dist(v, ·) within v's component, rounded to 6
-    (0.0 for vertices with no co-reachable peers). Same source-parallel
-    shape as ``betweenness``: broadcast CSR, one vectorized BFS per
-    source, per-batch partial (Σdist, reach) vectors, one bounded sum
-    shuffle. Distances are symmetric on the undirected graph, so
+    """(v, sum_d, reach) partials over ``sources`` via one superstep BFS
+    per source — the AT-SCALE path: the partitioned-CSR BSP engine, no
+    broadcast adjacency. Cost = |sources| × (diameter supersteps), which
+    is why production closeness on huge graphs samples pivot sources."""
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    parts = []
+    for s in sources:
+        dist_ds, _ = it.bfs_distances(art, source=int(s), resume=False)
+        if not isinstance(dist_ds, rd.Dataset):
+            dist_ds = rd.from_arrow(
+                pa.Table.from_pandas(dist_ds, preserve_index=False)
+                if isinstance(dist_ds, pd.DataFrame)
+                else dist_ds
+            )
+        parts.append(
+            dist_ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "v": t["v"].cast(pa.int32()),
+                        "sum_d": t["dist"].cast(pa.int64()),
+                        "reach": pa.array(
+                            np.ones(t.num_rows, np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def closeness(
+    art: GraphArtifacts,
+    num_buckets: int = 32,
+    sources: np.ndarray | None = None,
+) -> rd.Dataset:
+    """(v, closeness): closeness centrality
+    (reach_v − 1) / Σ dist(v, ·), rounded to 6 (0.0 for vertices with
+    no co-reachable peers) — EXACT when ``sources`` is None (every
+    vertex a source); with an explicit source subset, the restricted
+    sums (the standard pivot-sampling estimator's ingredients).
+
+    Two paths, equal by test: under ``BC_BROADCAST_MAX_EDGES`` a
+    broadcast flat CSR with one vectorized BFS per source; above it one
+    superstep BFS per source on the partitioned-CSR BSP engine (no
+    broadcast — the at-scale route, which is why huge graphs sample
+    sources). Distances are symmetric on the undirected graph, so
     accumulating per-source distance vectors yields every vertex's
     total distance exactly."""
     import ray as _ray
 
     from graphsetintersection_ray.stages.shuffle import sum_by
 
-    if 2 * art.n_edges > BC_BROADCAST_MAX_EDGES:
-        raise NotImplementedError(
-            "closeness beyond broadcast size needs the superstep-BFS "
-            "per-source variant (see betweenness note)"
-        )
     n = art.n_vertices
+    if sources is None:
+        src_arr = np.arange(n, dtype=np.int64)
+    else:
+        src_arr = np.asarray(sources, np.int64)
+
+    if 2 * art.n_edges > BC_BROADCAST_MAX_EDGES:
+        parts = _closeness_partials_superstep(art, src_arr)
+        summed = sum_by(
+            parts, ["v"], ["sum_d", "reach"], num_buckets=num_buckets
+        )
+        return summed.map_batches(
+            _closeness_finish, batch_format="pyarrow"
+        )
     indptr, dst = _flat_csr(art)
     ref = _ray.put((indptr, dst))
 
@@ -230,24 +283,24 @@ def closeness(
         )
 
     src_ds = rd.from_arrow(
-        pa.table({"s": pa.array(np.arange(n, dtype=np.int64))})
-    ).repartition(min(32, max(1, n // 8)))
+        pa.table({"s": pa.array(src_arr)})
+    ).repartition(min(32, max(1, len(src_arr) // 8)))
     summed = sum_by(
         src_ds.map_batches(batch_close, batch_format="pyarrow"),
         ["v"],
         ["sum_d", "reach"],
         num_buckets=num_buckets,
     )
+    return summed.map_batches(_closeness_finish, batch_format="pyarrow")
 
-    def finish(t: pa.Table) -> pa.Table:
-        sd = t["sum_d"].to_numpy(zero_copy_only=False).astype(np.float64)
-        rc = t["reach"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cl = np.where(sd > 0, (rc - 1.0) / np.maximum(sd, 1.0), 0.0)
-        return pa.table(
-            {
-                "v": t["v"],
-                "closeness": pa.array(round_half_away(cl, 6), pa.float64()),
-            }
-        )
 
-    return summed.map_batches(finish, batch_format="pyarrow")
+def _closeness_finish(t: pa.Table) -> pa.Table:
+    sd = t["sum_d"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rc = t["reach"].to_numpy(zero_copy_only=False).astype(np.float64)
+    cl = np.where(sd > 0, (rc - 1.0) / np.maximum(sd, 1.0), 0.0)
+    return pa.table(
+        {
+            "v": t["v"],
+            "closeness": pa.array(round_half_away(cl, 6), pa.float64()),
+        }
+    )

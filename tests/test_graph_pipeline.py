@@ -1074,3 +1074,29 @@ def test_eigenvector_matches_dense_numpy(art, sym_df):
         x = A @ x
     x = x / np.linalg.norm(x)
     assert np.allclose(got.eig.to_numpy(), x, atol=1e-12)
+
+
+def test_closeness_superstep_path_equals_broadcast(art, ray_session):
+    """Force the superstep-BFS per-source path (zero threshold) on a
+    source subset and check it equals the broadcast path exactly."""
+    from graphsetintersection_ray.pipelines import centrality as ct
+
+    sources = np.array([0, 3, 17, 41], np.int64)
+    base = (
+        ct.closeness(art, sources=sources)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    old = ct.BC_BROADCAST_MAX_EDGES
+    ct.BC_BROADCAST_MAX_EDGES = 0
+    try:
+        dist = (
+            ct.closeness(art, sources=sources)
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+    finally:
+        ct.BC_BROADCAST_MAX_EDGES = old
+    pd.testing.assert_frame_equal(base, dist, check_dtype=False)
