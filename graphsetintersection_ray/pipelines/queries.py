@@ -1243,6 +1243,16 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), benchmark_mod=97)
 
 
+def q_ngram_decontaminate(sf_dir: str):
+    """(doc_id, n_hits): non-benchmark docs sharing >= 1 word-3-shingle
+    with the value-defined benchmark set (doc_id % 97 == 0), with the
+    count of DISTINCT overlapping shingles — shingle-level eval-leakage
+    detection (catches partial quotes, not just verbatim copies)."""
+    from graphsetintersection_ray.stages.dedup import ngram_decontaminate
+
+    return ngram_decontaminate(_docs(sf_dir), benchmark_mod=97)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """(doc_id, term, score, rk): each doc's 3 highest tf-idf terms
     (idf = ln(N/df); ties by term asc)."""
@@ -1438,6 +1448,7 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "top_docs_per_lang": q_top_docs_per_lang,
     "decontaminate": q_decontaminate,
+    "ngram_decontaminate": q_ngram_decontaminate,
     "ngram_counts": q_ngram_counts,
     "repetition_ratio": q_repetition_ratio,
     "curation_filter": q_curation_filter,
@@ -2109,6 +2120,15 @@ WITH fp AS (
 bl AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0)
 SELECT f.doc_id, f.fp FROM fp f
 WHERE f.fp NOT IN (SELECT fp FROM bl)""",
+    "ngram_decontaminate": "WITH "
+    + _SHINGLES_SQL
+    + """,
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT d.doc_id, d.s FROM sh d JOIN bench b ON d.s = b.s
+  WHERE d.doc_id % 97 <> 0
+)
+SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id""",
     "ngram_counts": """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts

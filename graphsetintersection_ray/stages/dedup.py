@@ -981,3 +981,149 @@ def decontaminate(
         anti,
         num_buckets,
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram-overlap decontamination
+# --------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    docs: rd.Dataset,
+    benchmark_mod: int = 97,
+    num_buckets: int = 32,
+    broadcast_max: int = DEDUP_BROADCAST_MAX,
+) -> rd.Dataset:
+    """(doc_id, n_hits): n-gram-overlap eval-leakage detection — every
+    NON-benchmark document sharing at least one word-3-shingle with the
+    value-defined benchmark set (``doc_id % benchmark_mod == 0``), with
+    the count of DISTINCT overlapping shingles. The shingle-level
+    complement of ``decontaminate``'s whole-content fingerprint rule:
+    it catches partial quotes of eval items, not just verbatim copies
+    (the GPT-3-appendix-style n-gram contamination check; production
+    corpora use 8-13-token windows — the window here is ``SHINGLE_W``
+    so the check shares ``jaccard_pairs``' shingle machinery and its
+    SQL-oracle prelude).
+
+    Scale shape: the benchmark shingle set is built from the small
+    benchmark slice only (1/benchmark_mod of the corpus). Below
+    ``broadcast_max`` distinct benchmark shingles the corpus pass is
+    MAP-ONLY — broadcast ``ray.put`` set + one vectorized isin and a
+    within-batch count per document (a doc's shingles never leave the
+    batch that tokenized it; zero shuffle at any corpus size). Above
+    it, one bucketed cogroup semi-join keyed on shingle + one
+    pre-aggregated per-doc count shuffle. Both paths are tested equal
+    at a forced-zero threshold."""
+    import ray
+
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sum_by,
+    )
+
+    def _bench_shingles(b: pd.DataFrame) -> pa.Table:
+        sel = b[(b["doc_id"].to_numpy(np.int64) % benchmark_mod) == 0]
+        return shingle_table(sel).select(["shingle"])
+
+    bench = docs.map_batches(
+        _bench_shingles, batch_format="pandas"
+    ).materialize()
+
+    out_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("n_hits", pa.int64())]
+    )
+
+    if bench.count() <= broadcast_max:
+        block_ref = ray.put(
+            np.unique(bench.to_pandas()["shingle"].to_numpy(dtype=object))
+        )
+
+        def hits(b: pd.DataFrame) -> pa.Table:
+            corp = b[(b["doc_id"].to_numpy(np.int64) % benchmark_mod) != 0]
+            sh = _exploded_shingles(corp)
+            if len(sh) == 0:
+                return out_schema.empty_table()
+            hit = sh[sh["shingle"].isin(ray.get(block_ref)).to_numpy()]
+            g = (
+                hit.groupby("doc_id", sort=False)
+                .size()
+                .reset_index(name="n_hits")
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        g["doc_id"].to_numpy(np.int64), pa.int64()
+                    ),
+                    "n_hits": pa.array(
+                        g["n_hits"].to_numpy(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return docs.map_batches(hits, batch_format="pandas")
+
+    # distributed semi-join on shingle: corpus (doc_id, shingle) rows
+    # unioned with benchmark marker rows, cogrouped by shingle bucket;
+    # a corpus row survives iff its shingle has a marker in the group.
+    # (doc_id, shingle) is globally distinct — _exploded_shingles
+    # dedups within the doc and a doc lives in one row — so counting
+    # surviving rows per doc gives the distinct-overlap count.
+    def corpus_rows(b: pd.DataFrame) -> pa.Table:
+        corp = b[(b["doc_id"].to_numpy(np.int64) % benchmark_mod) != 0]
+        sh = _exploded_shingles(corp)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    sh["doc_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "shingle": pa.array(
+                    sh["shingle"].to_numpy(object), pa.string()
+                ),
+                "__bench": pa.array(np.zeros(len(sh), np.int8)),
+            }
+        )
+
+    def mark_bench(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "shingle": t["shingle"],
+                "__bench": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    unioned = docs.map_batches(corpus_rows, batch_format="pandas").union(
+        bench.map_batches(mark_bench, batch_format="pyarrow")
+    )
+
+    ones_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("n", pa.int64())]
+    )
+
+    def semi(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return ones_schema.empty_table()
+        good = set(g.loc[g["__bench"] == 1, "shingle"])
+        keep = (g["__bench"] == 0) & g["shingle"].isin(good)
+        kept = g.loc[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    kept["doc_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n": pa.array(np.ones(len(kept), np.int64)),
+            }
+        )
+
+    hit_rows = bucket_groups(
+        unioned.map_batches(
+            lambda b: _add_bucket(b, ["shingle"], num_buckets),
+            batch_format="pandas",
+        ),
+        semi,
+        num_buckets,
+    )
+    return sum_by(
+        hit_rows, ["doc_id"], "n", out_col="n_hits", num_buckets=num_buckets
+    )

@@ -1001,3 +1001,40 @@ def test_wav_bmp_codecs_roundtrip_and_decode_stage(ray_session):
                 }
             )
         )
+
+
+def test_ngram_decontaminate_counts_shingle_overlap(ray_session):
+    """Docs quoting a benchmark shingle are flagged with the distinct
+    overlap count; benchmark docs themselves are excluded; the broadcast
+    and bucketed semi-join paths agree."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.dedup import ngram_decontaminate
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",  # benchmark (0 % 5)
+        1: "x alpha beta gamma y",            # quotes 1 bench shingle
+        2: "alpha beta gamma delta z",        # quotes 2 bench shingles
+        3: "totally unrelated words here",
+        4: "q r s t u",
+        5: "another benchmark doc entirely",  # benchmark (5 % 5)
+        6: "v another benchmark doc w",       # quotes 1 shingle of doc 5
+        7: "alpha beta gamma alpha beta gamma",  # repeats count ONCE
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    docs = rd.from_pandas(df).repartition(3)
+    out = (
+        ngram_decontaminate(docs, benchmark_mod=5)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 2, 6: 1, 7: 1}
+    # forced-zero broadcast threshold -> bucketed semi-join path
+    out2 = (
+        ngram_decontaminate(docs, benchmark_mod=5, broadcast_max=0, num_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+        .to_dict()
+    )
+    assert out2 == out
