@@ -34,6 +34,11 @@ from graphsetintersection_ray.pipelines.triangle import (
 )
 from graphsetintersection_ray.functions.kernels import round_half_away
 from graphsetintersection_ray.stages import graph_build as gb
+from graphsetintersection_ray.stages.text import (
+    PII_EMAIL_RE,
+    PII_IP_RE,
+    PII_PHONE_RE,
+)
 
 PAGERANK_ORACLE_ITERS = 30
 
@@ -1272,6 +1277,29 @@ def q_curation_filter(sf_dir: str):
     )
 
 
+def q_pii_scrub(sf_dir: str):
+    """(event_id, n_emails, n_phones, n_ips, clean): PII detection and
+    redaction over value-defined per-event raw-log lines (contact
+    fields derived from each event's own columns — see FIXTURES.md).
+    Two map-only stages: vectorized line assembly, then the PIIScrubber
+    actor pool (regexes compiled once per actor). Zero shuffle."""
+    from graphsetintersection_ray.stages.text import (
+        PIIScrubber,
+        event_log_lines,
+    )
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    return ev.map_batches(event_log_lines, batch_format="pandas").map_batches(
+        PIIScrubber,
+        fn_constructor_kwargs={"id_col": "event_id"},
+        batch_format="pandas",
+        concurrency=2,
+    )
+
+
 def q_repetition_ratio(sf_dir: str):
     """(doc_id, n_bigrams, n_distinct, rep_ratio): within-doc bigram
     repetition (C4/Gopher boilerplate signal) — map-only, no shuffle."""
@@ -1450,6 +1478,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "ngram_decontaminate": q_ngram_decontaminate,
     "ngram_counts": q_ngram_counts,
+    "pii_scrub": q_pii_scrub,
     "repetition_ratio": q_repetition_ratio,
     "curation_filter": q_curation_filter,
     "asof_join": q_asof_join,
@@ -2129,6 +2158,48 @@ hits AS (
   WHERE d.doc_id % 97 <> 0
 )
 SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id""",
+    # value-defined log lines (see event_log_lines / FIXTURES.md); the
+    # scrub itself is the same three patterns, counted on the raw line
+    # and redacted in fixed email -> phone -> ip order.
+    "pii_scrub": """
+WITH lines AS (
+  SELECT event_id,
+    'user ' || user_id
+    || CASE WHEN user_id % 3 <> 0
+         THEN ' <u' || user_id || '@ex' || (user_id % 10) || '.com>'
+         ELSE '' END
+    || CASE WHEN event_id % 2 = 0
+         THEN ' call 555-' || (100 + user_id % 900) || '-'
+              || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END
+    || CASE WHEN (user_id + event_id) % 5 <> 0
+         THEN ' from 10.' || (user_id % 256) || '.' || (event_id % 256)
+              || '.' || ((user_id + event_id) % 256)
+         ELSE '' END
+    || ' during ' || event_type AS line
+  FROM events
+)
+SELECT event_id,
+  len(regexp_extract_all(line, '"""
+    + PII_EMAIL_RE
+    + """')) AS n_emails,
+  len(regexp_extract_all(line, '"""
+    + PII_PHONE_RE
+    + """')) AS n_phones,
+  len(regexp_extract_all(line, '"""
+    + PII_IP_RE
+    + """')) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(line,
+    '"""
+    + PII_EMAIL_RE
+    + """', '[EMAIL]', 'g'),
+    '"""
+    + PII_PHONE_RE
+    + """', '[PHONE]', 'g'),
+    '"""
+    + PII_IP_RE
+    + """', '[IP]', 'g') AS clean
+FROM lines""",
     "ngram_counts": """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts

@@ -582,3 +582,93 @@ def tfidf_top_terms(docs, k: int = 3, num_buckets: int = 64):
         topk,
         num_buckets,
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# ASCII-anchored, lookahead-free patterns so Python re and DuckDB RE2
+# match byte-identically (same portability contract as TOKEN_RE above).
+PII_EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PATTERNS = [
+    ("emails", PII_EMAIL_RE, "[EMAIL]"),
+    ("phones", PII_PHONE_RE, "[PHONE]"),
+    ("ips", PII_IP_RE, "[IP]"),
+]
+
+
+class PIIScrubber:
+    """Actor-pool stage: count and redact PII spans (emails, NANP-style
+    phone numbers, IPv4 addresses) in a text column — the
+    pre-training-corpus privacy-scrub pass. Regexes compile once per
+    actor in ``__init__``; per batch each pattern is one vectorized
+    pandas-str count plus one vectorized replace, applied in fixed
+    order (email → phone → ip) so the redaction chain is deterministic
+    and SQL-replayable. Map-only: zero shuffle at any corpus size."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        import re
+
+        self.text_col = text_col
+        self.id_col = id_col
+        self.pats = [
+            (name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        text = batch[self.text_col]
+        cols = {
+            self.id_col: pa.array(
+                batch[self.id_col].to_numpy(np.int64), pa.int64()
+            )
+        }
+        clean = text
+        for name, pat, repl in self.pats:
+            cols[f"n_{name}"] = pa.array(
+                text.str.count(pat).to_numpy(np.int64)
+            )
+            clean = clean.str.replace(pat, repl, regex=True)
+        cols["clean"] = pa.array(clean.to_numpy(object), pa.string())
+        return pa.table(cols)
+
+
+def event_log_lines(batch: pd.DataFrame) -> pd.DataFrame:
+    """(event_id, text): a value-defined raw-log line per event — the
+    contact fields (email, phone, IPv4) are derived deterministically
+    from the event's own columns (see FIXTURES.md), so the PII scrub
+    over them is replayable in SQL without external data. Field
+    presence varies per row (email iff user_id % 3 != 0, phone iff
+    event_id % 2 == 0, ip iff (user_id + event_id) % 5 != 0) so the
+    scrub counts carry real signal. Vectorized string assembly."""
+    uid = batch["user_id"].to_numpy(np.int64)
+    eid = batch["event_id"].to_numpy(np.int64)
+    uid_s = pd.Series(uid).astype(str)
+    eid_s = pd.Series(eid).astype(str)
+    email = " <u" + uid_s + "@ex" + pd.Series(uid % 10).astype(str) + ".com>"
+    phone = (
+        " call 555-"
+        + pd.Series(100 + uid % 900).astype(str)
+        + "-"
+        + pd.Series(eid % 10000).astype(str).str.zfill(4)
+    )
+    ip = (
+        " from 10."
+        + pd.Series(uid % 256).astype(str)
+        + "."
+        + pd.Series(eid % 256).astype(str)
+        + "."
+        + pd.Series((uid + eid) % 256).astype(str)
+    )
+    line = (
+        "user "
+        + uid_s
+        + email.where(uid % 3 != 0, "")
+        + phone.where(eid % 2 == 0, "")
+        + ip.where((uid + eid) % 5 != 0, "")
+        + " during "
+        + pd.Series(batch["event_type"].to_numpy(object))
+    )
+    return pd.DataFrame({"event_id": eid, "text": line})

@@ -1038,3 +1038,53 @@ def test_ngram_decontaminate_counts_shingle_overlap(ray_session):
         .to_dict()
     )
     assert out2 == out
+
+
+def test_pii_scrubber_counts_and_redacts(ray_session):
+    """Multiple PII spans per doc are each counted and redacted; the
+    email -> phone -> ip chain leaves non-PII text intact."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import PIIScrubber
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail a.b@host.com and c_d@ex7.org now",
+                "call 555-123-4567 or 555-000-9999 from 192.168.1.254",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = (
+        rd.from_pandas(df)
+        .map_batches(PIIScrubber, batch_format="pandas", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_emails.tolist() == [2, 0, 0]
+    assert out.n_phones.tolist() == [0, 2, 0]
+    assert out.n_ips.tolist() == [0, 1, 0]
+    assert out.clean[0] == "mail [EMAIL] and [EMAIL] now"
+    assert out.clean[1] == "call [PHONE] or [PHONE] from [IP]"
+    assert out.clean[2] == "nothing sensitive here"
+
+
+def test_event_log_lines_field_presence():
+    """Value-defined line fields appear exactly per the presence rules."""
+    from graphsetintersection_ray.stages.text import event_log_lines
+
+    batch = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [3, 4, 5, 6],
+            "event_type": ["view", "click", "view", "error"],
+        }
+    )
+    out = event_log_lines(batch)
+    # uid=3 -> no email; eid=0 even -> phone; (3+0)%5=3 -> ip
+    assert out.text[0] == "user 3 call 555-103-0000 from 10.3.0.3 during view"
+    # uid=4 -> email; eid=1 odd -> no phone; (4+1)%5=0 -> no ip
+    assert out.text[1] == "user 4 <u4@ex4.com> during click"
