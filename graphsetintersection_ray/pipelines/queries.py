@@ -1277,6 +1277,18 @@ def q_curation_filter(sf_dir: str):
     )
 
 
+def q_bloom_dedup(sf_dir: str):
+    """(doc_id, maybe_seen): Bloom-filter incremental dedup — for every
+    "new" doc (odd doc_id), whether its normalized content is possibly
+    in the value-defined seen corpus (even doc_id). No false negatives
+    by construction; FP rate measured by the semantic oracle. The
+    filter is fixed-size regardless of corpus size (bounded-memory
+    membership for 100 TB ingestion)."""
+    from graphsetintersection_ray.stages.dedup import bloom_membership
+
+    return bloom_membership(_docs(sf_dir), seen_mod=2)
+
+
 def q_pii_scrub(sf_dir: str):
     """(event_id, n_emails, n_phones, n_ips, clean): PII detection and
     redaction over value-defined per-event raw-log lines (contact
@@ -1478,6 +1490,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "ngram_decontaminate": q_ngram_decontaminate,
     "ngram_counts": q_ngram_counts,
+    "bloom_dedup": q_bloom_dedup,
     "pii_scrub": q_pii_scrub,
     "repetition_ratio": q_repetition_ratio,
     "curation_filter": q_curation_filter,

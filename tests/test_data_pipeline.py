@@ -1088,3 +1088,38 @@ def test_event_log_lines_field_presence():
     assert out.text[0] == "user 3 call 555-103-0000 from 10.3.0.3 during view"
     # uid=4 -> email; eid=1 odd -> no phone; (4+1)%5=0 -> no ip
     assert out.text[1] == "user 4 <u4@ex4.com> during click"
+
+
+def test_bloom_membership_no_false_negatives(ray_session):
+    """Planted cross-parity duplicates are always flagged (the Bloom
+    no-false-negative guarantee), unique docs stay clean at default
+    sizing, and a deliberately tiny filter still never misses."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.dedup import bloom_membership
+
+    n = 400
+    texts = [f"unique document number {i} body text" for i in range(n)]
+    # plant duplicates: odd docs 1..39 copy the preceding even doc
+    for i in range(1, 40, 2):
+        texts[i] = texts[i - 1]
+    df = pd.DataFrame({"doc_id": np.arange(n), "text": texts})
+    docs = rd.from_pandas(df).repartition(4)
+    out = (
+        bloom_membership(docs, seen_mod=2)
+        .to_pandas()
+        .set_index("doc_id")["maybe_seen"]
+    )
+    assert set(out.index) == set(range(1, n, 2))
+    planted = list(range(1, 40, 2))
+    assert (out.loc[planted] == 1).all()
+    # default sizing: no false positives on this tiny corpus
+    fresh = [i for i in range(1, n, 2) if i not in planted]
+    assert (out.loc[fresh] == 0).all()
+    # tiny filter (high FP pressure) must STILL have zero false negatives
+    out2 = (
+        bloom_membership(docs, seen_mod=2, m_bits=256, k=2)
+        .to_pandas()
+        .set_index("doc_id")["maybe_seen"]
+    )
+    assert (out2.loc[planted] == 1).all()

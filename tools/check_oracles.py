@@ -858,6 +858,43 @@ def _check_closeness(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_bloom_dedup(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """bloom_dedup: (a) covers exactly the odd-doc_id docs; (b) ZERO
+    false negatives — every new doc whose normalized content appears in
+    the seen corpus (exact ground truth recomputed here) has
+    maybe_seen=1, the Bloom guarantee; (c) the false-positive rate
+    among truly-new docs is below the design bound for the default
+    (m, k) at this corpus size."""
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    norm = (
+        docs["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    )
+    seen = set(norm[(docs.doc_id % 2) == 0])
+    new_mask = (docs.doc_id % 2) == 1
+    truth = pd.DataFrame(
+        {
+            "doc_id": docs.doc_id[new_mask].to_numpy(),
+            "truly_seen": norm[new_mask].isin(seen).to_numpy(),
+        }
+    )
+    m = truth.merge(rdf, on="doc_id", how="outer", indicator=True)
+    rows_ok = bool((m["_merge"] == "both").all())
+    fn = int((m["truly_seen"] & (m["maybe_seen"] == 0)).sum())
+    truly_new = m[~m["truly_seen"].astype(bool)]
+    fp_rate = (
+        float((truly_new["maybe_seen"] == 1).mean()) if len(truly_new) else 0.0
+    )
+    return {
+        "check": "bloom_no_false_negatives_and_fp_bound",
+        "rows_cover_new_docs": rows_ok,
+        "false_negatives": fn,
+        "fp_rate": round(fp_rate, 6),
+        "pass": rows_ok and fn == 0 and fp_rate <= 0.01,
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
     "media_decode": _check_media_decode,
@@ -876,6 +913,7 @@ SEMANTIC_CHECKS = {
     "simhash_pairs": _check_simhash_pairs,
     "knn_lsh": _check_knn_lsh,
     "knn_ivf": _check_knn_ivf,
+    "bloom_dedup": _check_bloom_dedup,
 }
 
 
