@@ -1197,6 +1197,19 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev)
 
 
+def q_funnel_counts(sf_dir: str):
+    """(stage, step, n_users): view -> click -> purchase funnel reach —
+    users completing each prefix as an ordered subsequence of their
+    (ts, event_id)-ordered stream, greedy-earliest matching."""
+    from graphsetintersection_ray.stages.streaming import funnel_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return funnel_counts(ev)
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic 1-in-16 systematic sample of documents (sampling
     operator with an exact oracle — seeded random sampling is covered by
@@ -1483,6 +1496,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
+    "funnel_counts": q_funnel_counts,
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
     "token_quantiles": q_token_quantiles,
@@ -2087,6 +2101,27 @@ SELECT user_id,
                      OR ts - pts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
             AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id""",
+    # greedy-earliest subsequence matching on per-user (ts, event_id)
+    # ranks; stage k's match is the earliest step-k event after stage
+    # k-1's match.
+    "funnel_counts": """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+s1 AS (SELECT user_id, min(rn) AS r FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(rn) AS r FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND rn > s1.r GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(rn) AS r FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND rn > s2.r GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS step, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+)""",
     "sample_docs": (
         "SELECT doc_id, text FROM documents WHERE doc_id % 16 = 0"
     ),

@@ -400,3 +400,75 @@ def hopping_window_agg(events: rd.Dataset) -> rd.Dataset:
         merge,
         16,
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(
+    events: rd.Dataset,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """(stage, step, n_users): classic funnel analysis — how many users
+    completed the first ``stage`` steps of ``steps`` as an ordered
+    subsequence of their (ts, event_id)-ordered event stream (each step
+    matched greedily at its earliest occurrence after the previous
+    step's match; greedy-earliest is optimal for subsequence reach).
+
+    Scale shape: users are hash-bucketed so each user's history is
+    co-located, one vectorized pass per bucket computes per-bucket
+    reach counts with len(steps) ``np.minimum.at`` sweeps (no per-user
+    Python loop), and the final reduce sums a stage-count table bounded
+    by len(steps) x num_buckets rows."""
+    from graphsetintersection_ray.stages.shuffle import bucket_groups, sum_by
+
+    out_schema = pa.schema(
+        [
+            pa.field("stage", pa.int64()),
+            pa.field("step", pa.string()),
+            pa.field("n_users", pa.int64()),
+        ]
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        order = np.lexsort(
+            (
+                b["event_id"].to_numpy(),
+                b["ts"].to_numpy(),
+                b["user_id"].to_numpy(),
+            )
+        )
+        user = b["user_id"].to_numpy()[order]
+        etype = b["event_type"].to_numpy(object)[order]
+        uids, uidx = np.unique(user, return_inverse=True)
+        nu = len(uids)
+        pos = np.arange(len(user), dtype=np.int64)
+        inf = np.int64(len(user) + 1)
+        cur = np.full(nu, -1, np.int64)  # last matched position per user
+        stage_counts = np.zeros(len(steps), np.int64)
+        for si, step in enumerate(steps):
+            mask = (etype == step) & (pos > cur[uidx])
+            nxt = np.full(nu, inf, np.int64)
+            if mask.any():
+                np.minimum.at(nxt, uidx[mask], pos[mask])
+            cur = nxt  # dropped-out users hold inf -> never match again
+            stage_counts[si] = int((nxt < inf).sum())
+        return pa.table(
+            {
+                "stage": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+                "step": pa.array(list(steps), pa.string()),
+                "n_users": pa.array(stage_counts),
+            }
+        )
+
+    bucketed = events.map_batches(
+        lambda b: b.assign(__bucket=(b["user_id"].to_numpy() % num_buckets)),
+        batch_format="pandas",
+    )
+    partials = bucket_groups(bucketed, per_bucket, num_buckets)
+    return sum_by(
+        partials, ["stage", "step"], "n_users", num_buckets=1
+    )

@@ -1123,3 +1123,48 @@ def test_bloom_membership_no_false_negatives(ray_session):
         .set_index("doc_id")["maybe_seen"]
     )
     assert (out2.loc[planted] == 1).all()
+
+
+def test_funnel_counts_greedy_subsequence(ray_session):
+    """Reach counts follow greedy-earliest subsequence matching: order
+    matters (purchase before click doesn't count), and a user is counted
+    at every stage they reach."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import funnel_counts
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+
+    def ev(uid, t, typ):
+        rows.append(
+            {
+                "event_id": len(rows),
+                "ts": base + pd.Timedelta(minutes=t),
+                "user_id": uid,
+                "event_type": typ,
+            }
+        )
+
+    # u0: full funnel in order
+    ev(0, 0, "view"); ev(0, 5, "click"); ev(0, 9, "purchase")
+    # u1: purchase BEFORE click -> reaches stage 2 only
+    ev(1, 0, "view"); ev(1, 2, "purchase"); ev(1, 4, "click")
+    # u2: view only
+    ev(2, 1, "view")
+    # u3: click/purchase but never a view -> reaches nothing
+    ev(3, 0, "click"); ev(3, 1, "purchase")
+    # u4: full funnel with noise interleaved
+    ev(4, 0, "signup"); ev(4, 1, "view"); ev(4, 2, "error")
+    ev(4, 3, "click"); ev(4, 4, "purchase")
+    df = pd.DataFrame(rows)
+    out = (
+        funnel_counts(rd.from_pandas(df).repartition(3), num_buckets=4)
+        .to_pandas()
+        .set_index("stage")
+    )
+    assert out.loc[1, "n_users"] == 4  # u0 u1 u2 u4
+    assert out.loc[2, "n_users"] == 3  # u0 u1 u4
+    assert out.loc[3, "n_users"] == 2  # u0 u4
+    assert out.loc[1, "step"] == "view"
+    assert out.loc[3, "step"] == "purchase"
