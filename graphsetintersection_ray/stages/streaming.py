@@ -472,3 +472,56 @@ def funnel_counts(
     return sum_by(
         partials, ["stage", "step"], "n_users", num_buckets=1
     )
+
+
+def approx_distinct_users(
+    events: rd.Dataset, m: int = 16384, seed: int = 7
+) -> rd.Dataset:
+    """(event_type, n_approx): HyperLogLog approximate distinct user
+    count per event type — the bounded-memory distinct-count primitive
+    (standard error ~1.04/sqrt(m) ≈ 0.8% at the default m; measured
+    against the exact count in the semantic oracle). Deterministic:
+    fixed splitmix64 hash, so estimates are replayable.
+
+    Scale shape: one map pass emits per-block per-type register rows
+    (m bytes each — the per-block state is FIXED SIZE regardless of
+    rows); the driver max-combines types × #blocks rows. At 100 TB the
+    same shape holds: the combine input is bounded by block count, not
+    user count."""
+    from graphsetintersection_ray.functions.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        uid = b["user_id"].to_numpy(np.int64)
+        et = b["event_type"].to_numpy(object)
+        bucket, rank = hll_registers(uid, m, seed)
+        types, tidx = np.unique(et, return_inverse=True)
+        regs = np.zeros((len(types), m), np.uint8)
+        np.maximum.at(regs, (tidx, bucket), rank)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array(
+                    [r.tobytes() for r in regs], pa.binary()
+                ),
+            }
+        )
+
+    parts = events.map_batches(partial, batch_format="pandas").to_pandas()
+    out_types, out_est = [], []
+    for t, g in parts.groupby("event_type", sort=True):
+        agg = np.zeros(m, np.uint8)
+        for raw in g["regs"]:
+            np.maximum(agg, np.frombuffer(raw, np.uint8), out=agg)
+        out_types.append(t)
+        out_est.append(int(round(hll_estimate(agg)[0])))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out_types, pa.string()),
+                "n_approx": pa.array(out_est, pa.int64()),
+            }
+        )
+    )

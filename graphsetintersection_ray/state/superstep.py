@@ -344,50 +344,25 @@ class PartitionWorker:
         )
 
     # -- HyperBall (approximate neighborhood function) ------------------------
-
-    @staticmethod
-    def _hll_rank(w: np.ndarray, width: int) -> np.ndarray:
-        """Position of the highest set bit from the top of a ``width``-bit
-        value, i.e. leading zeros + 1 (HLL rank); w == 0 → width + 1."""
-        bl = np.zeros(len(w), np.int64)
-        v = w.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            m = (v >> np.uint64(s)) > 0
-            bl[m] += s
-            v[m] >>= np.uint64(s)
-        bl[w > 0] += 1  # bit_length
-        return (width - bl + 1).astype(np.uint8)
+    # HLL primitives shared with the approx-distinct operator live in
+    # functions/hll.py.
 
     def hb_init(self, m: int, seed: int) -> None:
         """Per-vertex HyperLogLog registers seeded with {v} itself
         (radius-0 ball). Deterministic splitmix64 vertex hash."""
+        from graphsetintersection_ray.functions.hll import hll_registers
+
         self.hb_m = m
-        b = int(np.log2(m))
-        x = (self.u.astype(np.uint64) + np.uint64(seed)) * np.uint64(
-            0x9E3779B97F4A7C15
-        )
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-        bucket = (x & np.uint64(m - 1)).astype(np.int64)
-        rest = x >> np.uint64(b)
-        rank = self._hll_rank(rest, 64 - b)
+        bucket, rank = hll_registers(self.u, m, seed)
         self.hb = np.zeros((len(self.u), m), np.uint8)
         self.hb[np.arange(len(self.u)), bucket] = rank
 
     def _hb_estimates(self) -> np.ndarray:
-        m = float(self.hb_m)
+        from graphsetintersection_ray.functions.hll import hll_estimate
+
         if len(self.u) == 0:
             return np.empty(0, np.float64)
-        z = np.exp2(-self.hb.astype(np.float64)).sum(axis=1)
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-        est = alpha * m * m / z
-        zeros = (self.hb == 0).sum(axis=1).astype(np.float64)
-        small = (est <= 2.5 * m) & (zeros > 0)
-        est[small] = m * np.log(m / zeros[small])
-        return est
+        return hll_estimate(self.hb)
 
     def hb_messages(self) -> list[pa.Table]:
         """Per destination partition: register rows max-merged by dst.

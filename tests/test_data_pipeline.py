@@ -1168,3 +1168,47 @@ def test_funnel_counts_greedy_subsequence(ray_session):
     assert out.loc[3, "n_users"] == 2  # u0 u4
     assert out.loc[1, "step"] == "view"
     assert out.loc[3, "step"] == "purchase"
+
+
+def test_approx_distinct_accuracy_and_determinism(ray_session):
+    """HLL estimates land within 3% of exact on 20k users, are identical
+    across block layouts (deterministic hash + max-merge), and exact on
+    tiny cardinalities (linear-counting range)."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import approx_distinct_users
+
+    rng = np.random.default_rng(11)
+    n = 60000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20000, size=n),
+            "event_type": np.where(
+                np.arange(n) % 3 == 0, "click", "view"
+            ),
+        }
+    )
+    exact = df.groupby("event_type")["user_id"].nunique()
+    out1 = (
+        approx_distinct_users(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("event_type")["n_approx"]
+    )
+    out2 = (
+        approx_distinct_users(rd.from_pandas(df).repartition(7))
+        .to_pandas()
+        .set_index("event_type")["n_approx"]
+    )
+    assert (out1 == out2).all()  # layout-independent
+    for t in exact.index:
+        assert abs(out1[t] - exact[t]) / exact[t] < 0.03
+    # tiny cardinality -> linear counting is near-exact
+    small = pd.DataFrame(
+        {"user_id": np.arange(10), "event_type": ["x"] * 10}
+    )
+    outs = (
+        approx_distinct_users(rd.from_pandas(small))
+        .to_pandas()
+        .set_index("event_type")["n_approx"]
+    )
+    assert outs["x"] == 10

@@ -895,6 +895,27 @@ def _check_bloom_dedup(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_approx_distinct(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """approx_distinct: every event type present, and each HLL estimate
+    within 5% of the exact distinct user count (m=16384 gives ~0.8%
+    standard error, so 5% is a >6-sigma bound)."""
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    got = rdf.set_index("event_type")["n_approx"]
+    types_ok = set(got.index) == set(exact.index)
+    rel_err = (
+        float((abs(got - exact) / exact).max()) if types_ok else float("inf")
+    )
+    return {
+        "check": "hll_within_5pct_of_exact",
+        "types_match": bool(types_ok),
+        "max_rel_err": round(rel_err, 6),
+        "pass": types_ok and rel_err <= 0.05,
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
     "media_decode": _check_media_decode,
@@ -914,6 +935,7 @@ SEMANTIC_CHECKS = {
     "knn_lsh": _check_knn_lsh,
     "knn_ivf": _check_knn_ivf,
     "bloom_dedup": _check_bloom_dedup,
+    "approx_distinct": _check_approx_distinct,
 }
 
 
