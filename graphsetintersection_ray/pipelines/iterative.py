@@ -356,3 +356,29 @@ def neighborhood_function(
         ),
         stats,
     )
+
+
+def effective_diameter(art: GraphArtifacts, alpha: float = 0.9) -> pa.Table:
+    """(eff_diameter, max_radius): interpolated effective diameter — the
+    radius at which the HyperBall neighborhood function reaches
+    ``alpha`` of its fixpoint value (Palmer/WebGraph definition:
+    linear interpolation between the bracketing radii). max_radius is
+    the fixpoint radius = exact diameter of the largest component
+    (HyperBall growth stops exactly when every ball stops growing).
+    Driver work is O(diameter) on the tiny nf table."""
+    tbl, _ = neighborhood_function(art)
+    nf = tbl["est_reachable"].to_numpy(zero_copy_only=False)
+    target = alpha * nf[-1]
+    t = int(np.searchsorted(nf, target))
+    if t == 0:
+        eff = 0.0
+    else:
+        eff = t - 1 + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+    return pa.table(
+        {
+            "eff_diameter": pa.array(
+                [round(float(eff), 4)], pa.float64()
+            ),
+            "max_radius": pa.array([len(nf) - 1], pa.int64()),
+        }
+    )

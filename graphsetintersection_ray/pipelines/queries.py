@@ -468,6 +468,16 @@ def q_neighborhood_function(sf_dir: str):
     return res
 
 
+def q_effective_diameter(sf_dir: str):
+    """(eff_diameter, max_radius): interpolated 90% effective diameter
+    from the HyperBall neighborhood function; max_radius is the
+    fixpoint radius (= exact diameter of the largest component).
+    Semantic oracle: exact BFS neighborhood function replay, |est −
+    exact effective diameter| ≤ 0.75 and exact max_radius."""
+    art = build_graph(sf_dir)
+    return it.effective_diameter(art)
+
+
 def q_connected_components(sf_dir: str):
     art = build_graph(sf_dir)
     out, _ = it.connected_components(art, resume=False)
@@ -1468,6 +1478,7 @@ QUERIES = {
     "hits": q_hits,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,
+    "effective_diameter": q_effective_diameter,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "label_propagation": q_label_propagation,

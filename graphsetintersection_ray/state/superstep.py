@@ -439,6 +439,13 @@ class SuperstepEngine:
         ckpt_dir: str | None = None,
         graph_fingerprint: str = "",
     ):
+        if not os.path.isdir(csr_path):
+            # a missing CSR dir would otherwise load ZERO vertices and
+            # every algorithm would silently return empty results
+            raise FileNotFoundError(
+                f"superstep engine needs a partitioned CSR dir, got "
+                f"{csr_path!r} (write one with write_partitioned_csr)"
+            )
         self.P = num_partitions
         self.ckpt_dir = ckpt_dir
         self.fingerprint = graph_fingerprint

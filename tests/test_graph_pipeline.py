@@ -1100,3 +1100,40 @@ def test_closeness_superstep_path_equals_broadcast(art, ray_session):
     finally:
         ct.BC_BROADCAST_MAX_EDGES = old
     pd.testing.assert_frame_equal(base, dist, check_dtype=False)
+
+
+def test_effective_diameter_path_graph(ray_session):
+    """Path 0-1-2-3: exact nf = [4, 10, 14, 16]; 90% target 14.4 lands
+    between radii 2 and 3 -> interpolated 2.2. HLL at these tiny
+    cardinalities is linear-counting-near-exact, so the estimate must
+    land within 0.1; the fixpoint radius equals the diameter 3."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines import iterative as it
+    from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+
+    df = pd.DataFrame(
+        [(0, 1), (1, 2), (2, 3)], columns=["src", "dst"]
+    ).astype("int32")
+    sym = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    )[["src", "dst"]]
+    import tempfile
+
+    from graphsetintersection_ray.stages.graph_build import (
+        write_partitioned_csr,
+    )
+
+    csr_path = tempfile.mkdtemp(prefix="teff_csr_") + "/csr"
+    write_partitioned_csr(rd.from_pandas(sym), csr_path, num_partitions=2)
+    art = GraphArtifacts(
+        transcripts=None, edges_str=None, vertices=None,
+        edges=rd.from_pandas(df), sym=rd.from_pandas(sym),
+        degrees=None, oriented=None, csr_path=csr_path,
+        n_vertices=4, n_edges=3, num_partitions=2,
+        csr_partitions=2, fingerprint="teff",
+    )
+    out = it.effective_diameter(art).to_pandas()
+    assert int(out.max_radius[0]) == 3
+    assert abs(float(out.eff_diameter[0]) - 2.2) < 0.1

@@ -895,6 +895,48 @@ def _check_bloom_dedup(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_effective_diameter(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """effective_diameter: recompute the EXACT neighborhood function by
+    boolean matrix powers, derive the exact interpolated 90% effective
+    diameter the same way, and require max_radius to equal the exact
+    diameter and the estimate to land within 0.75 radii (the HLL-noise
+    budget on the interpolation; m=256 per-sketch sigma ~6.5%)."""
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    n = int(max(edf.src.max(), edf.dst.max())) + 1
+    cur = np.eye(n, dtype=bool)
+    cur[edf.src, edf.dst] = True
+    cur[edf.dst, edf.src] = True
+    adj_f = cur.astype(np.float32)
+    exact = [float(n)]
+    prev = np.eye(n, dtype=bool)
+    while (cur != prev).any():
+        exact.append(float(cur.sum()))
+        prev = cur
+        cur = cur | ((cur.astype(np.float32) @ adj_f) > 0)
+    nf = np.asarray(exact)
+    target = 0.9 * nf[-1]
+    t = int(np.searchsorted(nf, target))
+    eff_exact = (
+        0.0 if t == 0 else t - 1 + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+    )
+    got_eff = float(rdf["eff_diameter"].iloc[0])
+    got_rad = int(rdf["max_radius"].iloc[0])
+    radius_ok = bool(got_rad == len(nf) - 1)
+    err = float(abs(got_eff - eff_exact))
+    return {
+        "check": "exact_bfs_effective_diameter",
+        "exact_eff_diameter": round(float(eff_exact), 4),
+        "est_eff_diameter": got_eff,
+        "abs_err": round(err, 4),
+        "max_radius_exact": radius_ok,
+        "pass": bool(radius_ok and err <= 0.75),
+    }
+
+
 def _check_approx_distinct(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """approx_distinct: every event type present, and each HLL estimate
     within 5% of the exact distinct user count (m=16384 gives ~0.8%
@@ -936,6 +978,7 @@ SEMANTIC_CHECKS = {
     "knn_ivf": _check_knn_ivf,
     "bloom_dedup": _check_bloom_dedup,
     "approx_distinct": _check_approx_distinct,
+    "effective_diameter": _check_effective_diameter,
 }
 
 
