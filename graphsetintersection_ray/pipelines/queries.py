@@ -1220,6 +1220,31 @@ def q_funnel_counts(sf_dir: str):
     return funnel_counts(ev)
 
 
+def q_conversion_time(sf_dir: str):
+    """(user_id, conv_us): microseconds from each user's earliest view
+    to the earliest purchase strictly after it ((ts, event_id) order);
+    non-converting users absent."""
+    from graphsetintersection_ray.stages.streaming import conversion_time
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return conversion_time(ev)
+
+
+def q_source_quality(sf_dir: str):
+    """(source, n_docs, mean_quality): per-source doc counts and mean
+    quality (domain-level curation signal). Quality summed as integer
+    micro-units — bit-exact, reduction-order-free."""
+    from graphsetintersection_ray.stages.text import source_quality
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return source_quality(docs)
+
+
 def q_approx_distinct(sf_dir: str):
     """(event_type, n_approx): HyperLogLog approximate distinct users
     per event type (m=16384, ~0.8% standard error); semantic oracle
@@ -1522,6 +1547,8 @@ QUERIES = {
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
     "funnel_counts": q_funnel_counts,
+    "conversion_time": q_conversion_time,
+    "source_quality": q_source_quality,
     "approx_distinct": q_approx_distinct,
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
@@ -2148,6 +2175,42 @@ SELECT * FROM (
   UNION ALL SELECT 2, 'click', count(*) FROM s2
   UNION ALL SELECT 3, 'purchase', count(*) FROM s3
 )""",
+    # earliest view per user (ties by event_id), then earliest purchase
+    # strictly after it in the (ts, event_id) total order
+    "conversion_time": """
+WITH v AS (
+  SELECT user_id, min(ts) AS vts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+ve AS (
+  SELECT e.user_id, v.vts, min(e.event_id) AS vid
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts = v.vts
+  WHERE e.event_type = 'view' GROUP BY e.user_id, v.vts
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pts
+  FROM events e JOIN ve ON ve.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND (e.ts, e.event_id) > (ve.vts, ve.vid)
+  GROUP BY e.user_id
+)
+SELECT p.user_id, epoch_us(p.pts) - epoch_us(ve.vts) AS conv_us
+FROM p JOIN ve ON ve.user_id = p.user_id""",
+    "source_quality": """
+WITH q AS (
+  SELECT source,
+    CAST(round(round(
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1)
+        * least(CAST(1.0 AS DOUBLE),
+                len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) / 100.0),
+      6) * 1000000, 0) AS BIGINT) AS qi
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(CAST(sum(qi) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS mean_quality
+FROM q GROUP BY source""",
     "sample_docs": (
         "SELECT doc_id, text FROM documents WHERE doc_id % 16 = 0"
     ),

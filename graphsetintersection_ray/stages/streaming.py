@@ -525,3 +525,61 @@ def approx_distinct_users(
             }
         )
     )
+
+
+def conversion_time(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """(user_id, conv_us): time from each user's EARLIEST view to the
+    earliest purchase strictly after it (the funnel's stage-2 latency),
+    in microseconds; non-converting users are absent. Ordering is the
+    (ts, event_id) total order, so the result is deterministic under
+    timestamp ties.
+
+    Scale shape: same as funnel_counts — user-bucketed histories, one
+    vectorized pass per bucket (two np.minimum.at sweeps), map-only
+    after the one bucketing shuffle."""
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+    out_schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("conv_us", pa.int64())]
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        order = np.lexsort(
+            (
+                b["event_id"].to_numpy(),
+                b["ts"].to_numpy(),
+                b["user_id"].to_numpy(),
+            )
+        )
+        user = b["user_id"].to_numpy()[order]
+        etype = b["event_type"].to_numpy(object)[order]
+        ts = (
+            b["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
+        )
+        uids, uidx = np.unique(user, return_inverse=True)
+        nu = len(uids)
+        pos = np.arange(len(user), dtype=np.int64)
+        inf = np.int64(len(user) + 1)
+        vpos = np.full(nu, inf, np.int64)
+        vmask = etype == "view"
+        if vmask.any():
+            np.minimum.at(vpos, uidx[vmask], pos[vmask])
+        ppos = np.full(nu, inf, np.int64)
+        pmask = (etype == "purchase") & (vpos[uidx] < pos)
+        if pmask.any():
+            np.minimum.at(ppos, uidx[pmask], pos[pmask])
+        conv = (ppos < inf) & (vpos < inf)
+        return pa.table(
+            {
+                "user_id": pa.array(uids[conv], pa.int64()),
+                "conv_us": pa.array(ts[ppos[conv]] - ts[vpos[conv]]),
+            }
+        )
+
+    bucketed = events.map_batches(
+        lambda b: b.assign(__bucket=(b["user_id"].to_numpy() % num_buckets)),
+        batch_format="pandas",
+    )
+    return bucket_groups(bucketed, per_bucket, num_buckets)

@@ -672,3 +672,73 @@ def event_log_lines(batch: pd.DataFrame) -> pd.DataFrame:
         + pd.Series(batch["event_type"].to_numpy(object))
     )
     return pd.DataFrame({"event_id": eid, "text": line})
+
+
+def source_quality(docs, num_buckets: int = 16):
+    """(source, n_docs, mean_quality): per-source document counts and
+    mean quality — the domain-level curation signal (filter or reweight
+    whole sources by their aggregate quality, RefinedWeb-style).
+
+    Exactness: per-doc quality is already rounded to 6 decimals, so it
+    is summed as INTEGER micro-units — the aggregate is bit-exact and
+    reduction-order-free (no float summation-order drift vs the SQL
+    oracle). Scale shape: one map pass emits (source, n, q_int)
+    partials pre-aggregated per block (bounded by sources × blocks, not
+    docs); ONE bounded bucket shuffle keyed on source reduces both sums
+    together — no driver join, no lineage re-execution."""
+    from graphsetintersection_ray.stages.shuffle import _add_bucket, bucket_groups
+
+    scorer = TextQualityScorer()
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        q = scorer(batch).to_pandas()
+        qi = np.rint(q["quality"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        g = (
+            pd.DataFrame({"source": batch["source"].to_numpy(object), "qi": qi})
+            .groupby("source", sort=False)
+            .agg(n=("qi", "size"), q_int=("qi", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].to_numpy(object), pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "q_int": pa.array(g["q_int"].to_numpy(np.int64)),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("mean_quality", pa.float64()),
+        ]
+    )
+
+    def reduce_group(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        agg = (
+            g.groupby("source", sort=True)
+            .agg(n=("n", "sum"), q_int=("q_int", "sum"))
+            .reset_index()
+        )
+        mean_q = round_half_away(
+            agg["q_int"].to_numpy(np.float64)
+            / (1e6 * agg["n"].to_numpy(np.float64)),
+            6,
+        )
+        return pa.table(
+            {
+                "source": pa.array(agg["source"].to_numpy(object), pa.string()),
+                "n_docs": pa.array(agg["n"].to_numpy(np.int64)),
+                "mean_quality": pa.array(mean_q, pa.float64()),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    bucketed = partials.map_batches(
+        lambda b: _add_bucket(b, ["source"], num_buckets),
+        batch_format="pandas",
+    )
+    return bucket_groups(bucketed, reduce_group, num_buckets)

@@ -1212,3 +1212,73 @@ def test_approx_distinct_accuracy_and_determinism(ray_session):
         .set_index("event_type")["n_approx"]
     )
     assert outs["x"] == 10
+
+
+def test_conversion_time_strictly_after_view(ray_session):
+    """conv time = earliest view -> earliest purchase AFTER it; a
+    purchase before the first view is ignored; users without both are
+    absent."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import conversion_time
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+
+    def ev(uid, t, typ):
+        rows.append(
+            {
+                "event_id": len(rows),
+                "ts": base + pd.Timedelta(minutes=t),
+                "user_id": uid,
+                "event_type": typ,
+            }
+        )
+
+    ev(0, 0, "view"); ev(0, 7, "purchase"); ev(0, 9, "purchase")
+    ev(1, 3, "purchase"); ev(1, 5, "view"); ev(1, 11, "purchase")
+    ev(2, 0, "view")             # never converts
+    ev(3, 0, "purchase")         # no view
+    df = pd.DataFrame(rows)
+    out = (
+        conversion_time(rd.from_pandas(df).repartition(3), num_buckets=4)
+        .to_pandas()
+        .set_index("user_id")["conv_us"]
+    )
+    assert set(out.index) == {0, 1}
+    assert out[0] == 7 * 60 * 1_000_000
+    assert out[1] == 6 * 60 * 1_000_000
+
+
+def test_source_quality_integer_exact(ray_session):
+    """Per-source mean quality equals the integer-micro-unit average of
+    per-doc qualities, independent of block layout."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import (
+        TextQualityScorer,
+        source_quality,
+    )
+
+    texts = [
+        "the and of is " + " ".join(["word"] * (5 + 7 * i)) for i in range(40)
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40),
+            "text": texts,
+            "source": ["s%d" % (i % 3) for i in range(40)],
+        }
+    )
+    out = (
+        source_quality(rd.from_pandas(df).repartition(5), num_buckets=2)
+        .to_pandas()
+        .set_index("source")
+    )
+    q = TextQualityScorer()(df).to_pandas()
+    qi = np.rint(q["quality"].to_numpy() * 1e6).astype(np.int64)
+    for s in ("s0", "s1", "s2"):
+        mask = (df["source"] == s).to_numpy()
+        assert out.loc[s, "n_docs"] == mask.sum()
+        expect = round(qi[mask].sum() / (1e6 * mask.sum()), 6)
+        assert out.loc[s, "mean_quality"] == expect
