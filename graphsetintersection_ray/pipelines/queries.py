@@ -1245,6 +1245,17 @@ def q_source_quality(sf_dir: str):
     return source_quality(docs)
 
 
+def q_oov_rate(sf_dir: str):
+    """(doc_id, n_tokens, n_oov, oov_rate): out-of-vocab rate vs the
+    corpus top-20 token vocabulary (count DESC, token ASC ties) — the
+    tokenizer-coverage curation signal. vocab_k=20 because the
+    synthetic corpus has ~31 distinct tokens (production default is
+    65536); zero-token docs are absent."""
+    from graphsetintersection_ray.stages.text import oov_rate
+
+    return oov_rate(_docs(sf_dir), vocab_k=20)
+
+
 def q_approx_distinct(sf_dir: str):
     """(event_type, n_approx): HyperLogLog approximate distinct users
     per event type (m=16384, ~0.8% standard error); semantic oracle
@@ -1549,6 +1560,7 @@ QUERIES = {
     "funnel_counts": q_funnel_counts,
     "conversion_time": q_conversion_time,
     "source_quality": q_source_quality,
+    "oov_rate": q_oov_rate,
     "approx_distinct": q_approx_distinct,
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
@@ -2211,6 +2223,23 @@ SELECT source, count(*) AS n_docs,
        round(CAST(sum(qi) AS DOUBLE) / (1000000.0 * count(*)), 6)
          AS mean_quality
 FROM q GROUP BY source""",
+    "oov_rate": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+vc AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+vocab AS (SELECT t FROM vc ORDER BY n DESC, t LIMIT 20),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+           AS n_oov
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+       round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+FROM per""",
     "sample_docs": (
         "SELECT doc_id, text FROM documents WHERE doc_id % 16 = 0"
     ),

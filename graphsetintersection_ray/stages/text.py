@@ -742,3 +742,96 @@ def source_quality(docs, num_buckets: int = 16):
         batch_format="pandas",
     )
     return bucket_groups(bucketed, reduce_group, num_buckets)
+
+
+def oov_rate(docs, vocab_k: int = 65536, num_buckets: int = 64):
+    """(doc_id, n_tokens, n_oov, oov_rate): per-document out-of-vocab
+    rate against the corpus's own top-``vocab_k`` token vocabulary
+    (count DESC, token ASC ties) — the tokenizer-coverage signal of a
+    training-data pipeline (docs full of rare junk tokens score high).
+    Docs with zero tokens are absent (no coverage evidence).
+
+    Scale shape: the vocab is built like ``ngram_counts`` — per-batch
+    local counts, one pre-aggregated count shuffle keyed on token
+    (cardinality = vocab size, not corpus rows), exact top-k via
+    per-block partial top-ks — then broadcast once via ``ray.put``
+    (vocab_k strings, fixed size); the per-doc pass is map-only."""
+    import ray
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    def local_counts(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        flat = [t for ts in toks for t in ts]
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pa.table(
+            {
+                "t": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    summed = sum_by(
+        docs.map_batches(local_counts, batch_format="pandas"),
+        ["t"],
+        "n",
+        num_buckets=num_buckets,
+    )
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "t"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(vocab_k), preserve_index=False)
+
+    vocab = (
+        summed.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["n", "t"], ascending=[False, True])
+        .head(vocab_k)["t"]
+        .to_numpy(object)
+    )
+    vocab_ref = ray.put(set(vocab.tolist()))
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("n_oov", pa.int64()),
+            pa.field("oov_rate", pa.float64()),
+        ]
+    )
+
+    def per_doc(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return out_schema.empty_table()
+        import itertools
+
+        voc = ray.get(vocab_ref)
+        flat = np.fromiter(
+            itertools.chain.from_iterable(toks[keep]),
+            dtype=object,
+            count=int(lens[keep].sum()),
+        )
+        oov_flags = ~pd.Series(flat).isin(voc).to_numpy()
+        doc_of = np.repeat(
+            batch["doc_id"].to_numpy(np.int64)[keep], lens[keep]
+        )
+        g = pd.DataFrame({"doc_id": doc_of, "o": oov_flags.astype(np.int64)})
+        agg = g.groupby("doc_id", sort=False)["o"].agg(["size", "sum"])
+        n_tok = agg["size"].to_numpy(np.int64)
+        n_oov = agg["sum"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "n_oov": pa.array(n_oov),
+                "oov_rate": pa.array(
+                    round_half_away(n_oov / n_tok, 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(per_doc, batch_format="pandas")

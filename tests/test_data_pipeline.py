@@ -1282,3 +1282,31 @@ def test_source_quality_integer_exact(ray_session):
         assert out.loc[s, "n_docs"] == mask.sum()
         expect = round(qi[mask].sum() / (1e6 * mask.sum()), 6)
         assert out.loc[s, "mean_quality"] == expect
+
+
+def test_oov_rate_against_direct_computation(ray_session):
+    """OOV rate vs the corpus top-k vocab matches a direct pandas
+    replay; vocab ties break (count DESC, token ASC); zero-token docs
+    are absent."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import oov_rate
+
+    texts = [
+        "aa aa aa bb bb cc",   # aa:3 bb:2 cc:1
+        "bb cc dd",            # dd:1
+        "aa dd dd",            # dd:2 more
+        "!!!",                 # zero tokens -> absent
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4), "text": texts})
+    # counts: aa=4 bb=3 dd=3 cc=2 -> vocab_k=2 keeps {aa, bb}
+    out = (
+        oov_rate(rd.from_pandas(df).repartition(2), vocab_k=2, num_buckets=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert set(out.index) == {0, 1, 2}
+    assert out.loc[0, "n_oov"] == 1          # cc
+    assert out.loc[1, "n_oov"] == 2          # cc dd
+    assert out.loc[2, "n_oov"] == 2          # dd dd
+    assert out.loc[2, "oov_rate"] == round(2 / 3, 6)
