@@ -1245,6 +1245,18 @@ def q_source_quality(sf_dir: str):
     return source_quality(docs)
 
 
+def q_corpus_report(sf_dir: str):
+    """(n_docs, total_tokens, mean_quality): the composed end-to-end
+    curation pipeline — CurationFilter gates, then exact dedup among
+    survivors (min doc_id per fingerprint), then benchmark
+    decontamination (doc_id % 97 blocklist over the full corpus) —
+    reported as one corpus-level row. Quality aggregated as integer
+    micro-units (bit-exact)."""
+    from graphsetintersection_ray.stages.text import corpus_report
+
+    return corpus_report(_docs(sf_dir), benchmark_mod=97)
+
+
 def q_oov_rate(sf_dir: str):
     """(doc_id, n_tokens, n_oov, oov_rate): out-of-vocab rate vs the
     corpus top-20 token vocabulary (count DESC, token ASC ties) — the
@@ -1561,6 +1573,7 @@ QUERIES = {
     "conversion_time": q_conversion_time,
     "source_quality": q_source_quality,
     "oov_rate": q_oov_rate,
+    "corpus_report": q_corpus_report,
     "approx_distinct": q_approx_distinct,
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
@@ -2435,6 +2448,75 @@ JOIN q ON q.doc_id = d.doc_id
 LEFT JOIN rep r ON r.doc_id = d.doc_id
 WHERE l.lang_pred = 'en' AND q.quality >= 0.3
   AND coalesce(r.rep_ratio, 0.0) <= 0.05""",
+    # curate -> dedup-among-survivors -> decontaminate -> aggregate;
+    # the filter order is the pipeline contract (see
+    # stages/text.py::corpus_report)
+    "corpus_report": "WITH "
+    + _LANG_SCORES_SQL
+    + """,
+lang AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      WHEN s_fr > 0 THEN 'fr'
+      ELSE 'und'
+    END AS lang_pred
+  FROM sc
+),
+q AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n_tokens,
+    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1)
+          * least(CAST(1.0 AS DOUBLE),
+                  len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) / 100.0),
+          6) AS quality
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+),
+rep AS (
+  SELECT doc_id,
+         round(1 - CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 6)
+           AS rep_ratio
+  FROM bg GROUP BY doc_id
+),
+fps AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (
+  SELECT d.doc_id, f.fp, q.n_tokens,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS qi
+  FROM documents d
+  JOIN lang l ON l.doc_id = d.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN fps f ON f.doc_id = d.doc_id
+  LEFT JOIN rep r ON r.doc_id = d.doc_id
+  WHERE l.lang_pred = 'en' AND q.quality >= 0.3
+    AND coalesce(r.rep_ratio, 0.0) <= 0.05
+),
+canon AS (SELECT fp, min(doc_id) AS doc_id FROM keep GROUP BY fp),
+bl AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+surv AS (
+  SELECT k.n_tokens, k.qi
+  FROM keep k JOIN canon c ON c.doc_id = k.doc_id AND c.fp = k.fp
+  WHERE k.fp NOT IN (SELECT fp FROM bl)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+       round(CAST(coalesce(sum(qi), 0) AS DOUBLE)
+             / (1000000.0 * greatest(count(*), 1)), 6) AS mean_quality
+FROM surv""",
     "asof_join": """
 WITH l AS (
   SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'

@@ -835,3 +835,135 @@ def oov_rate(docs, vocab_k: int = 65536, num_buckets: int = 64):
         )
 
     return docs.map_batches(per_doc, batch_format="pandas")
+
+
+def corpus_report(
+    docs,
+    benchmark_mod: int = 97,
+    num_buckets: int = 32,
+    lang: str = "en",
+    min_quality: float = 0.3,
+    max_rep: float = 0.05,
+):
+    """(n_docs, total_tokens, mean_quality): the END-TO-END curation
+    pipeline in one composed pass — keep documents that (1) pass the
+    CurationFilter gates (English, quality floor, repetition ceiling),
+    (2) are the canonical copy of their content fingerprint among the
+    gate survivors (exact dedup, min doc_id wins), and (3) are not
+    benchmark-contaminated (fingerprint anti-join vs the value-defined
+    ``doc_id % benchmark_mod == 0`` slice of the FULL corpus) — then
+    report the surviving corpus's size, token volume and mean quality
+    as one row. The filter order (curate → dedup → decontaminate) is
+    part of the contract and replayed identically by the SQL oracle.
+
+    Scale shape: one fused map pass per block (all gate signals +
+    fingerprint + token count + integer-micro-unit quality), one
+    bounded fp-bucket shuffle for the dedup min-by, a broadcast
+    blocklist built from the small benchmark slice, and a final
+    aggregate over per-block partials (3 ints per block)."""
+    import ray
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import _add_bucket, bucket_groups
+
+    scorer = TextQualityScorer()
+
+    def features(batch: pd.DataFrame) -> pa.Table:
+        q = scorer(batch).to_pandas()
+        langs = lang_id(batch)["lang_pred"].to_numpy(zero_copy_only=False)
+        rep = repetition_ratio(batch).to_pandas().set_index("doc_id")[
+            "rep_ratio"
+        ]
+        rep_full = (
+            pd.Series(batch["doc_id"].to_numpy(np.int64))
+            .map(rep)
+            .fillna(0.0)
+            .to_numpy(np.float64)
+        )
+        quality = q["quality"].to_numpy(np.float64)
+        keep = (
+            (langs == lang)
+            & (quality >= min_quality)
+            & (rep_full <= max_rep)
+        )
+        fps = fingerprint(batch).to_pandas()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                "fp": pa.array(
+                    fps["fp"].to_numpy(object)[keep], pa.string()
+                ),
+                "n_tokens": pa.array(
+                    q["n_tokens"].to_numpy(np.int64)[keep]
+                ),
+                "qi": pa.array(
+                    np.rint(quality[keep] * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    def _bench_fps(b: pd.DataFrame) -> pa.Table:
+        sel = b[(b["doc_id"].to_numpy(np.int64) % benchmark_mod) == 0]
+        return fingerprint(sel).select(["fp"])
+
+    bench = docs.map_batches(_bench_fps, batch_format="pandas").materialize()
+    block_ref = ray.put(
+        np.unique(bench.to_pandas()["fp"].to_numpy(dtype=object))
+    )
+
+    part_schema = pa.schema(
+        [
+            pa.field("n", pa.int64()),
+            pa.field("tok", pa.int64()),
+            pa.field("q_int", pa.int64()),
+        ]
+    )
+
+    def dedup_and_partial(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return part_schema.empty_table()
+        # canonical copy per fingerprint among gate survivors
+        g = g.sort_values("doc_id").drop_duplicates("fp", keep="first")
+        # decontaminate: drop fingerprints in the benchmark blocklist
+        g = g[~g["fp"].isin(ray.get(block_ref))]
+        return pa.table(
+            {
+                "n": pa.array([len(g)], pa.int64()),
+                "tok": pa.array([int(g["n_tokens"].sum())], pa.int64()),
+                "q_int": pa.array([int(g["qi"].sum())], pa.int64()),
+            }
+        )
+
+    feats = docs.map_batches(features, batch_format="pandas")
+    bucketed = feats.map_batches(
+        lambda b: _add_bucket(b, ["fp"], num_buckets), batch_format="pandas"
+    )
+    parts = bucket_groups(bucketed, dedup_and_partial, num_buckets).to_pandas()
+    if len(parts) == 0:  # zero gate survivors -> an all-zero report
+        parts = pd.DataFrame({"n": [0], "tok": [0], "q_int": [0]})
+    n = int(parts["n"].sum())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "total_tokens": pa.array(
+                    [int(parts["tok"].sum())], pa.int64()
+                ),
+                "mean_quality": pa.array(
+                    [
+                        float(
+                            round_half_away(
+                                np.array(
+                                    [parts["q_int"].sum() / (1e6 * max(n, 1))]
+                                ),
+                                6,
+                            )[0]
+                        )
+                    ],
+                    pa.float64(),
+                ),
+            }
+        )
+    )

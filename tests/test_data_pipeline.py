@@ -1310,3 +1310,39 @@ def test_oov_rate_against_direct_computation(ray_session):
     assert out.loc[1, "n_oov"] == 2          # cc dd
     assert out.loc[2, "n_oov"] == 2          # dd dd
     assert out.loc[2, "oov_rate"] == round(2 / 3, 6)
+
+
+def test_corpus_report_composition(ray_session):
+    """The composed pipeline applies curate -> dedup-among-survivors ->
+    decontaminate in that order: a duplicated good doc counts once, a
+    benchmark-contaminated good doc counts zero, rejected docs never
+    reach dedup."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import corpus_report
+
+    def body(tag):
+        # distinct filler words -> near-zero bigram repetition
+        return "the and of is " + " ".join(f"{tag}{i}" for i in range(120))
+
+    good = body("clean")
+    texts = {
+        0: good,                      # benchmark doc (0 % 5): blocked
+        1: good,                      # copy of benchmark content: blocked
+        2: body("fine"),              # survives
+        3: body("fine"),              # dup of 2: dropped
+        4: "der und die ist " + " ".join(f"wort{i}" for i in range(120)),  # German: rejected
+        6: body("other"),             # survives
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = corpus_report(
+        rd.from_pandas(df).repartition(3), benchmark_mod=5, num_buckets=4
+    ).to_pandas()
+    assert int(out.n_docs[0]) == 2  # docs 2 and 6
+    from graphsetintersection_ray.stages.text import TextQualityScorer
+
+    q = TextQualityScorer()(df.set_index("doc_id").loc[[2, 6]].reset_index())
+    qdf = q.to_pandas()
+    assert int(out.total_tokens[0]) == int(qdf["n_tokens"].sum())
+    qi = np.rint(qdf["quality"].to_numpy() * 1e6).astype(np.int64)
+    assert float(out.mean_quality[0]) == round(qi.sum() / (1e6 * 2), 6)
