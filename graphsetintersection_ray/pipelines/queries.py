@@ -1245,6 +1245,17 @@ def q_source_quality(sf_dir: str):
     return source_quality(docs)
 
 
+def q_unigram_logprob(sf_dir: str):
+    """(doc_id, n_tokens, avg_logprob): mean per-token unigram-LM log
+    probability under the corpus's own unigram distribution — the
+    KenLM-style perplexity filtering signal. Per-token logprobs are
+    rounded to 6 decimals and summed as integer micro-units, so the
+    aggregate is bit-exact; zero-token docs are absent."""
+    from graphsetintersection_ray.stages.text import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
 def q_corpus_report(sf_dir: str):
     """(n_docs, total_tokens, mean_quality): the composed end-to-end
     curation pipeline — CurationFilter gates, then exact dedup among
@@ -1573,6 +1584,7 @@ QUERIES = {
     "conversion_time": q_conversion_time,
     "source_quality": q_source_quality,
     "oov_rate": q_oov_rate,
+    "unigram_logprob": q_unigram_logprob,
     "corpus_report": q_corpus_report,
     "approx_distinct": q_approx_distinct,
     "sample_docs": q_sample_docs,
@@ -2252,6 +2264,27 @@ per AS (
 )
 SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
        round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+FROM per""",
+    "unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+vc AS (SELECT t, count(*) AS n FROM toks GROUP BY t),
+tot AS (SELECT count(*) AS total FROM toks),
+lp AS (
+  SELECT t,
+         CAST(round(round(ln(CAST(n AS DOUBLE) / total), 6) * 1000000, 0)
+              AS BIGINT) AS lpi
+  FROM vc, tot
+),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(lpi) AS s
+  FROM toks JOIN lp USING (t) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6) AS avg_logprob
 FROM per""",
     "sample_docs": (
         "SELECT doc_id, text FROM documents WHERE doc_id % 16 = 0"

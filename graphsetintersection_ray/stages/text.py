@@ -967,3 +967,101 @@ def corpus_report(
             }
         )
     )
+
+
+def unigram_logprob(docs, num_buckets: int = 64):
+    """(doc_id, n_tokens, avg_logprob): unigram language-model score —
+    each token scored ln(count(token)/total_tokens) under the corpus's
+    own unigram distribution, averaged per document (the KenLM-style
+    perplexity-filtering signal: gibberish scores far below fluent
+    text). Zero-token docs are absent.
+
+    Exactness: per-token logprobs are rounded to 6 decimals and summed
+    as INTEGER micro-units, so the per-doc aggregate is bit-exact and
+    reduction-order-free (same trick as source_quality); the final
+    average is one rounded division.
+
+    Scale shape: the unigram table is one pre-aggregated count shuffle
+    (cardinality = vocab size); the (token -> logprob-int) map is
+    broadcast once via ``ray.put``; the per-doc pass is map-only."""
+    import itertools
+
+    import ray
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    def local_counts(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        flat = [t for ts in toks for t in ts]
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pa.table(
+            {
+                "t": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    vc = sum_by(
+        docs.map_batches(local_counts, batch_format="pandas"),
+        ["t"],
+        "n",
+        num_buckets=num_buckets,
+    ).to_pandas()
+    total = int(vc["n"].sum())
+    lp_int = np.rint(
+        round_half_away(
+            np.log(vc["n"].to_numpy(np.float64) / total), 6
+        )
+        * 1e6
+    ).astype(np.int64)
+    lp_ref = ray.put(
+        dict(zip(vc["t"].to_numpy(object).tolist(), lp_int.tolist()))
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("avg_logprob", pa.float64()),
+        ]
+    )
+
+    def per_doc(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return out_schema.empty_table()
+        lp = ray.get(lp_ref)
+        flat = np.fromiter(
+            itertools.chain.from_iterable(toks[keep]),
+            dtype=object,
+            count=int(lens[keep].sum()),
+        )
+        # every token is in the table by construction (trained on the
+        # same corpus); one vectorized map pass
+        vals = pd.Series(flat).map(lp).to_numpy(np.int64)
+        doc_of = np.repeat(
+            batch["doc_id"].to_numpy(np.int64)[keep], lens[keep]
+        )
+        g = (
+            pd.DataFrame({"doc_id": doc_of, "v": vals})
+            .groupby("doc_id", sort=False)["v"]
+            .agg(["size", "sum"])
+        )
+        n_tok = g["size"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "avg_logprob": pa.array(
+                    round_half_away(
+                        g["sum"].to_numpy(np.float64) / (1e6 * n_tok), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(per_doc, batch_format="pandas")

@@ -1346,3 +1346,28 @@ def test_corpus_report_composition(ray_session):
     assert int(out.total_tokens[0]) == int(qdf["n_tokens"].sum())
     qi = np.rint(qdf["quality"].to_numpy() * 1e6).astype(np.int64)
     assert float(out.mean_quality[0]) == round(qi.sum() / (1e6 * 2), 6)
+
+
+def test_unigram_logprob_ranks_gibberish_below_fluent(ray_session):
+    """Common-word docs score higher than rare-word docs; values match a
+    direct replay (integer micro-unit exactness, any block layout)."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import unigram_logprob
+
+    texts = (
+        ["the the the the"] * 8            # very common tokens
+        + ["zxqv wkjy qpzt mlrb"]          # singleton gibberish
+    )
+    df = pd.DataFrame({"doc_id": np.arange(9), "text": texts})
+    out = (
+        unigram_logprob(rd.from_pandas(df).repartition(3), num_buckets=2)
+        .to_pandas()
+        .set_index("doc_id")["avg_logprob"]
+    )
+    assert out[8] < out[0]
+    # direct replay: the=32/36; each gibberish token 1/36
+    lp_the = round(round(np.log(32 / 36), 6) * 1e6)
+    lp_rare = round(round(np.log(1 / 36), 6) * 1e6)
+    assert out[0] == round(4 * lp_the / (1e6 * 4), 6)
+    assert out[8] == round(4 * lp_rare / (1e6 * 4), 6)
