@@ -1245,6 +1245,44 @@ def q_source_quality(sf_dir: str):
     return source_quality(docs)
 
 
+def q_image_decode(sf_dir: str):
+    """(doc_id, n_pixels, mean_gray): REAL byte-level image decode over
+    MIXED payload formats — each doc carries a deterministic 8x8 RGB
+    image encoded as 24-bit BMP (even doc_id) or truecolor PNG with
+    scanline filter doc_id % 5 (odd doc_id); DecodeStage sniffs the
+    magic and decodes with pure NumPy + stdlib zlib, reduced here to
+    pixel count + mean grayscale (rounded to 6). Semantic oracle:
+    byte-free Philox replay of every image, exact equality."""
+    from graphsetintersection_ray.stages.multimodal import (
+        DecodeStage,
+        attach_media_payload,
+    )
+
+    payloads = attach_media_payload(_docs(sf_dir), kind="image")
+    frames = payloads.map_batches(
+        DecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        lists = t["frame"].combine_chunks()
+        vals = lists.values.to_numpy(zero_copy_only=False)
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        sums = np.add.reduceat(vals.astype(np.float64), offs[:-1])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_pixels": pa.array(lens, pa.int64()),
+                "mean_gray": pa.array(
+                    round_half_away(sums / np.maximum(lens, 1), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return frames.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_unigram_logprob(sf_dir: str):
     """(doc_id, n_tokens, avg_logprob): mean per-token unigram-LM log
     probability under the corpus's own unigram distribution — the
@@ -1603,6 +1641,7 @@ QUERIES = {
     "hopping_windows": q_hopping_windows,
     "tfidf_top_terms": q_tfidf_top_terms,
     "media_decode": q_media_decode,
+    "image_decode": q_image_decode,
     "betweenness": q_betweenness,
     "closeness": q_closeness,
 }

@@ -2,10 +2,12 @@
 
 Images/audio/video are carried as Arrow ``binary`` columns with metadata
 columns alongside. ``DecodeStage`` REALLY decodes the formats this
-container can handle with pure NumPy — PCM16 WAV and 24-bit uncompressed
-BMP (byte-level RIFF/BMP parsers below, exercised end-to-end by the
-``media_decode`` query) — and raises NotImplementedError for compressed
-codecs (JPEG/MP4/...) that need an imaging/audio library, unless
+container can handle with pure NumPy + stdlib zlib — PCM16 WAV, 24-bit
+uncompressed BMP, and 8-bit truecolor PNG with all five scanline filters
+(byte-level RIFF/BMP/PNG codecs below, exercised end-to-end by the
+``media_decode`` / ``image_decode`` queries) — and raises
+NotImplementedError for codecs (JPEG/MP4/...) that need an
+imaging/audio library, unless
 constructed with ``fake=True`` (deterministic pseudo-decode keeping the
 plumbing testable for those formats).
 
@@ -65,12 +67,13 @@ class MediaMetadata:
 class DecodeStage:
     """Decode: binary payload → dense float32 frame.
 
-    REAL for the container-friendly formats this environment can decode
-    with pure NumPy — PCM16 WAV (``RIFF`` magic → normalized samples in
-    [-1, 1)) and 24-bit uncompressed BMP (``BM`` magic → grayscale
-    mean(RGB)/255) — sniffed per payload by magic bytes.
+    REAL for the formats this environment can decode with pure NumPy +
+    stdlib zlib — PCM16 WAV (``RIFF`` magic → normalized samples in
+    [-1, 1)), 24-bit uncompressed BMP (``BM`` magic) and 8-bit truecolor
+    PNG (signature magic), both images → grayscale mean(RGB)/255 —
+    sniffed per payload by magic bytes.
 
-    Compressed codecs (JPEG/PNG/MP4/...) need an imaging/audio library
+    Remaining compressed codecs (JPEG/MP4/...) need an imaging/audio library
     not present in this container: an unrecognized payload raises
     NotImplementedError (the documented production integration point)
     unless constructed with ``fake=True``, in which case it produces a
@@ -91,11 +94,15 @@ class DecodeStage:
         if c[:2] == b"BM":
             img = decode_bmp24(c).astype(np.float32)
             return (img.mean(axis=2) / np.float32(255.0)).ravel()
+        if c[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(c).astype(np.float32)
+            return (img.mean(axis=2) / np.float32(255.0)).ravel()
         if not self.fake:
             raise NotImplementedError(
-                "payload is not WAV/BMP; compressed-codec decode requires "
-                "an imaging/audio library — construct DecodeStage("
-                "fake=True) for the deterministic stub on such formats"
+                "payload is not WAV/BMP/PNG; other compressed codecs "
+                "(JPEG/MP4/...) require an imaging/audio library — "
+                "construct DecodeStage(fake=True) for the deterministic "
+                "stub on such formats"
             )
         key = int.from_bytes(hashlib.md5(c).digest()[:8], "little")
         rng = np.random.Generator(np.random.Philox(key=[key, 0]))
@@ -326,8 +333,12 @@ def attach_media_payload(
     docs: rd.Dataset, kind: str = "wav", n_samples: int = 256
 ) -> rd.Dataset:
     """Source stage: attach a REAL deterministic media payload per doc —
-    PCM16 WAV (``kind='wav'``, Philox(doc_id)-seeded samples) or 24-bit
-    BMP (``kind='bmp'``, 8x8 seeded RGB) — so the decode stage exercises
+    PCM16 WAV (``kind='wav'``, Philox(doc_id)-seeded samples), 24-bit
+    BMP (``kind='bmp'``, 8x8 seeded RGB), truecolor PNG
+    (``kind='png'``, same seeded RGB through the zlib pipeline, scanline
+    filter = doc_id % 5 so every PNG filter ships in real payloads), or
+    ``kind='image'`` (BMP/PNG alternating by doc_id parity, exercising
+    the decoder's magic sniffing) — so the decode stage exercises
     genuine byte-level codecs end-to-end."""
 
     def to_payload(b: pd.DataFrame) -> pa.Table:
@@ -344,8 +355,15 @@ def attach_media_payload(
                 img = rng.integers(
                     0, 256, size=(8, 8, 3), dtype=np.int64
                 ).astype(np.uint8)
-                contents.append(bmp24_bytes(img))
-                mtypes.append("image/bmp")
+                use_png = kind == "png" or (kind == "image" and did % 2 == 1)
+                if use_png:
+                    contents.append(
+                        png_bytes(img, filter_type=int(did % 5))
+                    )
+                    mtypes.append("image/png")
+                else:
+                    contents.append(bmp24_bytes(img))
+                    mtypes.append("image/bmp")
         return pa.table(
             {
                 "doc_id": pa.array(b["doc_id"], pa.int64()),
@@ -355,3 +373,155 @@ def attach_media_payload(
         )
 
     return docs.map_batches(to_payload, batch_format="pandas", batch_size=256)
+
+
+# -- PNG (8-bit truecolor, non-interlaced) — zlib is stdlib, so this
+# compressed codec IS implementable here: full 5-filter decoder, encoder
+# with selectable per-row filter. JPEG/MP4 remain the documented
+# NotImplementedError integration point.
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over int16-safe inputs."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where(
+        (pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def png_bytes(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB image as an 8-bit truecolor PNG.
+    ``filter_type`` 0-4 applies that PNG filter to every scanline
+    (0=None is the fast path; the others exist so the decoder's filter
+    reconstruction is testable against real filtered streams)."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    bpp = 3
+    rows = []
+    prev = np.zeros(w * bpp, np.uint8)
+    for y in range(h):
+        raw = img[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.uint8), raw[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:  # Sub
+            filt = raw - left
+        elif filter_type == 2:  # Up
+            filt = raw - prev
+        elif filter_type == 3:  # Average
+            filt = raw - (
+                (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            filt = raw - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"unknown filter {filter_type}")
+        rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = raw
+    idat = zlib.compress(b"".join(rows), 9)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor non-interlaced PNG byte string →
+    (H, W, 3) uint8 RGB. Implements all five scanline filters: None/Up
+    are vectorized; Sub is three channel-wise cumsums; Average/Paeth
+    reconstruct pixel-sequentially along the row (the spec's data
+    dependency), vectorized across the 3 channels."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG, got {ihdr}"
+        )
+    data = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, w * 3
+    if len(data) != h * (stride + 1):
+        raise ValueError("bad decompressed length")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = data[y * (stride + 1)]
+        row = np.frombuffer(
+            data, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: channel-wise cumsum mod 256
+            rec = row.reshape(w, bpp)
+            rec = (np.cumsum(rec.astype(np.int64), axis=0) % 256).astype(
+                np.uint8
+            ).reshape(-1)
+        elif ft == 2:  # Up
+            rec = row + prev  # uint8 wraparound
+        elif ft == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            left = np.zeros(bpp, np.int16)
+            for x in range(w):
+                up = prev[x * bpp : (x + 1) * bpp].astype(np.int16)
+                px = row[x * bpp : (x + 1) * bpp] + (
+                    ((left + up) // 2).astype(np.uint8)
+                )
+                rec[x * bpp : (x + 1) * bpp] = px
+                left = px.astype(np.int16)
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            left = np.zeros(bpp, np.uint8)
+            ul = np.zeros(bpp, np.uint8)
+            for x in range(w):
+                up = prev[x * bpp : (x + 1) * bpp]
+                px = row[x * bpp : (x + 1) * bpp] + _paeth(left, up, ul)
+                rec[x * bpp : (x + 1) * bpp] = px
+                left = px
+                ul = up
+        else:
+            raise ValueError(f"unknown scanline filter {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, 3)

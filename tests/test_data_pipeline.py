@@ -1371,3 +1371,53 @@ def test_unigram_logprob_ranks_gibberish_below_fluent(ray_session):
     lp_rare = round(round(np.log(1 / 36), 6) * 1e6)
     assert out[0] == round(4 * lp_the / (1e6 * 4), 6)
     assert out[8] == round(4 * lp_rare / (1e6 * 4), 6)
+
+
+def test_png_codec_all_filters_roundtrip():
+    """decode(encode(img, filter_type=ft)) == img for every PNG scanline
+    filter and odd shapes, and the decoder rejects non-PNG payloads."""
+    import pytest as _pytest
+
+    from graphsetintersection_ray.stages.multimodal import (
+        decode_png,
+        png_bytes,
+    )
+
+    rng = np.random.default_rng(21)
+    for ft in range(5):
+        for shape in [(1, 1, 3), (8, 8, 3), (13, 7, 3), (3, 31, 3)]:
+            img = rng.integers(0, 256, size=shape).astype(np.uint8)
+            assert np.array_equal(decode_png(png_bytes(img, ft)), img)
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_image_decode_mixed_formats(ray_session):
+    """DecodeStage sniffs BMP vs PNG by magic and both decode to the
+    identical grayscale frame for the same Philox image."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.multimodal import (
+        DecodeStage,
+        attach_media_payload,
+    )
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(10), "text": ["x"] * 10}
+    )
+    payloads = attach_media_payload(
+        rd.from_pandas(df).repartition(2), kind="image"
+    )
+    tbl = payloads.map_batches(
+        DecodeStage, batch_format="pyarrow", batch_size=8, concurrency=1
+    ).to_pandas().set_index("doc_id")
+    for did in range(10):
+        rng = np.random.Generator(np.random.Philox(key=[did, 77]))
+        img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.int64).astype(
+            np.uint8
+        )
+        want = (
+            img.astype(np.float32).mean(axis=2) / np.float32(255.0)
+        ).ravel()
+        got = np.asarray(tbl.loc[did, "frame"], np.float32)
+        assert np.array_equal(got, want)

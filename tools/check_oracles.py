@@ -895,6 +895,66 @@ def _check_bloom_dedup(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_image_decode(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """image_decode vs a byte-free replay: regenerate each doc's 8x8 RGB
+    image from the same Philox(doc_id) stream (no BMP/PNG bytes
+    involved), recompute the grayscale mean through the identical
+    float32 path, require EXACT equality for every row — proving both
+    image codecs (BMP and all-five-filter PNG, mixed by doc parity) are
+    lossless. Plus bit-exact PNG roundtrips across every scanline
+    filter on random shapes."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.stages.multimodal import (
+        decode_png,
+        png_bytes,
+    )
+
+    got = rdf.sort_values("doc_id").reset_index(drop=True)
+    ok_rows = 0
+    for did, n, mg in zip(got.doc_id, got.n_pixels, got.mean_gray):
+        rng = np.random.Generator(np.random.Philox(key=[int(did), 77]))
+        img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.int64).astype(
+            np.uint8
+        )
+        gray = (
+            img.astype(np.float32).mean(axis=2) / np.float32(255.0)
+        ).ravel()
+        want = float(
+            round_half_away(
+                np.array([gray.astype(np.float64).sum() / len(gray)]), 6
+            )[0]
+        )
+        if int(n) == 64 and float(mg) == want:
+            ok_rows += 1
+    replay_exact = ok_rows == len(got)
+
+    rng = np.random.default_rng(9)
+    png_rt = all(
+        np.array_equal(
+            decode_png(
+                png_bytes(
+                    img := rng.integers(
+                        0, 256, size=(int(h), int(w), 3), dtype=np.int64
+                    ).astype(np.uint8),
+                    filter_type=ft,
+                )
+            ),
+            img,
+        )
+        for ft in range(5)
+        for h, w in rng.integers(1, 24, size=(4, 2))
+    )
+    return {
+        "check": "philox_replay_exact+png_filter_roundtrips",
+        "replay_exact_rows": int(ok_rows),
+        "replay_exact": bool(replay_exact),
+        "png_roundtrips": bool(png_rt),
+        "pass": bool(replay_exact and png_rt),
+    }
+
+
 def _check_effective_diameter(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """effective_diameter: recompute the EXACT neighborhood function by
     boolean matrix powers, derive the exact interpolated 90% effective
@@ -979,6 +1039,7 @@ SEMANTIC_CHECKS = {
     "bloom_dedup": _check_bloom_dedup,
     "approx_distinct": _check_approx_distinct,
     "effective_diameter": _check_effective_diameter,
+    "image_decode": _check_image_decode,
 }
 
 
