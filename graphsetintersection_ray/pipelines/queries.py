@@ -484,6 +484,54 @@ def q_connected_components(sf_dir: str):
     return out
 
 
+def q_component_sizes(sf_dir: str):
+    """(size, n_components): connected-component size distribution —
+    two pre-aggregated count shuffles on top of the BSP min-label
+    fixpoint (per-component sizes bounded by #components, then the
+    tiny size histogram). Works on both the collected-table and
+    at-scale Dataset result paths."""
+    art = build_graph(sf_dir)
+    res, _ = it.connected_components(art, resume=False)
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    if not hasattr(res, "map_batches"):
+        res = rd.from_arrow(
+            res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+        )
+
+    def ones_by_comp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "component": t["component"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    comp_sizes = sum_by(
+        res.map_batches(ones_by_comp, batch_format="pyarrow"),
+        ["component"],
+        "one",
+        out_col="size",
+        num_buckets=16,
+    )
+
+    def ones_by_size(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "size": t["size"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    return sum_by(
+        comp_sizes.map_batches(ones_by_size, batch_format="pyarrow"),
+        ["size"],
+        "one",
+        out_col="n_components",
+        num_buckets=1,
+    )
+
+
 def q_label_propagation(sf_dir: str):
     art = build_graph(sf_dir)
     out, _ = it.label_propagation(art, resume=False)
@@ -1317,6 +1365,19 @@ def q_oov_rate(sf_dir: str):
     return oov_rate(_docs(sf_dir), vocab_k=20)
 
 
+def q_weighted_sample(sf_dir: str):
+    """(rk, event_id, value): Efraimidis-Spirakis weighted sample
+    without replacement — 100 events with inclusion probability
+    proportional to value, deterministic (splitmix64 uniforms), exact
+    per-block partial top-k. Semantic oracle: bit-exact numpy replay."""
+    from graphsetintersection_ray.stages.streaming import weighted_sample
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return weighted_sample(ev, k=100)
+
+
 def q_approx_distinct(sf_dir: str):
     """(event_type, n_approx): HyperLogLog approximate distinct users
     per event type (m=16384, ~0.8% standard error); semantic oracle
@@ -1578,6 +1639,7 @@ QUERIES = {
     "effective_diameter": q_effective_diameter,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
+    "component_sizes": q_component_sizes,
     "label_propagation": q_label_propagation,
     "bfs_distances": q_bfs_distances,
     "leaf_count": q_leaf_count,
@@ -1625,6 +1687,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "corpus_report": q_corpus_report,
     "approx_distinct": q_approx_distinct,
+    "weighted_sample": q_weighted_sample,
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
     "token_quantiles": q_token_quantiles,
@@ -1951,6 +2014,21 @@ SELECT v, round(score, 6) AS score FROM ppr"""
   SELECT v, w FROM r
 )
 SELECT v, CAST(min(w) AS BIGINT) AS component FROM reach GROUP BY v"""
+    ),
+    "component_sizes": _with(
+        """reach AS (
+  WITH RECURSIVE r(v, w) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT r.v, s.dst FROM r JOIN sym s ON s.src = r.w
+  )
+  SELECT v, w FROM r
+),
+cc AS (SELECT v, min(w) AS component FROM reach GROUP BY v),
+cs AS (SELECT component, count(*) AS size FROM cc GROUP BY component)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM cs GROUP BY size"""
     ),
     "label_propagation": _with(
         """reach AS (

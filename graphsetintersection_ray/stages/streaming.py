@@ -583,3 +583,52 @@ def conversion_time(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
         batch_format="pandas",
     )
     return bucket_groups(bucketed, per_bucket, num_buckets)
+
+
+def weighted_sample(
+    events: rd.Dataset, k: int = 100, seed: int = 13
+) -> rd.Dataset:
+    """(rk, event_id, value): weighted sample WITHOUT replacement of k
+    events with inclusion probability proportional to ``value`` — the
+    Efraimidis-Spirakis A-ES scheme: key_i = u_i^(1/w_i) with u_i a
+    DETERMINISTIC uniform from splitmix64(event_id + seed), take the k
+    largest keys (ties by event_id asc). Deterministic end-to-end, so
+    the semantic oracle replays it exactly; importance sampling for
+    curation (sample big-value events more often) at any scale.
+
+    Scale shape: one map pass computes keys and keeps a per-block
+    partial top-k under the same total order (key DESC, event_id ASC);
+    the driver reduce sees at most k x #blocks rows."""
+    from graphsetintersection_ray.functions.hll import splitmix64
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        eid = b["event_id"].to_numpy(np.int64)
+        w = b["value"].to_numpy(np.float64)
+        u = (splitmix64(eid + seed).astype(np.float64) + 1.0) / 2.0**64
+        key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+        df = pd.DataFrame({"event_id": eid, "value": b["value"], "key": key})
+        df = df.sort_values(["key", "event_id"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    cand = (
+        events.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["key", "event_id"], ascending=[False, True])
+        .head(k)
+    )
+    cand = cand[cand["key"] >= 0]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(
+                    np.arange(1, len(cand) + 1, dtype=np.int64)
+                ),
+                "event_id": pa.array(
+                    cand["event_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "value": pa.array(
+                    cand["value"].to_numpy(np.float64), pa.float64()
+                ),
+            }
+        )
+    )

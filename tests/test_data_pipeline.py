@@ -1421,3 +1421,30 @@ def test_image_decode_mixed_formats(ray_session):
         ).ravel()
         got = np.asarray(tbl.loc[did, "frame"], np.float32)
         assert np.array_equal(got, want)
+
+
+def test_weighted_sample_determinism_and_bias(ray_session):
+    """A-ES sample: block-layout independent, a dominant-weight item is
+    always included, zero/negative weights never sampled."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.streaming import weighted_sample
+
+    n = 2000
+    rng = np.random.default_rng(4)
+    vals = rng.uniform(0.1, 1.0, size=n)
+    vals[7] = 1e9       # dominant weight
+    vals[11] = 0.0      # never sampled
+    vals[13] = -3.0     # never sampled
+    df = pd.DataFrame({"event_id": np.arange(n), "value": vals})
+    out1 = weighted_sample(
+        rd.from_pandas(df).repartition(3), k=50
+    ).to_pandas()
+    out2 = weighted_sample(
+        rd.from_pandas(df).repartition(9), k=50
+    ).to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)
+    assert 7 in set(out1.event_id)
+    assert 11 not in set(out1.event_id)
+    assert 13 not in set(out1.event_id)
+    assert len(out1) == 50 and (out1.rk.to_numpy() == np.arange(1, 51)).all()

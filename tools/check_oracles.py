@@ -895,6 +895,43 @@ def _check_bloom_dedup(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_weighted_sample(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """weighted_sample: bit-exact single-process replay of the A-ES
+    scheme (same splitmix64 uniforms, same key = u^(1/w), same total
+    order) over the raw parquet — the distributed partial-top-k must
+    reproduce it row for row."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.hll import splitmix64
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    eid = ev["event_id"].to_numpy(np.int64)
+    w = ev["value"].to_numpy(np.float64)
+    u = (splitmix64(eid + 13).astype(np.float64) + 1.0) / 2.0**64
+    key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+    df = (
+        pd.DataFrame({"event_id": eid, "value": w, "key": key})
+        .sort_values(["key", "event_id"], ascending=[False, True])
+        .head(100)
+    )
+    df = df[df["key"] >= 0].reset_index(drop=True)
+    got = rdf.sort_values("rk").reset_index(drop=True)
+    rows_ok = len(got) == len(df)
+    exact = rows_ok and bool(
+        (got["event_id"].to_numpy(np.int64) == df["event_id"].to_numpy()).all()
+        and (got["value"].to_numpy(np.float64) == df["value"].to_numpy()).all()
+        and (got["rk"].to_numpy(np.int64) == np.arange(1, len(df) + 1)).all()
+    )
+    return {
+        "check": "aes_exact_replay",
+        "rows_match": bool(rows_ok),
+        "exact": bool(exact),
+        "pass": bool(exact),
+    }
+
+
 def _check_image_decode(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """image_decode vs a byte-free replay: regenerate each doc's 8x8 RGB
     image from the same Philox(doc_id) stream (no BMP/PNG bytes
@@ -1040,6 +1077,7 @@ SEMANTIC_CHECKS = {
     "approx_distinct": _check_approx_distinct,
     "effective_diameter": _check_effective_diameter,
     "image_decode": _check_image_decode,
+    "weighted_sample": _check_weighted_sample,
 }
 
 
