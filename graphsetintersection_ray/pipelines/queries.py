@@ -1365,6 +1365,17 @@ def q_oov_rate(sf_dir: str):
     return oov_rate(_docs(sf_dir), vocab_k=20)
 
 
+def q_centroid_sim(sf_dir: str):
+    """(vec_id, label, centroid_sim): cosine of every embedding to its
+    own label's centroid — the cluster-coherence / outlier signal.
+    EXACT: integer milli-unit quantization + integer-sum centroid
+    direction (cosine is scale-invariant), one identical double
+    expression both sides."""
+    from graphsetintersection_ray.stages.similarity import centroid_sim
+
+    return centroid_sim(_embs(sf_dir))
+
+
 def q_weighted_sample(sf_dir: str):
     """(rk, event_id, value): Efraimidis-Spirakis weighted sample
     without replacement — 100 events with inclusion probability
@@ -1688,6 +1699,7 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "approx_distinct": q_approx_distinct,
     "weighted_sample": q_weighted_sample,
+    "centroid_sim": q_centroid_sim,
     "sample_docs": q_sample_docs,
     "stratified_sample": q_stratified_sample,
     "token_quantiles": q_token_quantiles,
@@ -2293,6 +2305,33 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4""",
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
         "md5(text) AS checksum FROM documents"
     ),
+    # integer milli-unit quantization makes every sum exact; the only
+    # float ops are the final sqrt/divide on identical operands
+    "centroid_sim": """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000, 0) AS BIGINT)) AS emb
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, label, i, emb[i] AS v
+  FROM e, unnest(generate_series(1, len(emb))) AS g(i)
+),
+cent AS (SELECT label, i, sum(v) AS c FROM ex GROUP BY label, i),
+cn AS (SELECT label, sum(c * c) AS n2 FROM cent GROUP BY label),
+dots AS (
+  SELECT x.vec_id, x.label,
+         sum(x.v * c.c) AS dot, sum(x.v * x.v) AS n1
+  FROM ex x JOIN cent c ON c.label = x.label AND c.i = x.i
+  GROUP BY x.vec_id, x.label
+)
+SELECT d.vec_id, d.label,
+       round(CASE WHEN d.n1 = 0 THEN 0.0
+             ELSE CAST(d.dot AS DOUBLE)
+                  / (sqrt(CAST(d.n1 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+             END, 6) AS centroid_sim
+FROM dots d JOIN cn USING (label)""",
     "event_windows": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n, round(sum(value), 2) AS value_sum

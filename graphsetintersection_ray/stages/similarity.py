@@ -719,3 +719,74 @@ def kmeans_clusters(
         )
 
     return embeddings.map_batches(label, batch_format="pyarrow")
+
+
+def centroid_sim(embs: rd.Dataset) -> rd.Dataset:
+    """(vec_id, label, centroid_sim): cosine of every vector to its own
+    label's centroid — the embedding-space cluster-coherence / outlier
+    signal (low sim = the vector sits far from its labeled cluster).
+
+    EXACT and reduction-order-free: embeddings are quantized to integer
+    MILLI-units (round(x*1000), never a .5 tie because k/1000 is not
+    dyadic), the centroid direction is the per-label integer SUM vector
+    (cosine is scale-invariant, so no division by count), and dot/norm
+    sums stay far below 2^53 — both this implementation and the SQL
+    oracle compute identical integers, then one identical double
+    expression dot/(sqrt(n1)*sqrt(n2)).
+
+    Scale shape: pass 1 emits per-block (label, count=1 row of summed
+    int vectors) partials — bounded by labels x blocks, combined on the
+    driver and broadcast via ``ray.put``; pass 2 is map-only."""
+
+    def label_sums(t: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.round(mat.astype(np.float64) * 1000.0).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), vi.shape[1]), np.int64)
+        np.add.at(sums, inv, vi)
+        offsets = np.arange(len(uniq) + 1, dtype=np.int32) * vi.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "csum": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(sums.ravel(), pa.int64())
+                ),
+            }
+        )
+
+    parts = embs.map_batches(label_sums, batch_format="pyarrow").to_pandas()
+    cent: dict[int, np.ndarray] = {}
+    for lbl, cs in zip(parts["label"], parts["csum"]):
+        v = np.asarray(cs, np.int64)
+        cent[int(lbl)] = cent.get(int(lbl), 0) + v
+    cent_n2 = {k: float(np.dot(v, v)) for k, v in cent.items()}
+    cent_ref = ray.put((cent, cent_n2))
+
+    def sims(t: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.round(mat.astype(np.float64) * 1000.0).astype(np.int64)
+        cmap, n2map = ray.get(cent_ref)
+        out = np.empty(len(ids), np.float64)
+        for lbl in np.unique(labels):
+            m = labels == lbl
+            c = cmap[int(lbl)]
+            dots = vi[m] @ c
+            n1 = np.einsum("ij,ij->i", vi[m], vi[m]).astype(np.float64)
+            denom = np.sqrt(n1) * np.sqrt(n2map[int(lbl)])
+            safe = np.where(denom > 0, denom, 1.0)
+            out[m] = np.where(
+                denom > 0, dots.astype(np.float64) / safe, 0.0
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "label": pa.array(labels, pa.int64()),
+                "centroid_sim": pa.array(
+                    round_half_away(out, 6), pa.float64()
+                ),
+            }
+        )
+
+    return embs.map_batches(sims, batch_format="pyarrow")

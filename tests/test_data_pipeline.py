@@ -1448,3 +1448,45 @@ def test_weighted_sample_determinism_and_bias(ray_session):
     assert 11 not in set(out1.event_id)
     assert 13 not in set(out1.event_id)
     assert len(out1) == 50 and (out1.rk.to_numpy() == np.arange(1, 51)).all()
+
+
+def test_centroid_sim_exact_and_outlier_signal(ray_session):
+    """centroid_sim is block-layout independent (integer sums), a vector
+    aligned with its cluster scores ~1, a deliberate outlier scores
+    lower, and values match a direct integer replay."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.similarity import centroid_sim
+
+    rng = np.random.default_rng(6)
+    base = rng.normal(0, 0.1, size=(1, 16))
+    vecs = base + rng.normal(0, 0.01, size=(30, 16))
+    vecs[29] = -base[0] * 3  # planted outlier, anti-aligned
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(30),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+            "label": np.zeros(30, np.int32),
+        }
+    )
+    out1 = (
+        centroid_sim(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("vec_id")["centroid_sim"]
+        .sort_index()
+    )
+    out2 = (
+        centroid_sim(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .set_index("vec_id")["centroid_sim"]
+        .sort_index()
+    )
+    assert (out1 == out2).all()
+    assert out1[29] < 0 < out1[0]
+    # direct integer replay for one row
+    vi = np.round(vecs.astype(np.float32).astype(np.float64) * 1000).astype(np.int64)
+    c = vi.sum(axis=0)
+    want = vi[0] @ c / (np.sqrt(float(vi[0] @ vi[0])) * np.sqrt(float(c @ c)))
+    from graphsetintersection_ray.functions.kernels import round_half_away
+
+    assert out1[0] == round_half_away(np.array([want]), 6)[0]

@@ -1137,3 +1137,17 @@ def test_effective_diameter_path_graph(ray_session):
     out = it.effective_diameter(art).to_pandas()
     assert int(out.max_radius[0]) == 3
     assert abs(float(out.eff_diameter[0]) - 2.2) < 0.1
+
+
+def test_component_sizes_histogram(ray_session):
+    """Size histogram sums to n_vertices and matches a union-find
+    replay on the sf0.001 graph."""
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["component_sizes"](SF).to_pandas()
+    cc = QUERIES["connected_components"](SF)
+    ccd = cc.to_pandas() if hasattr(cc, "to_pandas") else cc
+    sizes = ccd.groupby("component").size().value_counts().sort_index()
+    got = out.set_index("size")["n_components"].sort_index()
+    assert (got == sizes).all()
+    assert int((out["size"] * out["n_components"]).sum()) == len(ccd)
