@@ -793,3 +793,44 @@ def trussness(art, max_rounds: int = 100_000) -> ray.data.Dataset:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def square_count(
+    art, max_center_degree: int | None = None
+) -> ray.data.Dataset:
+    """(squares,): EXACT global 4-cycle count via the wedge-pair
+    relation — #C4 = Σ_{u<w} C(p2(u,w), 2) / 2, where p2 is the number
+    of wedge centers (common neighbors) of the unordered pair: every
+    4-cycle has exactly two opposite-corner pairs, each contributing
+    one counted pair-of-centers. The quadrilateral analog of the
+    triangle kernel, on the same machinery.
+
+    Plan: one pass over the symmetric CSR emits batch-local pair
+    counts (combined per batch), one bucketed sum keyed on the packed
+    pair, then a per-block Σ C(p2, 2) partial and a scalar driver
+    reduce. ``max_center_degree`` gates hub centers at open-domain
+    scale (see _wedge_pair_partials); None = exact, the oracle
+    config."""
+    from graphsetintersection_ray.stages.graph_build import build_csr
+
+    csr = build_csr(art.sym, num_partitions=art.num_partitions)
+    pairs = csr.map_batches(
+        lambda t: _wedge_pair_partials(t, max_center_degree),
+        batch_format="pyarrow", batch_size=None,
+    )
+    cnt = sum_by(pairs, ["pk"], "c", out_col="p2")
+
+    def partial(t: pa.Table) -> pa.Table:
+        p2 = t["p2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"s": pa.array([int((p2 * (p2 - 1) // 2).sum())], pa.int64())}
+        )
+
+    total = sum(
+        r["s"] for r in cnt.map_batches(
+            partial, batch_format="pyarrow"
+        ).take_all()
+    )
+    return ray.data.from_arrow(
+        pa.table({"squares": pa.array([total // 2], pa.int64())})
+    )

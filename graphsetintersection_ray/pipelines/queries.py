@@ -484,6 +484,17 @@ def q_connected_components(sf_dir: str):
     return out
 
 
+def q_square_count(sf_dir: str):
+    """(squares,): exact global 4-cycle count — the quadrilateral
+    analog of triangle counting on the same wedge machinery (one CSR
+    pass of batch-combined pair counts, one bucketed sum, a scalar
+    reduce)."""
+    from graphsetintersection_ray.pipelines.linkpred import square_count
+
+    art = build_graph(sf_dir)
+    return square_count(art)
+
+
 def q_component_sizes(sf_dir: str):
     """(size, n_components): connected-component size distribution —
     two pre-aggregated count shuffles on top of the BSP min-label
@@ -1651,6 +1662,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "component_sizes": q_component_sizes,
+    "square_count": q_square_count,
     "label_propagation": q_label_propagation,
     "bfs_distances": q_bfs_distances,
     "leaf_count": q_leaf_count,
@@ -1901,6 +1913,17 @@ SELECT d.v AS v,
                   THEN (2.0 * coalesce(tpv.t, 0)) / (d.degree * (d.degree - 1))
                   ELSE 0.0 END, 6) AS lcc
 FROM deg d LEFT JOIN tpv ON tpv.v = d.v"""
+    ),
+    # #C4 = sum over unordered pairs of C(common-neighbors, 2) / 2 —
+    # every 4-cycle has exactly two opposite-corner pairs
+    "square_count": _with(
+        """w AS (
+  SELECT e1.dst AS a, e2.dst AS b FROM sym e1
+  JOIN sym e2 ON e2.src = e1.src AND e2.dst > e1.dst
+),
+p2 AS (SELECT a, b, count(*) AS n FROM w GROUP BY a, b)
+SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) // 2 AS BIGINT) AS squares
+FROM p2"""
     ),
     "edge_support": _with(
         """tri_e AS (

@@ -1151,3 +1151,35 @@ def test_component_sizes_histogram(ray_session):
     got = out.set_index("size")["n_components"].sort_index()
     assert (got == sizes).all()
     assert int((out["size"] * out["n_components"]).sum()) == len(ccd)
+
+
+def test_square_count_known_graphs(ray_session):
+    """C4 -> 1 square; K4 -> 3; triangle -> 0; C4 plus a chord (K4 minus
+    an edge) -> 1."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+    from graphsetintersection_ray.pipelines.linkpred import square_count
+
+    def art_for(edges, n):
+        df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int32")
+        sym = pd.concat(
+            [df, df.rename(columns={"src": "dst", "dst": "src"})]
+        )[["src", "dst"]]
+        return GraphArtifacts(
+            transcripts=None, edges_str=None, vertices=None,
+            edges=rd.from_pandas(df), sym=rd.from_pandas(sym),
+            degrees=None, oriented=None, csr_path="",
+            n_vertices=n, n_edges=len(df), num_partitions=2,
+            csr_partitions=2, fingerprint="tsq",
+        )
+
+    c4 = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert square_count(art_for(c4, 4)).to_pandas().squares[0] == 1
+    k4 = c4 + [(0, 2), (1, 3)]
+    assert square_count(art_for(k4, 4)).to_pandas().squares[0] == 3
+    tri3 = [(0, 1), (1, 2), (0, 2)]
+    assert square_count(art_for(tri3, 3)).to_pandas().squares[0] == 0
+    diamond = c4 + [(0, 2)]
+    assert square_count(art_for(diamond, 4)).to_pandas().squares[0] == 1
