@@ -22,7 +22,26 @@ from graphsetintersection_ray.functions.kernels import round_half_away
 from graphsetintersection_ray.pipelines.graph import GraphArtifacts
 from graphsetintersection_ray.state.superstep import SuperstepEngine
 
+# LRU of live actor pools. Each cached engine holds csr_partitions
+# PartitionWorker actors reserving 0.25 CPU apiece; an unbounded cache
+# leaks those reservations across graphs until the NEXT engine's actor
+# creation blocks forever waiting for CPU (observed as a full-suite
+# pytest hang on a 4-CPU local cluster). Evicted engines have their
+# worker pools killed; use is strictly within one query call, so
+# evicting the least-recently-used engine is safe.
 _ENGINES: dict[tuple, SuperstepEngine] = {}
+
+
+def _engine_worker_budget() -> int:
+    """Max total PartitionWorker actors kept alive across cached engines.
+    At 0.25 CPU per worker the default (2x cluster CPUs) reserves at most
+    half the cluster for idle cached pools, leaving the rest schedulable."""
+    v = os.environ.get("GRAFT_ENGINE_WORKER_BUDGET")
+    if v is not None:
+        return int(v)
+    import ray as _ray
+
+    return max(8, 2 * int(_ray.cluster_resources().get("CPU", 4)))
 
 
 def _collect_max_vertices() -> int:
@@ -55,14 +74,27 @@ def release_engines() -> None:
 
 
 def engine_for(art: GraphArtifacts, ckpt_dir: str | None = None) -> SuperstepEngine:
+    import ray as _ray
+
     key = (art.csr_path, art.csr_partitions, ckpt_dir)
-    if key not in _ENGINES:
-        _ENGINES[key] = SuperstepEngine(
-            art.csr_path,
-            art.csr_partitions,
-            ckpt_dir=ckpt_dir,
-            graph_fingerprint=art.fingerprint,
-        )
+    if key in _ENGINES:
+        _ENGINES[key] = _ENGINES.pop(key)  # refresh LRU position
+        return _ENGINES[key]
+    budget = _engine_worker_budget()
+    while _ENGINES and (
+        sum(len(e.workers) for e in _ENGINES.values()) + art.csr_partitions
+        > budget
+    ):
+        lru_key = next(iter(_ENGINES))
+        evicted = _ENGINES.pop(lru_key)
+        for w in evicted.workers:
+            _ray.kill(w)
+    _ENGINES[key] = SuperstepEngine(
+        art.csr_path,
+        art.csr_partitions,
+        ckpt_dir=ckpt_dir,
+        graph_fingerprint=art.fingerprint,
+    )
     return _ENGINES[key]
 
 

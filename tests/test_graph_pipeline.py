@@ -1183,3 +1183,32 @@ def test_square_count_known_graphs(ray_session):
     assert square_count(art_for(tri3, 3)).to_pandas().squares[0] == 0
     diamond = c4 + [(0, 2)]
     assert square_count(art_for(diamond, 4)).to_pandas().squares[0] == 1
+
+
+def test_engine_cache_evicts_lru_under_worker_budget(ray_session, art, monkeypatch):
+    """The engine LRU must bound total live PartitionWorker actors: with a
+    budget that fits only one engine, requesting a second graph's engine
+    evicts (kills) the first, and re-requesting the first works again —
+    the regression was unbounded cached actor pools starving the cluster
+    until the next engine's creation blocked forever."""
+    from graphsetintersection_ray.pipelines import iterative as it_mod
+
+    it_mod.release_engines()
+    monkeypatch.setenv(
+        "GRAFT_ENGINE_WORKER_BUDGET", str(art.csr_partitions)
+    )
+    e1 = it_mod.engine_for(art)
+    assert len(it_mod._ENGINES) == 1
+
+    # distinct cache key: different ckpt_dir on the same graph
+    e2 = it_mod.engine_for(art, ckpt_dir="/tmp/graft_test_evict_ckpt")
+    assert e2 is not e1
+    assert len(it_mod._ENGINES) == 1  # e1 evicted under the budget
+    assert all(
+        k[2] == "/tmp/graft_test_evict_ckpt" for k in it_mod._ENGINES
+    )
+
+    e1b = it_mod.engine_for(art)  # recreate after eviction: must not hang
+    assert e1b is not e1
+    assert int(e1b.n_total) == art.n_vertices
+    it_mod.release_engines()
