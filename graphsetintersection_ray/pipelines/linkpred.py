@@ -834,3 +834,127 @@ def square_count(
     return ray.data.from_arrow(
         pa.table({"squares": pa.array([total // 2], pa.int64())})
     )
+
+
+def modularity(art, labels: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """(modularity,): EXACT Newman modularity Q of a vertex partition
+    over the undirected graph — Q = intra/m − Σ_c (d_c/(2m))², where
+    intra = # undirected edges with both endpoints in community c,
+    d_c = degree sum of community c, m = |E|. Both reduce terms are
+    integer sums (intra count, per-community degree sums), so the one
+    float expression evaluates exactly once on the driver: bit-exact
+    and reduction-order-free. ``labels`` is any (v, label) partition;
+    defaults to the deterministic entity-type labels (S5/S10 analog).
+
+    Plan: under BROADCAST_MAX_VERTICES the label vector broadcasts once
+    (dense int64 indexed by vid) and both terms are map-only partials;
+    above it labels hash-join onto the edge endpoints and the degree
+    table, per-community degree sums take one bucketed ``sum_by`` keyed
+    on label, then Σ d_c² reduces per block — the driver sees
+    O(#blocks) rows, never the community list."""
+    import ray as _ray
+
+    if labels is None:
+        from graphsetintersection_ray.pipelines.subgraph import vertex_labels
+
+        labels = vertex_labels(art)
+    m = art.n_edges
+    broadcast = art.n_vertices <= gb.BROADCAST_MAX_VERTICES
+
+    if broadcast:
+        ldf = labels.to_pandas()
+        lab_vec = np.zeros(art.n_vertices, np.int64)
+        lab_vec[ldf["v"].to_numpy()] = ldf["label"].to_numpy()
+        lab_ref = _ray.put(lab_vec)
+
+        def intra_partial(t: pa.Table) -> pa.Table:
+            lab = _ray.get(lab_ref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"ie": pa.array([int((lab[s] == lab[d]).sum())], pa.int64())}
+            )
+
+        intra_parts = art.edges.map_batches(
+            intra_partial, batch_format="pyarrow", batch_size=None
+        )
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            lab = _ray.get(lab_ref)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            deg = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+            part = pd.DataFrame({"label": lab[v], "dc": deg})
+            out = part.groupby("label", sort=False)["dc"].sum().reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        labeled_deg = art.degrees.map_batches(
+            deg_partial, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        lsrc = labels.map_batches(
+            lambda t: pa.table(
+                {"src": t["v"].cast(pa.int32()), "ls": t["label"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        ldst = labels.map_batches(
+            lambda t: pa.table(
+                {"dst": t["v"].cast(pa.int32()), "ld": t["label"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        both = compact_blocks(
+            compact_blocks(art.edges).join(
+                compact_blocks(lsrc), join_type="inner",
+                num_partitions=art.num_partitions, on=("src",),
+            )
+        ).join(
+            compact_blocks(ldst), join_type="inner",
+            num_partitions=art.num_partitions, on=("dst",),
+        )
+
+        def intra_partial_j(t: pa.Table) -> pa.Table:
+            ls = t["ls"].to_numpy(zero_copy_only=False)
+            ld = t["ld"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"ie": pa.array([int((ls == ld).sum())], pa.int64())}
+            )
+
+        intra_parts = both.map_batches(
+            intra_partial_j, batch_format="pyarrow", batch_size=None
+        )
+
+        joined_deg = compact_blocks(art.degrees).join(
+            compact_blocks(labels.map_batches(
+                lambda t: pa.table(
+                    {"v": t["v"].cast(pa.int32()), "label": t["label"]}
+                ),
+                batch_format="pyarrow", batch_size=None,
+            )),
+            join_type="inner",
+            num_partitions=art.num_partitions, on=("v",),
+        )
+        labeled_deg = joined_deg.map_batches(
+            lambda t: pa.table({"label": t["label"], "dc": t["degree"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    intra = sum(r["ie"] for r in intra_parts.take_all())
+    dc = sum_by(labeled_deg, ["label"], "dc", out_col="dc")
+
+    def sq_partial(t: pa.Table) -> pa.Table:
+        d = t["dc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array([int((d * d).sum())], pa.int64())})
+
+    sum_d2 = sum(
+        r["s"]
+        for r in dc.map_batches(
+            sq_partial, batch_format="pyarrow"
+        ).take_all()
+    )
+    q = intra / m - sum_d2 / (4.0 * m * m)
+    return ray.data.from_arrow(
+        pa.table(
+            {"modularity": pa.array([float(round_half_away(q, 6))], pa.float64())}
+        )
+    )

@@ -495,6 +495,16 @@ def q_square_count(sf_dir: str):
     return square_count(art)
 
 
+def q_modularity(sf_dir: str):
+    """(modularity,): exact Newman modularity of the deterministic
+    entity-type vertex partition — intra-edge count and per-community
+    degree sums reduce as integers; one float expression on the driver."""
+    from graphsetintersection_ray.pipelines.linkpred import modularity
+
+    art = build_graph(sf_dir)
+    return modularity(art)
+
+
 def q_component_sizes(sf_dir: str):
     """(size, n_components): connected-component size distribution —
     two pre-aggregated count shuffles on top of the BSP min-label
@@ -1663,6 +1673,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "component_sizes": q_component_sizes,
     "square_count": q_square_count,
+    "modularity": q_modularity,
     "label_propagation": q_label_propagation,
     "bfs_distances": q_bfs_distances,
     "leaf_count": q_leaf_count,
@@ -1913,6 +1924,31 @@ SELECT d.v AS v,
                   THEN (2.0 * coalesce(tpv.t, 0)) / (d.degree * (d.degree - 1))
                   ELSE 0.0 END, 6) AS lcc
 FROM deg d LEFT JOIN tpv ON tpv.v = d.v"""
+    ),
+    # Q = intra/m − Σ_c (d_c/2m)² over the entity-type partition; both
+    # reduce terms are exact integer sums, one float expression at the end
+    "modularity": _with(
+        """labv AS (
+  SELECT vid, CASE substr(key, 1, 1) WHEN 'a' THEN 0 WHEN 'c' THEN 1
+              WHEN 'r' THEN 2 ELSE 3 END AS label
+  FROM verts
+),
+intra AS (
+  SELECT count(*) AS ie FROM edges e
+  JOIN labv a ON a.vid = e.src
+  JOIN labv b ON b.vid = e.dst
+  WHERE a.label = b.label
+),
+dsum AS (
+  SELECT l.label, sum(d.degree) AS dc
+  FROM deg d JOIN labv l ON l.vid = d.v GROUP BY l.label
+),
+em AS (SELECT count(*) AS m FROM edges)
+SELECT round(
+  ie * 1.0 / m
+  - (SELECT sum(dc * dc) FROM dsum) * 1.0 / (4.0 * m * m),
+  6) AS modularity
+FROM intra, em"""
     ),
     # #C4 = sum over unordered pairs of C(common-neighbors, 2) / 2 —
     # every 4-cycle has exactly two opposite-corner pairs

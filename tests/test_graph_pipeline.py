@@ -1212,3 +1212,45 @@ def test_engine_cache_evicts_lru_under_worker_budget(ray_session, art, monkeypat
     assert e1b is not e1
     assert int(e1b.n_total) == art.n_vertices
     it_mod.release_engines()
+
+
+def test_modularity_known_value_and_join_path(ray_session, monkeypatch):
+    """Two triangles bridged by one edge, split by triangle: m=7,
+    intra=6, d_c=7 each -> Q = 6/7 - 2*49/(4*49) = 0.357143. One
+    community -> Q = 0. The forced hash-join path must equal the
+    broadcast path bit-for-bit."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+    from graphsetintersection_ray.pipelines.linkpred import modularity
+    from graphsetintersection_ray.stages import graph_build as gb_mod
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int32")
+    sym = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    )[["src", "dst"]]
+    degs = (
+        sym.groupby("src").size().rename("degree").reset_index()
+        .rename(columns={"src": "v"})
+    )
+    art = GraphArtifacts(
+        transcripts=None, edges_str=None, vertices=None,
+        edges=rd.from_pandas(df), sym=rd.from_pandas(sym),
+        degrees=rd.from_pandas(degs), oriented=None, csr_path="",
+        n_vertices=6, n_edges=len(df), num_partitions=2,
+        csr_partitions=2, fingerprint="tmod",
+    )
+    labels = rd.from_pandas(
+        pd.DataFrame({"v": range(6), "label": [0, 0, 0, 1, 1, 1]})
+    )
+    got = modularity(art, labels).to_pandas().modularity[0]
+    assert got == round(6 / 7 - 2 * 49 / (4 * 49.0), 6)
+
+    one = rd.from_pandas(pd.DataFrame({"v": range(6), "label": [0] * 6}))
+    assert modularity(art, one).to_pandas().modularity[0] == 0.0
+
+    monkeypatch.setattr(gb_mod, "BROADCAST_MAX_VERTICES", 0)
+    got_join = modularity(art, labels).to_pandas().modularity[0]
+    assert got_join == got
