@@ -304,3 +304,169 @@ def _closeness_finish(t: pa.Table) -> pa.Table:
             "closeness": pa.array(round_half_away(cl, 6), pa.float64()),
         }
     )
+
+
+def _harmonic_reduce(batch: pd.DataFrame) -> pa.Table:
+    """Per-bucket reduce: all of a vertex's (v, d, cnt) rows share the
+    bucket, so the float series Σ cnt_d/d evaluates over a value-defined
+    ascending-d row order — deterministic across runs and cluster sizes.
+    d == 0 self rows contribute 0 but keep every vertex present."""
+    if batch.empty:
+        return pa.table(
+            {
+                "v": pa.array([], pa.int32()),
+                "harmonic": pa.array([], pa.float64()),
+            }
+        )
+    g = (
+        batch.groupby(["v", "d"], sort=True)["cnt"].sum().reset_index()
+    )
+    d = g["d"].to_numpy(np.float64)
+    part = np.where(
+        d > 0, g["cnt"].to_numpy(np.float64) / np.maximum(d, 1.0), 0.0
+    )
+    g = g.assign(part=part)
+    out = g.groupby("v", sort=True)["part"].sum().reset_index()
+    return pa.table(
+        {
+            "v": pa.array(out["v"].to_numpy().astype(np.int32), pa.int32()),
+            "harmonic": pa.array(
+                round_half_away(out["part"].to_numpy(), 6), pa.float64()
+            ),
+        }
+    )
+
+
+def harmonic(
+    art: GraphArtifacts,
+    num_buckets: int = 32,
+    sources: np.ndarray | None = None,
+) -> rd.Dataset:
+    """(v, harmonic): harmonic centrality Σ_{u≠v, u reachable} 1/d(u,v),
+    rounded to 6 — EXACT when ``sources`` is None (every vertex a
+    source; distances are symmetric on the undirected graph so
+    accumulating per-source distance vectors covers every vertex's sum).
+
+    Deterministic by construction: the shuffle carries only INTEGER
+    per-distance counts (v, d, cnt); the float series Σ cnt_d/d
+    evaluates once per vertex over a value-defined ascending-d order in
+    the reduce — no float accumulates across blocks, so the result is
+    reduction-order-free at any parallelism. Same two gated paths as
+    ``closeness``: broadcast flat CSR + vectorized per-source BFS under
+    ``BC_BROADCAST_MAX_EDGES``, one superstep BFS per source on the
+    partitioned-CSR BSP engine above it (sample sources at open-domain
+    scale — cost is |sources| × diameter supersteps)."""
+    import ray as _ray
+
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+    )
+
+    n = art.n_vertices
+    if sources is None:
+        src_arr = np.arange(n, dtype=np.int64)
+    else:
+        src_arr = np.asarray(sources, np.int64)
+
+    def to_bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        part = (
+            df.groupby(["v", "d"], sort=False)["cnt"].sum().reset_index()
+        )
+        return _add_bucket(part, ["v"], num_buckets)
+
+    if 2 * art.n_edges > BC_BROADCAST_MAX_EDGES:
+        from graphsetintersection_ray.pipelines import iterative as it
+
+        parts = []
+        for s in src_arr:
+            dist_ds, _ = it.bfs_distances(art, source=int(s), resume=False)
+            if not isinstance(dist_ds, rd.Dataset):
+                dist_ds = rd.from_arrow(
+                    pa.Table.from_pandas(dist_ds, preserve_index=False)
+                    if isinstance(dist_ds, pd.DataFrame)
+                    else dist_ds
+                )
+            parts.append(
+                dist_ds.map_batches(
+                    lambda t: to_bucketed(
+                        pd.DataFrame(
+                            {
+                                "v": t["v"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int32),
+                                "d": t["dist"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64),
+                                "cnt": np.ones(t.num_rows, np.int64),
+                            }
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return bucket_groups(ds, _harmonic_reduce, num_buckets)
+
+    indptr, dst = _flat_csr(art)
+    ref = _ray.put((indptr, dst))
+
+    def batch_counts(t: pa.Table) -> pd.DataFrame:
+        indptr_, dst_ = _ray.get(ref)
+        levels: dict[int, np.ndarray] = {}
+        for s in t["s"].to_numpy(zero_copy_only=False):
+            dist = np.full(n, -1, np.int64)
+            dist[s] = 0
+            frontier = np.array([int(s)], np.int64)
+            level = 0
+            while len(frontier):
+                lens = indptr_[frontier + 1] - indptr_[frontier]
+                total = int(lens.sum())
+                if total == 0:
+                    break
+                starts = np.repeat(indptr_[frontier], lens)
+                within = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+                )
+                w = dst_[starts + within]
+                nxt = np.unique(w[dist[w] == -1])
+                if not len(nxt):
+                    break
+                level += 1
+                dist[nxt] = level
+                frontier = nxt
+            for lv in range(level + 1):
+                acc = levels.setdefault(lv, np.zeros(n, np.int64))
+                acc[dist == lv] += 1
+        rows_v, rows_d, rows_c = [], [], []
+        for lv, acc in levels.items():
+            nz = np.flatnonzero(acc)
+            rows_v.append(nz)
+            rows_d.append(np.full(len(nz), lv, np.int64))
+            rows_c.append(acc[nz])
+        if not rows_v:
+            empty = pd.DataFrame(
+                {
+                    "v": np.array([], np.int32),
+                    "d": np.array([], np.int64),
+                    "cnt": np.array([], np.int64),
+                }
+            )
+            return _add_bucket(empty, ["v"], num_buckets)
+        return to_bucketed(
+            pd.DataFrame(
+                {
+                    "v": np.concatenate(rows_v).astype(np.int32),
+                    "d": np.concatenate(rows_d),
+                    "cnt": np.concatenate(rows_c),
+                }
+            )
+        )
+
+    src_ds = rd.from_arrow(
+        pa.table({"s": pa.array(src_arr)})
+    ).repartition(min(32, max(1, len(src_arr) // 8)))
+    counts = src_ds.map_batches(batch_counts, batch_format="pyarrow")
+    return bucket_groups(counts, _harmonic_reduce, num_buckets)

@@ -308,6 +308,16 @@ def q_closeness(sf_dir: str):
     return closeness(art)
 
 
+def q_harmonic(sf_dir: str):
+    """(v, harmonic): EXACT harmonic centrality Σ 1/dist over reachable
+    peers — integer per-distance counts through the shuffle, one
+    value-ordered float series per vertex in the reduce."""
+    from graphsetintersection_ray.pipelines.centrality import harmonic
+
+    art = build_graph(sf_dir)
+    return harmonic(art)
+
+
 def q_clustering_coeff(sf_dir: str):
     """(v, lcc): local clustering coefficient 2·T(v)/(deg·(deg−1)) for
     every vertex (0.0 below degree 2), rounded half-away at 6 decimals —
@@ -1742,6 +1752,7 @@ QUERIES = {
     "image_decode": q_image_decode,
     "betweenness": q_betweenness,
     "closeness": q_closeness,
+    "harmonic": q_harmonic,
 }
 
 _STOP_ALTERNATION = "|".join(("the", "and", "of", "to", "is"))

@@ -1254,3 +1254,46 @@ def test_modularity_known_value_and_join_path(ray_session, monkeypatch):
     monkeypatch.setattr(gb_mod, "BROADCAST_MAX_VERTICES", 0)
     got_join = modularity(art, labels).to_pandas().modularity[0]
     assert got_join == got
+
+
+def test_harmonic_star_and_superstep_path(art, ray_session):
+    """Star K1,4: center H = 4; each leaf H = 1 + 3/2 = 2.5. Then on the
+    sf graph, the forced superstep-BFS path must equal the broadcast
+    path exactly (integer counts through the shuffle on both routes)."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines import centrality as ct
+    from graphsetintersection_ray.pipelines.graph import GraphArtifacts
+
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    df = pd.DataFrame(edges, columns=["src", "dst"]).astype("int32")
+    sym = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})]
+    )[["src", "dst"]]
+    star = GraphArtifacts(
+        transcripts=None, edges_str=None, vertices=None,
+        edges=rd.from_pandas(df), sym=rd.from_pandas(sym),
+        degrees=None, oriented=None, csr_path="",
+        n_vertices=5, n_edges=4, num_partitions=2,
+        csr_partitions=2, fingerprint="thar",
+    )
+    got = (
+        ct.harmonic(star).to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert got.harmonic.tolist() == [4.0, 2.5, 2.5, 2.5, 2.5]
+
+    sources = np.array([0, 3, 17, 41], np.int64)
+    base = (
+        ct.harmonic(art, sources=sources)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    old = ct.BC_BROADCAST_MAX_EDGES
+    ct.BC_BROADCAST_MAX_EDGES = 0
+    try:
+        dist = (
+            ct.harmonic(art, sources=sources)
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+    finally:
+        ct.BC_BROADCAST_MAX_EDGES = old
+    pd.testing.assert_frame_equal(base, dist, check_dtype=False)

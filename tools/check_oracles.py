@@ -1055,8 +1055,53 @@ def _check_approx_distinct(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_harmonic(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """harmonic vs an independent scalar deque-BFS replay: for every
+    vertex, Σ 1/dist over reachable peers summed in ascending-distance
+    order (the engine's value-defined order), 6-decimal parity."""
+    from collections import deque
+
+    import numpy as np
+
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    n = int(max(edf.src.max(), edf.dst.max())) + 1
+    adj = [[] for _ in range(n)]
+    for a, b in zip(edf.src, edf.dst):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    want = np.zeros(n)
+    for s in range(n):
+        dist = [-1] * n
+        dist[s] = 0
+        q = deque([s])
+        per_d: dict[int, int] = {}
+        while q:
+            u = q.popleft()
+            if dist[u] > 0:
+                per_d[dist[u]] = per_d.get(dist[u], 0) + 1
+            for w in adj[u]:
+                if dist[w] == -1:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        want[s] = sum(per_d[d] / d for d in sorted(per_d))
+    got = rdf.sort_values("v").reset_index(drop=True)
+    full = np.zeros(n)
+    full[got.v.to_numpy()] = got.harmonic.to_numpy()
+    max_diff = float(np.max(np.abs(full - np.round(want, 6))))
+    return {
+        "check": "independent_scalar_bfs_replay",
+        "rows": len(got),
+        "rows_equal_n_vertices": bool(len(got) == n),
+        "max_abs_diff": max_diff,
+        "pass": bool(max_diff <= 1e-9 and len(got) == n),
+    }
+
+
 SEMANTIC_CHECKS = {
     "pagerank": _check_pagerank,
+    "harmonic": _check_harmonic,
     "media_decode": _check_media_decode,
     "betweenness": _check_betweenness,
     "closeness": _check_closeness,
@@ -1158,9 +1203,19 @@ def main() -> None:
 
         out = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "NOORACLE_CHECKS.json")
+        # subset runs MERGE into an existing same-sf_dir file so a
+        # single-query check doesn't clobber the full gate's record
+        merged = semantic_results
+        if os.path.exists(out):
+            try:
+                with open(out) as f:
+                    prev = json.load(f)
+                if prev.get("sf_dir") == sf_dir:
+                    merged = {**prev.get("checks", {}), **semantic_results}
+            except (json.JSONDecodeError, OSError):
+                pass
         with open(out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "checks": semantic_results}, f,
-                      indent=1)
+            json.dump({"sf_dir": sf_dir, "checks": merged}, f, indent=1)
         print(f"semantic check results -> {out}")
     if failures:
         print("FAILURES:", failures)
