@@ -8,12 +8,12 @@ emit per-batch partial centrality rows, and reduce with one bounded
 (v) sum shuffle. Sources are value-defined (stride sampling) so runs
 are replayable.
 
-At-scale constraint (documented): the per-source pass probes a
-broadcast flat CSR, so graphs beyond object-store broadcast size need
-the superstep-BFS-per-source variant (distances via the BSP engine +
-join-based backward accumulation); like the reference's single-machine
-Brandes this round keeps the broadcast path and raises loudly above the
-threshold rather than silently degrading.
+Two gated paths, equal by test (like closeness/harmonic): under
+``BC_BROADCAST_MAX_EDGES`` the per-source pass probes a broadcast flat
+CSR; above it, per-source Brandes supersteps on the partitioned CSR
+(forward σ-BFS + reverse level-order dependency sweep in
+state/superstep.py) — no broadcast adjacency, so the at-scale graph
+runs with sources sampled exactly like pivot closeness.
 """
 
 from __future__ import annotations
@@ -96,22 +96,39 @@ def betweenness(
 
     from graphsetintersection_ray.stages.shuffle import sum_by
 
-    if 2 * art.n_edges > BC_BROADCAST_MAX_EDGES:
-        raise NotImplementedError(
-            "betweenness beyond broadcast size needs the superstep-BFS "
-            "per-source variant; raise GRAFT_BC_BROADCAST_MAX_EDGES only "
-            "if the flat CSR fits the object store"
-        )
     n = art.n_vertices
+    if n_sources is None or n_sources >= n:
+        _sources = np.arange(n, dtype=np.int64)
+        _scale = 1.0
+    else:
+        _stride = int(np.ceil(n / n_sources))
+        _sources = np.arange(0, n, _stride, dtype=np.int64)
+        _scale = n / len(_sources)
+    if 2 * art.n_edges > BC_BROADCAST_MAX_EDGES:
+        # AT-SCALE path: per-source Brandes supersteps on the partitioned
+        # CSR (forward σ-BFS + reverse dependency sweep, superstep.py),
+        # no broadcast adjacency. Same estimator semantics as below;
+        # production runs at open-domain scale sample sources.
+        from graphsetintersection_ray.pipelines.iterative import engine_for
+
+        eng = engine_for(art, None)
+        eng.brandes(_sources)
+
+        def finish_ss(t: pa.Table) -> pa.Table:
+            bc = t["part"].to_numpy(zero_copy_only=False) * (_scale / 2.0)
+            return pa.table(
+                {
+                    "v": t["v"].cast(pa.int32()),
+                    "bc": pa.array(round_half_away(bc, 6), pa.float64()),
+                }
+            )
+
+        return eng.brandes_dataset().map_batches(
+            finish_ss, batch_format="pyarrow"
+        )
     indptr, dst = _flat_csr(art)
     ref = _ray.put((indptr, dst))
-    if n_sources is None or n_sources >= n:
-        sources = np.arange(n, dtype=np.int64)
-        scale = 1.0
-    else:
-        stride = int(np.ceil(n / n_sources))
-        sources = np.arange(0, n, stride, dtype=np.int64)
-        scale = n / len(sources)
+    sources, scale = _sources, _scale
 
     def batch_bc(t: pa.Table) -> pa.Table:
         indptr_, dst_ = _ray.get(ref)

@@ -107,17 +107,16 @@ def build_graph_from_transcripts(
     if key in _CACHE:
         return _CACHE[key]
     transcripts = transcripts.materialize()
-    # bucket count sized by data: small inputs are fixed-cost bound (64
-    # one-row shuffle blocks per stage), big inputs need enough buckets
-    # that one bucket of conversations fits a worker heap. ~150k rows
-    # per bucket, floored at 8 and capped at 64 single-node (at real
-    # 100 TB scale raise GRAFT_DERIVE_BUCKETS so buckets stay heap-sized
-    # — bucket count is semantics-free).
+    # bucket count sized by data (shuffle.sized_buckets): ~150k rows per
+    # bucket in the small band where stage fixed cost dominates, growing
+    # linearly past 64 so one bucket of conversations ALWAYS fits a
+    # worker heap at any corpus size. GRAFT_DERIVE_BUCKETS pins it
+    # (bucket count is semantics-free).
+    from graphsetintersection_ray.stages.shuffle import sized_buckets
+
     n_rows = transcripts.count()
     num_buckets = int(
-        os.environ.get(
-            "GRAFT_DERIVE_BUCKETS", max(8, min(64, n_rows // 150_000 + 8))
-        )
+        os.environ.get("GRAFT_DERIVE_BUCKETS", sized_buckets(n_rows))
     )
     edges_str, vertices = gb.derive_graph_tables(
         transcripts, num_buckets=num_buckets
@@ -164,10 +163,12 @@ def build_graph_from_transcripts(
         # the CSR groupby is the ONE vertex-keyed shuffle of the build:
         # degrees fall out of it for free (list lengths), so no separate
         # degree sum-shuffle over the symmetric edge table
-        # shuffle fan-out sized by data (one bucket ~500k directed
-        # edges), floored at the partition count so every output
-        # partition gets its own reducer
-        csr_buckets = max(csr_partitions, min(64, 4 * n_edges // 500_000 + 8))
+        # shuffle fan-out sized by data (2·|E| symmetric rows, ~250k per
+        # bucket small-band, uncapped growth at scale), floored at the
+        # partition count so every output partition gets its own reducer
+        csr_buckets = max(
+            csr_partitions, sized_buckets(2 * n_edges, rows_per_bucket=250_000)
+        )
         csr = gb.build_csr(
             sym, num_partitions=csr_partitions, shuffle_buckets=csr_buckets
         ).materialize()

@@ -241,7 +241,11 @@ def ensure_directed_csr(art: GraphArtifacts) -> tuple[str, str]:
     def rev(t: _pa.Table) -> _pa.Table:
         return _pa.table({"src": t["dst"], "dst": t["src"]})
 
-    buckets = max(art.csr_partitions, min(64, 4 * art.n_edges // 500_000 + 8))
+    from graphsetintersection_ray.stages.shuffle import sized_buckets
+
+    buckets = max(
+        art.csr_partitions, sized_buckets(2 * art.n_edges, rows_per_bucket=250_000)
+    )
     for path, edges in (
         (out_path, art.edges),
         (in_path, art.edges.map_batches(rev, batch_format="pyarrow")),
@@ -317,7 +321,11 @@ def ensure_symmetric_csr_pair(art: GraphArtifacts) -> str:
         import shutil
 
         shutil.rmtree(sym_path)
-    buckets = max(art.csr_partitions, min(64, 4 * art.n_edges // 500_000 + 8))
+    from graphsetintersection_ray.stages.shuffle import sized_buckets
+
+    buckets = max(
+        art.csr_partitions, sized_buckets(2 * art.n_edges, rows_per_bucket=250_000)
+    )
     csr = gb.build_csr(
         art.sym, num_partitions=art.csr_partitions, shuffle_buckets=buckets
     )
@@ -400,6 +408,10 @@ def effective_diameter(art: GraphArtifacts, alpha: float = 0.9) -> pa.Table:
     Driver work is O(diameter) on the tiny nf table."""
     tbl, _ = neighborhood_function(art)
     nf = tbl["est_reachable"].to_numpy(zero_copy_only=False)
+    # HLL estimates can dip locally when a radius crosses the
+    # linear-counting/raw-estimate switch; searchsorted assumes a sorted
+    # series, so enforce monotonicity (preserves the fixpoint value)
+    nf = np.maximum.accumulate(nf)
     target = alpha * nf[-1]
     t = int(np.searchsorted(nf, target))
     if t == 0:

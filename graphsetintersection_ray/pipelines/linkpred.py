@@ -863,6 +863,15 @@ def modularity(art, labels: ray.data.Dataset | None = None) -> ray.data.Dataset:
 
     if broadcast:
         ldf = labels.to_pandas()
+        if len(ldf) != art.n_vertices:
+            # a dense scatter would silently assign community 0 to any
+            # vertex missing from a caller-supplied partition, skewing
+            # both the intra-edge and degree sums — fail loudly instead
+            raise ValueError(
+                f"modularity labels cover {len(ldf)} of "
+                f"{art.n_vertices} vertices; the partition must label "
+                "every vertex"
+            )
         lab_vec = np.zeros(art.n_vertices, np.int64)
         lab_vec[ldf["v"].to_numpy()] = ldf["label"].to_numpy()
         lab_ref = _ray.put(lab_vec)

@@ -250,17 +250,18 @@ def _attach_pair_counts(
 
 
 def _sized_buckets(n_rows: int, rows_per_bucket: int = 250_000) -> int:
-    """Shuffle fan-out sized by data volume: small inputs are fixed-cost
-    bound (64 near-empty blocks per stage measured 2x slower than 8 at
-    sf0.01), big inputs need buckets that fit a worker heap. Floor 8,
-    cap 64 single-node; raise GRAFT_DEDUP_BUCKETS at real multi-node
-    scale (bucket count is semantics-free)."""
+    """Shuffle fan-out sized by data volume (shared shuffle.sized_buckets
+    rule: ~rows_per_bucket rows per bucket in the small band, then grows
+    linearly past 64 so a bucket always fits a worker heap). Pin with
+    GRAFT_DEDUP_BUCKETS if needed (bucket count is semantics-free)."""
     import os
 
     env = os.environ.get("GRAFT_DEDUP_BUCKETS")
     if env:
         return int(env)
-    return max(8, min(64, n_rows // rows_per_bucket + 8))
+    from graphsetintersection_ray.stages.shuffle import sized_buckets
+
+    return sized_buckets(n_rows, rows_per_bucket=rows_per_bucket)
 
 
 def jaccard_pairs(
@@ -1085,9 +1086,15 @@ def ngram_decontaminate(
         )
 
     def mark_bench(t: pa.Table) -> pa.Table:
+        # sentinel -1 (not null): a nullable int64 column would upcast
+        # to float64 in the pandas group stage and silently corrupt
+        # corpus doc_ids above 2^53; bench rows never reach the output
+        # (filtered by __bench == 0) so the sentinel is unobservable
         return pa.table(
             {
-                "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "doc_id": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()
+                ),
                 "shingle": t["shingle"],
                 "__bench": pa.array(np.ones(t.num_rows, np.int8)),
             }

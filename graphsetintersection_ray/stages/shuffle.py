@@ -13,11 +13,46 @@ worker heap at scale (buckets are fully independent).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+# Above the small-input band, one bucket holds at most this many rows —
+# bucket count GROWS with data so per-bucket (per-reducer) memory stays
+# flat at any corpus size instead of scaling as input/64.
+TARGET_ROWS_PER_BUCKET = int(
+    os.environ.get("GRAFT_TARGET_ROWS_PER_BUCKET", 2_000_000)
+)
+
+
+def sized_buckets(
+    n_rows: int,
+    rows_per_bucket: int = 150_000,
+    floor: int = 8,
+    small_cap: int = 64,
+) -> int:
+    """Shuffle fan-out derived from a row estimate.
+
+    Small inputs are FIXED-COST bound (64 near-empty shuffle blocks per
+    stage measured ~2x slower than 8 at sf0.01), so they get
+    ``floor``..``small_cap`` buckets of ~``rows_per_bucket`` rows. Large
+    inputs leave the cap behind: bucket count grows linearly as
+    ``n_rows / TARGET_ROWS_PER_BUCKET`` (uncapped), so a bucket — the
+    unit one reducer holds in heap — never exceeds ~2M rows at ANY
+    scale. (A fixed 64-bucket fan-out makes per-bucket memory grow
+    linearly with the corpus and blows a worker heap at 100x.)"""
+    n_rows = int(n_rows)
+    return int(
+        max(
+            floor,
+            min(small_cap, n_rows // rows_per_bucket + floor),
+            n_rows // TARGET_ROWS_PER_BUCKET,
+        )
+    )
 
 
 def _add_bucket(batch: pd.DataFrame, cols: list[str], num_buckets: int) -> pd.DataFrame:

@@ -760,7 +760,13 @@ def centroid_sim(embs: rd.Dataset) -> rd.Dataset:
     for lbl, cs in zip(parts["label"], parts["csum"]):
         v = np.asarray(cs, np.int64)
         cent[int(lbl)] = cent.get(int(lbl), 0) + v
-    cent_n2 = {k: float(np.dot(v, v)) for k, v in cent.items()}
+    # exact arbitrary-precision norm: int64 np.dot would silently wrap —
+    # the norm grows as dim*(N*1000*max|v|)^2, past 2^63 around ~10^7
+    # vectors per label. Python ints match the oracle's HUGEINT sum
+    # exactly before the single double conversion.
+    cent_n2 = {
+        k: float(sum(int(x) * int(x) for x in v)) for k, v in cent.items()
+    }
     cent_ref = ray.put((cent, cent_n2))
 
     def sims(t: pa.Table) -> pa.Table:

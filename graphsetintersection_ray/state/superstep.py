@@ -427,6 +427,114 @@ class PartitionWorker:
             {"v": pa.array(self.u), "ball": pa.array(self._hb_estimates())}
         )
 
+    # -- Brandes betweenness (forward σ-BFS + reverse dependency sweep) ------
+    # The at-scale path: per-source supersteps on the SAME partitioned CSR
+    # (no broadcast adjacency). Forward: level-synchronous BFS that also
+    # accumulates σ (shortest-path counts) — all of a vertex's level-L
+    # predecessors fire in the same superstep, so one additive apply per
+    # level is exact. Backward: vertices at level L send (1+δ_w)/σ_w along
+    # every edge; only receivers at level L−1 accept (that filter IS the
+    # shortest-path DAG), accumulating δ_u += σ_u · Σ incoming.
+
+    def brandes_reset(self) -> None:
+        self.bc_acc = np.zeros(len(self.u), np.float64)
+
+    def brandes_init(self, source: int) -> None:
+        self.br_dist = np.full(len(self.u), self.UNREACHED, np.int64)
+        self.br_sigma = np.zeros(len(self.u), np.float64)
+        self.br_delta = np.zeros(len(self.u), np.float64)
+        self.br_source = source
+        idx = np.searchsorted(self.u, source)
+        if idx < len(self.u) and self.u[idx] == source:
+            self.br_dist[idx] = 0
+            self.br_sigma[idx] = 1.0
+
+    def _edge_messages_from(
+        self, mask: np.ndarray, per_vertex_val: np.ndarray
+    ) -> list[pa.Table]:
+        """(dst, val) float messages along every edge of the masked
+        vertices, sum-combined per destination BEFORE the shuffle (same
+        combiner shape as compute_messages)."""
+        lens = np.diff(self.offsets)
+        per_edge_mask = np.repeat(mask, lens)
+        per_edge_val = np.repeat(per_vertex_val, lens)
+        out = []
+        for q in range(self.P):
+            sel = self._dst_sel[q]
+            selm = sel[per_edge_mask[sel]]
+            dsts = self.flat[selm]
+            vals = per_edge_val[selm]
+            if len(dsts) == 0:
+                out.append(
+                    pa.table(
+                        {
+                            "dst": pa.array([], pa.int64()),
+                            "val": pa.array([], pa.float64()),
+                        }
+                    )
+                )
+                continue
+            uniq, inv = np.unique(dsts, return_inverse=True)
+            red = np.bincount(inv, weights=vals, minlength=len(uniq))
+            out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
+        return out
+
+    def brandes_forward_messages(self, level: int) -> list[pa.Table]:
+        mask = self.br_dist == level
+        return self._edge_messages_from(mask, self.br_sigma)
+
+    def brandes_forward_apply(self, level: int, *tables: pa.Table) -> int:
+        """Apply σ messages sent by the level-``level`` frontier: targets
+        still unreached become level+1 and sum σ; targets already set to
+        level+1 by an earlier table in this same superstep keep summing.
+        Returns the number of newly discovered vertices."""
+        newly = 0
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.u, dst)
+            ok = (self.br_dist[idx] == self.UNREACHED) | (
+                self.br_dist[idx] == level + 1
+            )
+            idx, val = idx[ok], val[ok]
+            newly += int((self.br_dist[idx] == self.UNREACHED).sum())
+            self.br_dist[idx] = level + 1
+            np.add.at(self.br_sigma, idx, val)
+        return newly
+
+    def brandes_backward_messages(self, level: int) -> list[pa.Table]:
+        mask = self.br_dist == level
+        val = np.where(
+            mask & (self.br_sigma > 0),
+            (1.0 + self.br_delta) / np.maximum(self.br_sigma, 1.0e-300),
+            0.0,
+        )
+        return self._edge_messages_from(mask, val)
+
+    def brandes_backward_apply(self, level: int, *tables: pa.Table) -> None:
+        inc = np.zeros(len(self.u), np.float64)
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            np.add.at(inc, np.searchsorted(self.u, dst), val)
+        ok = self.br_dist == level - 1
+        self.br_delta[ok] += self.br_sigma[ok] * inc[ok]
+
+    def brandes_accumulate(self) -> None:
+        d = self.br_delta
+        idx = np.searchsorted(self.u, self.br_source)
+        if idx < len(self.u) and self.u[idx] == self.br_source:
+            d = d.copy()
+            d[idx] = 0.0
+        self.bc_acc += d
+
+    def brandes_table(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.u), "part": pa.array(self.bc_acc)})
+
 
 class SuperstepEngine:
     """Drives P PartitionWorkers through BSP supersteps with per-iteration
@@ -750,6 +858,73 @@ class SuperstepEngine:
                 break
             nf.append(float(sum(r["sum_est"] for r in results)))
         return {"nf": nf, "radius": len(nf) - 1, "sec": time.time() - t0}
+
+    def brandes(self, sources, max_levels: int = 500) -> dict:
+        """Accumulate per-source Brandes dependency vectors over
+        ``sources`` with forward σ-BFS + reverse dependency supersteps on
+        the partitioned CSR — the no-broadcast at-scale betweenness path.
+        Cost: |sources| × 2·diameter barriers; production runs sample
+        sources (the standard pivot estimator) exactly like closeness."""
+        ray.get([w.brandes_reset.remote() for w in self.workers])
+        stats = {"sources": 0, "supersteps": 0}
+        t0 = time.time()
+        for s in sources:
+            ray.get([w.brandes_init.remote(int(s)) for w in self.workers])
+            level = 0
+            while True:
+                msgs = [
+                    w.brandes_forward_messages.options(
+                        num_returns=self.P
+                    ).remote(level)
+                    for w in self.workers
+                ]
+                if self.P == 1:
+                    msgs = [[r] for r in msgs]
+                newly = ray.get(
+                    [
+                        w.brandes_forward_apply.remote(
+                            level, *[msgs[p][q] for p in range(self.P)]
+                        )
+                        for q, w in enumerate(self.workers)
+                    ]
+                )
+                stats["supersteps"] += 1
+                if sum(newly) == 0:
+                    break
+                level += 1
+                if level > max_levels:
+                    raise RuntimeError(
+                        f"brandes forward pass exceeded {max_levels} levels"
+                    )
+            for L in range(level, 0, -1):
+                msgs = [
+                    w.brandes_backward_messages.options(
+                        num_returns=self.P
+                    ).remote(L)
+                    for w in self.workers
+                ]
+                if self.P == 1:
+                    msgs = [[r] for r in msgs]
+                ray.get(
+                    [
+                        w.brandes_backward_apply.remote(
+                            L, *[msgs[p][q] for p in range(self.P)]
+                        )
+                        for q, w in enumerate(self.workers)
+                    ]
+                )
+                stats["supersteps"] += 1
+            ray.get([w.brandes_accumulate.remote() for w in self.workers])
+            stats["sources"] += 1
+        stats["sec"] = time.time() - t0
+        return stats
+
+    def brandes_dataset(self):
+        """(v, part) accumulated dependency sums as a Ray Dataset — one
+        block per partition, no driver concatenation."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs([w.brandes_table.remote() for w in self.workers])
 
     def hb_dataset(self):
         """(v, ball) final per-vertex ball-size estimates as a Dataset."""

@@ -830,6 +830,69 @@ def test_grouped_apply_string_keys_and_empty_buckets(ray_session):
     assert list(out.n) == list(ref.n.astype(int))
 
 
+def test_sized_buckets_flat_per_bucket_memory():
+    """Bucket count derives from the row estimate: fixed-cost-bound
+    small band (8..64 buckets of ~rows_per_bucket rows), then linear
+    growth so per-bucket rows never exceed the target at ANY scale —
+    the round-3 fixed num_buckets=64 default made bucket size grow
+    with the corpus."""
+    from graphsetintersection_ray.stages.shuffle import (
+        TARGET_ROWS_PER_BUCKET,
+        sized_buckets,
+    )
+
+    assert sized_buckets(0) == 8
+    assert sized_buckets(100_000) == 8
+    assert sized_buckets(5_000_000) == 5_000_000 // 150_000 + 8
+    assert sized_buckets(20_000_000) == max(64, 20_000_000 // TARGET_ROWS_PER_BUCKET)
+    for rows in (10**9, 10**11, 10**13):
+        nb = sized_buckets(rows)
+        assert nb == rows // TARGET_ROWS_PER_BUCKET
+        assert rows / nb <= 1.001 * TARGET_ROWS_PER_BUCKET
+
+
+def test_bucket_count_invariance(ray_session):
+    """distinct_by / sum_by / counted_groups give identical results at a
+    forced-tiny bucket target and at the default fan-out (bucket count
+    is semantics-free)."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import (
+        counted_groups,
+        distinct_by,
+        sum_by,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, size=2000),
+            "x": rng.integers(0, 9, size=2000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    for nb_a, nb_b in ((64, 3), (64, 1)):
+        a = distinct_by(ds, ["k"], num_buckets=nb_a).to_pandas()
+        b = distinct_by(ds, ["k"], num_buckets=nb_b).to_pandas()
+        assert sorted(a.k) == sorted(b.k)
+        sa = sum_by(ds, ["k"], "x", num_buckets=nb_a).to_pandas().sort_values("k")
+        sb = sum_by(ds, ["k"], "x", num_buckets=nb_b).to_pandas().sort_values("k")
+        assert list(sa.x) == list(sb.x)
+        ca = (
+            counted_groups(ds, ["k"], num_buckets=nb_a)
+            .to_pandas()
+            .sort_values("k")
+        )
+        cb = (
+            counted_groups(ds, ["k"], num_buckets=nb_b)
+            .to_pandas()
+            .sort_values("k")
+        )
+        assert list(ca["count"]) == list(cb["count"])
+    ref = df.groupby("k")["x"].sum()
+    assert list(sa.x) == list(ref.loc[sa.k].astype(int))
+
+
 def test_as_of_join_ties_and_missing(ray_session):
     """Backward as-of semantics: equal-ts ties go to the highest
     event_id, purchases before any click are dropped, users never mix."""

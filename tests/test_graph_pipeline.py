@@ -1102,6 +1102,36 @@ def test_closeness_superstep_path_equals_broadcast(art, ray_session):
     pd.testing.assert_frame_equal(base, dist, check_dtype=False)
 
 
+def test_betweenness_superstep_path_equals_broadcast(art, ray_session):
+    """Force the per-source Brandes superstep path (zero threshold) and
+    check it matches the broadcast flat-CSR path to 1e-6 — exact
+    (all-sources) AND stride-sampled estimator."""
+    from graphsetintersection_ray.pipelines import centrality as ct
+
+    for n_sources in (None, 13):
+        base = (
+            ct.betweenness(art, n_sources=n_sources)
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        old = ct.BC_BROADCAST_MAX_EDGES
+        ct.BC_BROADCAST_MAX_EDGES = 0
+        try:
+            dist = (
+                ct.betweenness(art, n_sources=n_sources)
+                .to_pandas()
+                .sort_values("v")
+                .reset_index(drop=True)
+            )
+        finally:
+            ct.BC_BROADCAST_MAX_EDGES = old
+        assert np.array_equal(base.v.to_numpy(), dist.v.to_numpy())
+        assert np.allclose(
+            base.bc.to_numpy(), dist.bc.to_numpy(), atol=1e-6
+        )
+
+
 def test_effective_diameter_path_graph(ray_session):
     """Path 0-1-2-3: exact nf = [4, 10, 14, 16]; 90% target 14.4 lands
     between radii 2 and 3 -> interpolated 2.2. HLL at these tiny

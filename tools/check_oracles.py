@@ -1086,10 +1086,14 @@ def _check_harmonic(sf_dir: str, rdf: pd.DataFrame) -> dict:
                     dist[w] = dist[u] + 1
                     q.append(w)
         want[s] = sum(per_d[d] / d for d in sorted(per_d))
+    from graphsetintersection_ray.functions.kernels import round_half_away
+
     got = rdf.sort_values("v").reset_index(drop=True)
     full = np.zeros(n)
     full[got.v.to_numpy()] = got.harmonic.to_numpy()
-    max_diff = float(np.max(np.abs(full - np.round(want, 6))))
+    # round the replay the way the engine does (half-away-from-zero) —
+    # np.round is half-to-even and would spuriously fail a .5 tie
+    max_diff = float(np.max(np.abs(full - round_half_away(want, 6))))
     return {
         "check": "independent_scalar_bfs_replay",
         "rows": len(got),
