@@ -1881,8 +1881,81 @@ roots AS (
 """
 )
 
+# k-core decomposition as a recursive peel carried on the EDGE set: each
+# iteration recomputes remaining degrees with window functions over the
+# working table; vertices with deg < k drop out as tombstone rows
+# (core = k-1), vertices orphaned of every edge at threshold k tombstone
+# at the same k (their residual degree hits 0 < k in the cascade).
+# Matches cliques.py::coreness (Matula-Beck, deg <= k ⟺ deg < k+1).
+_CORENESS_SQL = _with("""
+peelres AS (
+  WITH RECURSIVE peel(a, b, k, tomb) AS (
+    SELECT src, dst, CAST(1 AS BIGINT), false FROM sym
+    UNION ALL
+    (
+      WITH cur AS (SELECT a, b, k FROM peel WHERE NOT tomb),
+      w1 AS (SELECT a, b, k, count(*) OVER (PARTITION BY a) AS da FROM cur),
+      w2 AS (SELECT a, b, k, da, count(*) OVER (PARTITION BY b) AS db,
+                    min(da) OVER () AS mindeg FROM w1)
+      SELECT * FROM (
+        SELECT a, b, CASE WHEN mindeg < k THEN k ELSE k + 1 END AS k,
+               false AS tomb
+        FROM w2 WHERE mindeg >= k OR (da >= k AND db >= k)
+        UNION ALL
+        SELECT DISTINCT a, NULL, k, true FROM w2 WHERE mindeg < k AND da < k
+        UNION ALL
+        SELECT a, NULL, k, true FROM w2
+        WHERE mindeg < k AND da >= k
+        GROUP BY a, k HAVING count(*) FILTER (WHERE db >= k) = 0
+      )
+    )
+  )
+  SELECT a AS v, max(k) - 1 AS core FROM peel WHERE tomb GROUP BY a
+)
+SELECT d.v, coalesce(p.core, 0) AS core
+FROM deg d LEFT JOIN peelres p ON p.v = d.v
+""")
+
+# k-truss decomposition as a recursive support peel over canonical edges:
+# each iteration recomputes per-edge triangle support (self-join of the
+# symmetric working set on the shared neighbor), lifts k to min_support+2
+# when the cascade drains a level, and tombstones edges with
+# support <= k-2 at the lifted k. Matches linkpred.py::trussness.
+_TRUSSNESS_SQL = _with("""
+trussres AS (
+  WITH RECURSIVE peel(a, b, k, tomb) AS (
+    SELECT src, dst, CAST(2 AS BIGINT), false FROM edges
+    UNION ALL
+    (
+      WITH cur AS (SELECT a, b, k FROM peel WHERE NOT tomb),
+      s AS (SELECT a, b FROM cur UNION ALL SELECT b, a FROM cur),
+      tri AS (
+        SELECT s1.a AS a, s2.a AS b, count(*) AS supp
+        FROM s s1 JOIN s s2 ON s1.b = s2.b AND s1.a < s2.a
+        GROUP BY s1.a, s2.a
+      ),
+      sup AS (
+        SELECT e.a, e.b, e.k, coalesce(t.supp, 0) AS supp
+        FROM cur e LEFT JOIN tri t ON t.a = e.a AND t.b = e.b
+      ),
+      m AS (SELECT min(supp) AS smin FROM sup)
+      SELECT a, b, nk, (supp <= nk - 2) AS tomb FROM (
+        SELECT sup.a, sup.b, sup.supp,
+               CASE WHEN m.smin > sup.k - 2 THEN m.smin + 2 ELSE sup.k END
+                 AS nk
+        FROM sup, m
+      )
+    )
+  )
+  SELECT a AS u, b AS v, max(k) AS truss FROM peel WHERE tomb GROUP BY a, b
+)
+SELECT u, v, truss FROM trussres
+""")
+
 ORACLE_SQL = {
     "transcripts": TRANSCRIPTS_SQL,
+    "coreness": _CORENESS_SQL,
+    "trussness": _TRUSSNESS_SQL,
     "edge_table": _with("SELECT src_key, dst_key FROM e_all"),
     "vertex_encoding": _with("SELECT key, vid FROM verts"),
     "edges_int": _with("SELECT src, dst FROM edges"),

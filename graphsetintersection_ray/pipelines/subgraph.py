@@ -63,8 +63,78 @@ class QueryGraph:
         ]
 
 
+def reorder_connected(labels, edges, start: int = 0) -> QueryGraph:
+    """Relabel an arbitrary connected query graph into QueryGraph's
+    expansion contract (every vertex adjacent to an earlier one) via BFS
+    from ``start``. A pure vertex relabeling: the set of embeddings is
+    permuted, so match COUNTS are unchanged."""
+    labels = list(labels)
+    n = len(labels)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    order = [start]
+    seen = {start}
+    qi = 0
+    while qi < len(order):
+        u = order[qi]
+        qi += 1
+        for w in sorted(adj[u]):
+            if w not in seen:
+                seen.add(w)
+                order.append(w)
+    if len(order) != n:
+        raise ValueError(
+            f"query graph is disconnected ({len(order)} of {n} vertices "
+            "reachable) — the level-expansion matcher needs a connected "
+            "pattern"
+        )
+    pos = {old: new for new, old in enumerate(order)}
+    new_edges = tuple(
+        sorted(tuple(sorted((pos[a], pos[b]))) for a, b in edges)
+    )
+    return QueryGraph(
+        labels=tuple(labels[old] for old in order), edges=new_edges
+    )
+
+
+def parse_query_file(text: str) -> list[QueryGraph]:
+    """Parse the reference's ``.sm.queries`` format (sm.cpp:15-43, S6
+    parity): repeated whitespace-separated blocks of
+    ``v_num e_num``, then ``v_num`` per-vertex labels, then ``e_num``
+    ``u v`` edge pairs (canonicalized u < v, as the reference does).
+    Each parsed query is BFS-reordered into the matcher's expansion
+    contract — counts are order-invariant."""
+    toks = text.split()
+    out: list[QueryGraph] = []
+    i = 0
+    while i < len(toks):
+        v_num, e_num = int(toks[i]), int(toks[i + 1])
+        i += 2
+        labels = [int(t) for t in toks[i : i + v_num]]
+        i += v_num
+        edges = []
+        for _ in range(e_num):
+            u, v = int(toks[i]), int(toks[i + 1])
+            i += 2
+            edges.append((u, v) if u < v else (v, u))
+        out.append(reorder_connected(labels, edges))
+    return out
+
+
+def load_query_graphs(path: str) -> dict[str, QueryGraph]:
+    """Load user query graphs from a reference-format file; queries are
+    named ``q0``, ``q1``, ... in file order (sm.cpp answers them by
+    index)."""
+    with open(path) as f:
+        qs = parse_query_file(f.read())
+    return {f"q{i}": q for i, q in enumerate(qs)}
+
+
 # The reference's query workloads are generated files (gen_queries.py);
 # ours are fixed named patterns over the entity-type label alphabet.
+# Arbitrary user patterns load via ``load_query_graphs`` (S6 parity).
 QUERY_GRAPHS = {
     # conv - tool - conv path: two conversations sharing a tool
     "path_ctc": QueryGraph(labels=(1, 3, 1), edges=((0, 1), (1, 2))),

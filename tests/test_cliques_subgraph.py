@@ -138,6 +138,56 @@ def test_subgraph_match_vs_bruteforce(art):
             sg.BROADCAST_MAX_EDGES = old
 
 
+def test_query_file_loader_matches_named_patterns(art, tmp_path):
+    """S6 parity (sm.cpp:15-43): a reference-format query file with
+    PERMUTED vertex numbering parses, BFS-reorders into the expansion
+    contract, and match-counts equal the equivalent named patterns."""
+    from graphsetintersection_ray.pipelines.subgraph import (
+        QUERY_GRAPHS,
+        load_query_graphs,
+        match_count,
+        parse_query_file,
+        reorder_connected,
+    )
+
+    # tri_ctt = labels (1,3,3), triangle — here written with the conv
+    # vertex LAST and edges in reversed order; path_ctc = labels (1,3,1)
+    # path through the tool — written tool-first (disconnected prefix
+    # order that the loader must fix).
+    spec = """
+    3 3
+    3 3 1
+    2 1
+    2 0
+    1 0
+    3 2
+    3 1 1
+    0 1
+    0 2
+    """
+    qs = parse_query_file(spec)
+    assert len(qs) == 2
+    got_tri = match_count(art, qs[0])
+    want_tri = match_count(art, QUERY_GRAPHS["tri_ctt"])
+    # counts are per ordered embedding; both patterns have the same
+    # automorphism count, so totals match exactly
+    assert got_tri == want_tri > 0
+    got_path = match_count(art, qs[1])
+    want_path = match_count(art, QUERY_GRAPHS["path_ctc"])
+    assert got_path == want_path > 0
+
+    # file round-trip + naming
+    p = tmp_path / "user.sm.queries"
+    p.write_text(spec)
+    loaded = load_query_graphs(str(p))
+    assert set(loaded) == {"q0", "q1"}
+    assert loaded["q0"] == qs[0]
+
+    # the loader refuses disconnected patterns loudly
+    with pytest.raises(ValueError, match="disconnected"):
+        reorder_connected([0, 1, 2], [(0, 1)])
+
+
 def test_bfs_distances_vs_bfs(art):
     from graphsetintersection_ray.pipelines.iterative import bfs_distances
 

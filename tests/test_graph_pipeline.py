@@ -1102,6 +1102,33 @@ def test_closeness_superstep_path_equals_broadcast(art, ray_session):
     pd.testing.assert_frame_equal(base, dist, check_dtype=False)
 
 
+def test_coreness_trussness_match_recursive_sql(art, ray_session):
+    """The recursive-CTE peel oracles (edge-set core peel with window
+    degrees; support peel with min-lift) reproduce the engine's k-core
+    and k-truss decompositions exactly at sf0.001."""
+    import duckdb
+
+    from graphsetintersection_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+
+    eng = QUERIES["coreness"](SF).to_pandas().sort_values("v")
+    orc = con.execute(ORACLE_SQL["coreness"]).df().sort_values("v")
+    assert list(eng.core) == list(orc.core)
+
+    engt = (
+        QUERIES["trussness"](SF)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    orct = con.execute(ORACLE_SQL["trussness"]).df().sort_values(["u", "v"])
+    assert list(engt.u) == list(orct.u)
+    assert list(engt.v) == list(orct.v)
+    assert list(engt.truss) == list(orct.truss)
+
+
 def test_betweenness_superstep_path_equals_broadcast(art, ray_session):
     """Force the per-source Brandes superstep path (zero threshold) and
     check it matches the broadcast flat-CSR path to 1e-6 — exact
