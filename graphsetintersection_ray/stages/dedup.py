@@ -103,15 +103,77 @@ def _exploded_shingles(batch: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates()
 
 
-def shingle_table(batch: pd.DataFrame) -> pa.Table:
-    """(doc_id, shingle) — distinct word-w-shingles per document."""
-    df = _exploded_shingles(batch)
-    return pa.table(
+_SHINGLE_SCHEMA = pa.schema(
+    [pa.field("doc_id", pa.int64()), pa.field("shingle", pa.string())]
+)
+
+
+def shingle_table(batch) -> pa.Table:
+    """(doc_id, shingle) — distinct word-w-shingles per document.
+
+    Arrow-native hot path (the explode feeding jaccard/minhash):
+    lowercase / token-split / w-gram join all run as Arrow C++ kernels
+    over the zero-copy batch (``replace_substring_regex`` + ``split`` +
+    ``binary_join_element_wise`` on the flat token array shifted against
+    itself), and the per-doc DISTINCT is one Arrow hash-aggregate — no
+    per-batch Arrow→pandas hop, no Python-object token lists. Equality
+    with the pandas ``_exploded_shingles`` reference is pytest-gated."""
+    import pyarrow.compute as pc
+
+    if isinstance(batch, pd.DataFrame):
+        doc_ids = pa.array(batch["doc_id"].to_numpy(), pa.int64())
+        texts = pa.array(batch["text"].to_numpy(object), pa.string())
+    else:
+        doc_ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+        texts = batch["text"].combine_chunks()
+    n = len(doc_ids)
+    if n == 0:
+        return _SHINGLE_SCHEMA.empty_table()
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), "[^a-z0-9_]+", " "
+    )
+    toks = pc.split_pattern(pc.utf8_trim(cleaned, " "), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    raw_flat = toks.values
+    raw_offs = toks.offsets.to_numpy().astype(np.int64)
+    # an empty/whitespace-only doc splits to one "" token — drop those
+    # (every raw list has >= 1 slot, so reduceat's indices are strict)
+    keep = pc.not_equal(raw_flat, "")
+    flat = raw_flat.filter(keep)
+    lens = np.add.reduceat(
+        keep.to_numpy(zero_copy_only=False).astype(np.int64), raw_offs[:-1]
+    )
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    total = len(flat)
+
+    doc_parts: list[pa.Array] = []
+    sh_parts: list[pa.Array] = []
+    if total >= SHINGLE_W:
+        m = total - (SHINGLE_W - 1)
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, m), flat.slice(1, m), flat.slice(2, m), " "
+        )
+        valid = doc_idx[:m] == doc_idx[SHINGLE_W - 1 :]
+        doc_parts.append(doc_ids.take(pa.array(doc_idx[:m][valid])))
+        sh_parts.append(grams.filter(pa.array(valid)))
+    short = np.flatnonzero((lens > 0) & (lens < SHINGLE_W))
+    if len(short):
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), pa.int32()), flat
+        )
+        doc_parts.append(doc_ids.take(pa.array(short)))
+        sh_parts.append(pc.binary_join(lists.take(pa.array(short)), " "))
+    if not doc_parts:
+        return _SHINGLE_SCHEMA.empty_table()
+    tbl = pa.table(
         {
-            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-            "shingle": pa.array(df["shingle"].to_numpy(object), pa.string()),
+            "doc_id": pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in doc_parts]),
+            "shingle": pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in sh_parts]),
         }
     )
+    return tbl.group_by(["doc_id", "shingle"]).aggregate([])
 
 
 def _hash_strings(arr: np.ndarray) -> np.ndarray:
@@ -279,7 +341,7 @@ def jaccard_pairs(
     pairs, and dropping hub shingles (df > max_df) bounds that blowup at
     the cost of losing pairs whose overlap is carried ONLY by hub
     shingles (near-zero discriminative signal)."""
-    sh = docs.map_batches(shingle_table, batch_format="pandas").materialize()
+    sh = docs.map_batches(shingle_table, batch_format="pyarrow").materialize()
 
     from graphsetintersection_ray.stages.shuffle import counted_groups, grouped_apply
 
@@ -306,7 +368,7 @@ def hot_shingles(docs: rd.Dataset, max_df: int = DEFAULT_MAX_DF) -> rd.Dataset:
     """(shingle, df) diagnostics: shingles the skew guard would drop."""
     from graphsetintersection_ray.stages.shuffle import counted_groups
 
-    sh = docs.map_batches(shingle_table, batch_format="pandas")
+    sh = docs.map_batches(shingle_table, batch_format="pyarrow")
     dfs = counted_groups(sh, ["shingle"], count_col="df")
     return dfs.filter(expr=f"df > {int(max_df)}")
 
@@ -457,7 +519,7 @@ def minhash_lsh_pairs(
         ["doc_id"],
         num_buckets=nb,
     )
-    sh = docs.map_batches(shingle_table, batch_format="pandas")
+    sh = docs.map_batches(shingle_table, batch_format="pyarrow")
     sh_cand = compact_blocks(sh).join(
         compact_blocks(cand_docs),
         join_type="inner",

@@ -194,11 +194,20 @@ def as_of_join(
         ]
     )
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["event_type"].isin([left_type, right_type])
-        b = b.loc[keep, ["event_id", "ts", "user_id", "event_type"]].copy()
-        b["__bucket"] = (b["user_id"].to_numpy(np.int64) % num_buckets)
-        return b
+    def pick(t: pa.Table) -> pa.Table:
+        # Arrow-native map-side projection: the WHOLE events table flows
+        # through here, so filter/select/bucket run as Arrow kernels on
+        # the zero-copy batch instead of a full pandas conversion
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array([left_type, right_type])
+        )
+        t = t.filter(keep).select(["event_id", "ts", "user_id", "event_type"])
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__bucket", pa.array(uid % num_buckets, pa.int64())
+        )
 
     def join_bucket(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
@@ -237,7 +246,7 @@ def as_of_join(
         )
 
     return bucket_groups(
-        events.map_batches(pick, batch_format="pandas"),
+        events.map_batches(pick, batch_format="pyarrow"),
         join_bucket,
         num_buckets,
     )
@@ -272,11 +281,20 @@ def range_join_counts(
         ]
     )
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["event_type"].isin([left_type, right_type])
-        b = b.loc[keep, ["event_id", "ts", "user_id", "event_type"]].copy()
-        b["__bucket"] = b["user_id"].to_numpy(np.int64) % num_buckets
-        return b
+    def pick(t: pa.Table) -> pa.Table:
+        # Arrow-native map-side projection: the WHOLE events table flows
+        # through here, so filter/select/bucket run as Arrow kernels on
+        # the zero-copy batch instead of a full pandas conversion
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array([left_type, right_type])
+        )
+        t = t.filter(keep).select(["event_id", "ts", "user_id", "event_type"])
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__bucket", pa.array(uid % num_buckets, pa.int64())
+        )
 
     def count_bucket(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
@@ -326,7 +344,7 @@ def range_join_counts(
         )
 
     return bucket_groups(
-        events.map_batches(pick, batch_format="pandas"),
+        events.map_batches(pick, batch_format="pyarrow"),
         count_bucket,
         num_buckets,
     )

@@ -830,6 +830,48 @@ def test_grouped_apply_string_keys_and_empty_buckets(ray_session):
     assert list(out.n) == list(ref.n.astype(int))
 
 
+def test_arrow_shingle_table_equals_pandas_reference():
+    """The Arrow-kernel shingle explode (the hot map stage feeding
+    jaccard/minhash) must emit exactly the pandas reference's distinct
+    (doc_id, shingle) set — including empty, whitespace-only and
+    short (<w tokens) documents."""
+    import pyarrow as pa
+
+    from graphsetintersection_ray.stages.dedup import (
+        _exploded_shingles,
+        shingle_table,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = pd.DataFrame(
+        {
+            "doc_id": [10**9 + 1, 10**9 + 2, 10**9 + 3, 10**9 + 4],
+            "text": ["", "   ", "Hello", "ONE two-Three  four"],
+        }
+    )
+    for c in docs.columns:
+        if c not in extra.columns:
+            extra[c] = None
+    docs = pd.concat([docs, extra[docs.columns]], ignore_index=True)
+    got = (
+        shingle_table(
+            pa.Table.from_pandas(
+                docs[["doc_id", "text"]], preserve_index=False
+            )
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "shingle"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _exploded_shingles(docs)
+        .astype({"doc_id": "int64"})
+        .sort_values(["doc_id", "shingle"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[["doc_id", "shingle"]])
+
+
 def test_sized_buckets_flat_per_bucket_memory():
     """Bucket count derives from the row estimate: fixed-cost-bound
     small band (8..64 buckets of ~rows_per_bucket rows), then linear
