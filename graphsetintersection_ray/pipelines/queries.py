@@ -1267,6 +1267,18 @@ def q_embedding_dups(sf_dir: str):
     return dup_pairs(_embs(sf_dir), threshold=0.4, method="exact")
 
 
+def q_embedding_dups_lsh(sf_dir: str):
+    """PRODUCTION configuration: the near-linear LSH-bucketed near-dup
+    path (``dup_pairs(method='lsh')``). Verified semantically: every
+    emitted pair must be a true >= threshold pair with the exact rounded
+    cosine (precision 1.0); recall vs the exact engine is measured and
+    recorded in NOORACLE_CHECKS (LSH recall is probabilistic by design,
+    see similarity.lsh_dup_pairs)."""
+    from graphsetintersection_ray.stages.similarity import dup_pairs
+
+    return dup_pairs(_embs(sf_dir), threshold=0.4, method="lsh")
+
+
 def q_event_windows(sf_dir: str):
     """Tumbling 1-hour event-time windows per event type (stream-shaped
     workload over the ordered events log)."""
@@ -1721,6 +1733,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "kmeans_clusters": q_kmeans_clusters,
     "embedding_dups": q_embedding_dups,
+    "embedding_dups_lsh": q_embedding_dups_lsh,
     "media_metadata": q_media_metadata,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,

@@ -1103,7 +1103,55 @@ def _check_harmonic(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_embedding_dups_lsh(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """embedding_dups_lsh (production LSH default): every emitted pair
+    must be a true >= threshold pair with the exact rounded cosine
+    (precision 1.0 — LSH candidates are exactly verified), and the
+    measured recall vs the brute-force exact pair set is RECORDED.
+    Recall < 1 is by design at thresholds far below ~0.95 (multiprobe
+    hyperplane collision probability, see similarity.lsh_dup_pairs);
+    the pass gate is precision + sim exactness + a sanity floor."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.kernels import round_half_away
+
+    threshold = 0.4
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy().astype(np.int64)
+    mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    s = round_half_away(sims[iu, ju], 6)
+    keep = s >= threshold
+    exact = {
+        (int(min(a, b)), int(max(a, b))): float(v)
+        for a, b, v in zip(ids[iu][keep], ids[ju][keep], s[keep])
+    }
+    got = {
+        (int(a), int(b)): float(v)
+        for a, b, v in zip(rdf.vec_a, rdf.vec_b, rdf.sim)
+    }
+    wrong = [
+        p for p, v in got.items()
+        if p not in exact or abs(exact[p] - v) > 1e-9
+    ]
+    recall = len(set(got) & set(exact)) / max(len(exact), 1)
+    return {
+        "check": "exact_verified_pairs_and_measured_recall",
+        "threshold": threshold,
+        "n_exact_pairs": len(exact),
+        "n_emitted_pairs": len(got),
+        "false_or_missim_pairs": len(wrong),
+        "precision": 1.0 if not wrong else 1.0 - len(wrong) / max(len(got), 1),
+        "recall_vs_exact": round(recall, 4),
+        "pass": bool(not wrong and recall >= 0.3),
+    }
+
+
 SEMANTIC_CHECKS = {
+    "embedding_dups_lsh": _check_embedding_dups_lsh,
     "pagerank": _check_pagerank,
     "harmonic": _check_harmonic,
     "media_decode": _check_media_decode,
@@ -1207,19 +1255,39 @@ def main() -> None:
 
         out = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                            "NOORACLE_CHECKS.json")
-        # subset runs MERGE into an existing same-sf_dir file so a
-        # single-query check doesn't clobber the full gate's record
-        merged = semantic_results
+        # runs MERGE per sf_dir: the file keeps one "checks" section per
+        # scale ("by_sf"), so a single-query check at one sf never
+        # clobbers the full gate's record at another. Top-level
+        # sf_dir/checks mirror the primary (sf0.01) gate when present,
+        # else the latest run, for backward compatibility.
+        by_sf: dict = {}
         if os.path.exists(out):
             try:
                 with open(out) as f:
                     prev = json.load(f)
-                if prev.get("sf_dir") == sf_dir:
-                    merged = {**prev.get("checks", {}), **semantic_results}
+                by_sf = prev.get("by_sf", {})
+                if prev.get("sf_dir") and prev.get("checks"):
+                    by_sf.setdefault(prev["sf_dir"], {}).update(
+                        prev["checks"]
+                    )
             except (json.JSONDecodeError, OSError):
                 pass
+        by_sf.setdefault(sf_dir, {}).update(semantic_results)
+        primary = (
+            "/root/testdata/sf0.01"
+            if "/root/testdata/sf0.01" in by_sf
+            else sf_dir
+        )
         with open(out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "checks": merged}, f, indent=1)
+            json.dump(
+                {
+                    "sf_dir": primary,
+                    "checks": by_sf[primary],
+                    "by_sf": by_sf,
+                },
+                f,
+                indent=1,
+            )
         print(f"semantic check results -> {out}")
     if failures:
         print("FAILURES:", failures)
