@@ -258,14 +258,53 @@ def _calibrate(n_procs: int, seconds: float = 2.0) -> float:
         return float(sum(p.map(_burn, [seconds] * n_procs)))
 
 
+def _mem_burn(seconds: float) -> float:
+    """Bytes/sec of STREAM-style triad traffic one process can sustain
+    (64 MiB working set — far beyond LLC, so this measures DRAM)."""
+    import numpy as np
+
+    n = 8 * 1024 * 1024  # 3 float64 arrays x 64 MiB total
+    a = np.ones(n)
+    b = np.ones(n)
+    c = np.empty(n)
+    # untimed warm-up: fault every page in (np.empty is lazy-mapped —
+    # the first pass otherwise pays ~200x in soft page faults)
+    np.multiply(a, 2.0, out=c)
+    np.add(c, b, out=c)
+    t0 = time.time()
+    moved = 0
+    while time.time() - t0 < seconds:
+        np.multiply(a, 2.0, out=c)
+        np.add(c, b, out=c)  # triad c = 2a + b: 3 reads + 2 writes
+        moved += 5 * a.nbytes
+    return moved / (time.time() - t0)
+
+
+def _calibrate_mem(n_procs: int, seconds: float = 2.0) -> float:
+    """Aggregate DRAM bandwidth deliverable to n_procs concurrent
+    processes. Bandwidth-bound kernels (PageRank's message sweep is a
+    few memory ops per edge) are ceilinged by THIS, not by core count:
+    a single socket's memory channels saturate well below the full core
+    count, while a real 4x-node cluster quadruples channels with cores.
+    The PR-vs-memory-ceiling ratio is therefore the honest single-node
+    proxy for PR's cluster scaling."""
+    import multiprocessing as mp
+
+    with mp.Pool(n_procs) as p:
+        return float(sum(p.map(_mem_burn, [seconds] * n_procs)))
+
+
 def run_scaling() -> None:
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     results = {}
     calib = {}
+    mem_calib = {}
     for n in (lo_cpus, hi_cpus):
         calib.setdefault(n, 0.0)
+        mem_calib.setdefault(n, 0.0)
         calib[n] = max(calib[n], _calibrate(n))
+        mem_calib[n] = max(mem_calib[n], _calibrate_mem(n))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -277,6 +316,7 @@ def run_scaling() -> None:
         ).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])
         calib[n] = max(calib[n], _calibrate(n))
+        mem_calib[n] = max(mem_calib[n], _calibrate_mem(n))
     t_lo, t_hi = results[lo_cpus]["value"], results[hi_cpus]["value"]
     s_lo = results[lo_cpus]["synth_total"]
     s_hi = results[hi_cpus]["synth_total"]
@@ -320,6 +360,25 @@ def run_scaling() -> None:
                     results[hi_cpus]["pr_edges_per_sec_med"]
                     / max(results[lo_cpus]["pr_edges_per_sec_med"], 1)
                     / (hi_cpus / lo_cpus),
+                    3,
+                ),
+                # deliverable DRAM bandwidth at each level (GB/s) and the
+                # bandwidth-ceiling PR efficiency: PR moves a few bytes
+                # per edge, so its single-socket ceiling is the memory
+                # system, not the core count (a real 4x cluster scales
+                # memory channels WITH cores)
+                f"mem_gbps_{lo_cpus}": round(mem_calib[lo_cpus] / 1e9, 1),
+                f"mem_gbps_{hi_cpus}": round(mem_calib[hi_cpus] / 1e9, 1),
+                "mem_bw_ceiling_ratio": round(
+                    mem_calib[hi_cpus] / max(mem_calib[lo_cpus], 1e-9), 3
+                ),
+                "pr_vs_mem_ceiling_med": round(
+                    results[hi_cpus]["pr_edges_per_sec_med"]
+                    / max(results[lo_cpus]["pr_edges_per_sec_med"], 1)
+                    / max(
+                        mem_calib[hi_cpus] / max(mem_calib[lo_cpus], 1e-9),
+                        1e-9,
+                    ),
                     3,
                 ),
             }

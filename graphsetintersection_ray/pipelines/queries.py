@@ -1085,6 +1085,149 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation from lineitems where the
+    customer and the supplier sit in the SAME nation of one region,
+    for orders placed in one year. The four dimension tables
+    (region, nation, supplier, customer) broadcast once as dense /
+    dict lookups; the only exchange is the fact-fact hash join
+    lineitem ⋈ filtered-orders on orderkey. Revenue accumulates as
+    integer micro-units per row so the aggregate is bit-exact and
+    reduction-order-free at any parallelism."""
+    import ray as _ray
+
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    region = "ASIA"
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    ndf = rd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    rdf = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(rdf.loc[rdf.r_name == region, "r_regionkey"].iloc[0])
+    ndf = ndf[ndf.n_regionkey == rkey]
+    nat_keys = ndf.n_nationkey.to_numpy(np.int64)
+    nat_names = dict(zip(ndf.n_nationkey, ndf.n_name))
+
+    # supplier / customer → nationkey as dense int64 vectors (-1 = not
+    # in the region); at 100 TB these stay dimension-sized (TPC-H dims
+    # are ~1e5 rows per SF) and broadcast once via ray.put
+    sdf = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cdf = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+
+    def dense_map(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        m = np.full(int(keys.max()) + 1, -1, np.int64)
+        m[keys] = np.where(np.isin(vals, nat_keys), vals, -1)
+        return m
+
+    s2n_ref = _ray.put(
+        dense_map(
+            sdf.s_suppkey.to_numpy(np.int64), sdf.s_nationkey.to_numpy(np.int64)
+        )
+    )
+    c2n_ref = _ray.put(
+        dense_map(
+            cdf.c_custkey.to_numpy(np.int64), cdf.c_nationkey.to_numpy(np.int64)
+        )
+    )
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        c2n = _ray.get(c2n_ref)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_nat = c2n[ck]
+        keep = (od >= lo) & (od < hi) & (c_nat >= 0)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "c_nat": pa.array(c_nat[keep], pa.int64()),
+            }
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        s2n = _ray.get(s2n_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = s2n[sk]
+        keep = s_nat >= 0
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        micro = np.floor(price * (1.0 - disc) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "s_nat": pa.array(s_nat[keep], pa.int64()),
+                "rev_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(filter_orders, batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    joined = compact_blocks(li).join(
+        compact_blocks(orders),
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        s_nat = t["s_nat"].to_numpy(zero_copy_only=False)
+        c_nat = t["c_nat"].to_numpy(zero_copy_only=False)
+        keep = s_nat == c_nat
+        return pa.table(
+            {
+                "nk": pa.array(s_nat[keep], pa.int64()),
+                "rev_micro": pa.array(
+                    t["rev_micro"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    summed = sum_by(
+        joined.map_batches(same_nation, batch_format="pyarrow"),
+        ["nk"],
+        "rev_micro",
+        out_col="micro",
+        num_buckets=16,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nk = t["nk"].to_numpy(zero_copy_only=False)
+        micro = t["micro"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nat_names[int(k)] for k in nk], pa.string()
+                ),
+                "revenue": pa.array(micro / 1e6, pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_top_parts(sf_dir: str):
     """Top-10 parts by total lineitem quantity (sort + limit + join)."""
     li = rd.read_parquet(
@@ -1715,6 +1858,7 @@ QUERIES = {
     "comp_ratio": q_comp_ratio,
     "lineitem_agg": q_lineitem_agg,
     "customer_revenue": q_customer_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
     "top_parts": q_top_parts,
     "shipping_priority": q_shipping_priority,
     "token_count": q_token_count,
@@ -2348,6 +2492,18 @@ SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
 FROM orders
 JOIN customer ON c_custkey = o_custkey
 JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name""",
+    "local_supplier_volume": """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                AS BIGINT)) / 1000000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
 GROUP BY n_name""",
     "top_parts": """
 SELECT l_partkey, sum(l_quantity) AS total_qty

@@ -85,6 +85,20 @@ class PartitionWorker:
         self.flat_part = (self.flat % self.P).astype(np.int64)
         # per-destination-partition edge index, computed once
         self._dst_sel = [np.flatnonzero(self.flat_part == q) for q in range(self.P)]
+        # static message structure, computed once: the adjacency never
+        # changes across supersteps, so each (this-partition → q) pair's
+        # unique destination list and inverse index are loop-invariant —
+        # the per-pair np.unique (an O(E log E) sort PER ITERATION, and
+        # the dominant share of the engine's O(P²) per-superstep fixed
+        # cost at high partition counts) moves out of the loop entirely
+        self._dst_uniq = []
+        self._dst_inv = []
+        for q in range(self.P):
+            uniq, inv = np.unique(
+                self.flat[self._dst_sel[q]], return_inverse=True
+            )
+            self._dst_uniq.append(uniq)
+            self._dst_inv.append(inv.astype(np.int32))
         self.state: np.ndarray | None = None
         self.metrics: dict = {}
 
@@ -172,16 +186,16 @@ class PartitionWorker:
         out = []
         for q in range(self.P):
             sel = self._dst_sel[q]
-            dsts = self.flat[sel]
+            uniq = self._dst_uniq[q]
             vals = per_edge[sel]
-            if len(dsts) == 0:
+            if len(uniq) == 0:
                 out.append(
                     pa.table(
                         {"dst": pa.array([], pa.int64()), "val": pa.array(vals[:0])}
                     )
                 )
                 continue
-            uniq, inv = np.unique(dsts, return_inverse=True)
+            inv = self._dst_inv[q]
             if kind in ("pagerank", "ppr"):
                 red = np.bincount(inv, weights=vals, minlength=len(uniq))
             else:
@@ -212,7 +226,10 @@ class PartitionWorker:
                 dst = t["dst"].to_numpy(zero_copy_only=False)
                 val = t["val"].to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(self.u, dst)
-                np.add.at(incoming, idx, val)
+                # dst is an np.unique output (unique within each table),
+                # so direct fancy indexing is exact — and ~10x faster
+                # than the buffered np.add.at
+                incoming[idx] += val
             if kind == "ppr":
                 new = DAMPING * incoming
                 src = getattr(self, "ppr_source", None)
@@ -233,7 +250,8 @@ class PartitionWorker:
                 dst = t["dst"].to_numpy(zero_copy_only=False)
                 val = t["val"].to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(self.u, dst)
-                np.minimum.at(new, idx, val)
+                # unique-dst contract as above
+                new[idx] = np.minimum(new[idx], val)
             changed = int((new != self.state).sum())
             self.state = new
             self.metrics.update(apply_sec=time.time() - t0)
@@ -281,6 +299,20 @@ class PartitionWorker:
             np.flatnonzero(self.out_flat % P == q) for q in range(P)
         ]
         self._in_sel = [np.flatnonzero(self.in_flat % P == q) for q in range(P)]
+        # loop-invariant unique/inverse per pair, as for the symmetric CSR
+        self._out_uniq, self._out_inv = [], []
+        self._in_uniq, self._in_inv = [], []
+        for q in range(P):
+            u_o, i_o = np.unique(
+                self.out_flat[self._out_sel[q]], return_inverse=True
+            )
+            self._out_uniq.append(u_o)
+            self._out_inv.append(i_o.astype(np.int32))
+            u_i, i_i = np.unique(
+                self.in_flat[self._in_sel[q]], return_inverse=True
+            )
+            self._in_uniq.append(u_i)
+            self._in_inv.append(i_i.astype(np.int32))
 
     def hits_init(self) -> None:
         self.hub = np.ones(len(self.u), np.float64)
@@ -292,16 +324,16 @@ class PartitionWorker:
         reversed) — the hub contributions. Same combiner pre-aggregation
         as compute_messages (one row per (dst, src-partition))."""
         if which == "hub":
-            state, offs, flat, sels = self.hub, self.out_offs, self.out_flat, self._out_sel
+            state, offs, sels = self.hub, self.out_offs, self._out_sel
+            uniqs, invs = self._out_uniq, self._out_inv
         else:
-            state, offs, flat, sels = self.auth, self.in_offs, self.in_flat, self._in_sel
+            state, offs, sels = self.auth, self.in_offs, self._in_sel
+            uniqs, invs = self._in_uniq, self._in_inv
         per_edge = np.repeat(state, np.diff(offs))
         out = []
         for q in range(self.P):
-            sel = sels[q]
-            dsts = flat[sel]
-            vals = per_edge[sel]
-            if len(dsts) == 0:
+            uniq = uniqs[q]
+            if len(uniq) == 0:
                 out.append(
                     pa.table(
                         {"dst": pa.array([], pa.int64()),
@@ -309,8 +341,8 @@ class PartitionWorker:
                     )
                 )
                 continue
-            uniq, inv = np.unique(dsts, return_inverse=True)
-            red = np.bincount(inv, weights=vals, minlength=len(uniq))
+            vals = per_edge[sels[q]]
+            red = np.bincount(invs[q], weights=vals, minlength=len(uniq))
             out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
         return out
 
@@ -319,7 +351,8 @@ class PartitionWorker:
         for t in tables:
             dst = t["dst"].to_numpy(zero_copy_only=False)
             val = t["val"].to_numpy(zero_copy_only=False)
-            np.add.at(incoming, np.searchsorted(self.u, dst), val)
+            # unique-dst contract (np.unique output per table)
+            incoming[np.searchsorted(self.u, dst)] += val
         if which == "hub":
             self.auth = incoming
         else:
@@ -374,8 +407,8 @@ class PartitionWorker:
         out = []
         for q in range(self.P):
             sel = self._dst_sel[q]
-            dsts = self.flat[sel]
-            if len(dsts) == 0:
+            uniq = self._dst_uniq[q]
+            if len(uniq) == 0:
                 out.append(
                     pa.table(
                         {
@@ -387,7 +420,7 @@ class PartitionWorker:
                     )
                 )
                 continue
-            uniq, inv = np.unique(dsts, return_inverse=True)
+            inv = self._dst_inv[q]
             acc = np.zeros((len(uniq), self.hb_m), np.uint8)
             np.maximum.at(acc, inv, self.hb[rows_per_edge[sel]])
             out.append(
@@ -414,7 +447,9 @@ class PartitionWorker:
                 .values.to_numpy(zero_copy_only=False)
                 .reshape(-1, self.hb_m)
             )
-            np.maximum.at(new, np.searchsorted(self.u, dst), regs)
+            # unique-dst contract (np.unique output per table)
+            idx = np.searchsorted(self.u, dst)
+            new[idx] = np.maximum(new[idx], regs)
         changed = int((new != self.hb).any(axis=1).sum())
         self.hb = new
         return {"changed": changed, "sum_est": float(self._hb_estimates().sum())}
@@ -501,7 +536,8 @@ class PartitionWorker:
             idx, val = idx[ok], val[ok]
             newly += int((self.br_dist[idx] == self.UNREACHED).sum())
             self.br_dist[idx] = level + 1
-            np.add.at(self.br_sigma, idx, val)
+            # unique-dst contract (np.unique output per table)
+            self.br_sigma[idx] += val
         return newly
 
     def brandes_backward_messages(self, level: int) -> list[pa.Table]:
@@ -520,7 +556,8 @@ class PartitionWorker:
                 continue
             dst = t["dst"].to_numpy(zero_copy_only=False)
             val = t["val"].to_numpy(zero_copy_only=False)
-            np.add.at(inc, np.searchsorted(self.u, dst), val)
+            # unique-dst contract (np.unique output per table)
+            inc[np.searchsorted(self.u, dst)] += val
         ok = self.br_dist == level - 1
         self.br_delta[ok] += self.br_sigma[ok] * inc[ok]
 
