@@ -9,10 +9,13 @@ distributed: the adjacency is hash-partitioned by ``src % P`` into CSR
 blocks, written ONCE as partitioned Parquet, and loaded ONCE by an actor
 pool of ``PartitionWorker``s (stateful stage: load in ``__init__``, work
 per superstep). Per-superstep score/label exchange is a pre-aggregated
-all-to-all of small Arrow tables through the object store — the
-"groupby-aggregate shuffle of frontier/score deltas" expressed directly,
-with combiner-side aggregation (np.bincount per destination partition)
-before anything moves.
+all-to-all through the object store — the "groupby-aggregate shuffle of
+frontier/score deltas" expressed directly, with combiner-side aggregation
+(np.bincount per destination partition) before anything moves. Because
+the adjacency is static, each partition-pair's destination-id list is
+exchanged ONCE at engine construction; steady-state supersteps ship bare
+value vectors aligned to that structure (half the bytes, no per-iteration
+sort or searchsorted anywhere in the loop).
 
 Checkpoint/resume: after every superstep each partition's state is written
 to ``<ckpt>/<algo>/iter=K/part=P.parquet`` plus a ``manifest.json`` with
@@ -157,12 +160,37 @@ class PartitionWorker:
     def state_table(self) -> pa.Table:
         return pa.table({"v": pa.array(self.u), "state": pa.array(self.state)})
 
+    # -- static message structure handshake ----------------------------------
+
+    def structure_lists(self) -> list:
+        """The static unique-destination lists, one per destination
+        partition. Exchanged ONCE at engine construction: steady-state
+        supersteps then ship bare value vectors (no dst column, no
+        Arrow table build, no per-iteration searchsorted at the
+        receiver) — at P partitions this halves per-superstep shuffle
+        bytes and removes the O(P) receiver-side binary searches."""
+        return list(self._dst_uniq)
+
+    def cache_incoming_structure(self, *uniqs) -> None:
+        """Receiver-side positional index for each source partition's
+        static destination list, computed once."""
+        if len(uniqs) == 1 and isinstance(uniqs[0], list):
+            # P == 1: num_returns=1 ships the whole return list as one
+            # object instead of unpacking it
+            uniqs = tuple(uniqs[0])
+        self._in_idx = [
+            np.searchsorted(self.u, u).astype(np.int64) for u in uniqs
+        ]
+
     # -- supersteps ---------------------------------------------------------
 
-    def compute_messages(self, kind: str) -> list[pa.Table]:
-        """Per destination partition q: partial-aggregated (dst, val) table.
-        Combiner runs HERE (np.bincount over compressed dst ids) — the
-        shuffle moves one row per (dst, src-partition), not per edge."""
+    def compute_messages(self, kind: str) -> list[np.ndarray]:
+        """Per destination partition q: the partial-aggregated value
+        vector aligned to the static unique-destination list exchanged at
+        engine construction (structure_lists). Combiner runs HERE
+        (np.bincount over precomputed inverse ids) — the shuffle moves
+        one float per (dst, src-partition), not per edge, and no dst
+        ids at all in steady state."""
         t0 = time.time()
         if kind in ("pagerank", "ppr"):
             per_edge = np.repeat(
@@ -189,11 +217,7 @@ class PartitionWorker:
             uniq = self._dst_uniq[q]
             vals = per_edge[sel]
             if len(uniq) == 0:
-                out.append(
-                    pa.table(
-                        {"dst": pa.array([], pa.int64()), "val": pa.array(vals[:0])}
-                    )
-                )
+                out.append(vals[:0])
                 continue
             inv = self._dst_inv[q]
             if kind in ("pagerank", "ppr"):
@@ -201,35 +225,38 @@ class PartitionWorker:
             else:
                 red = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
                 np.minimum.at(red, inv, vals.astype(np.int64))
-            out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
+            out.append(red)
         self.metrics = {
             "edges": int(len(self.flat)),
             "compute_sec": time.time() - t0,
         }
         return out
 
-    def step(self, kind: str, n_total: int, *tables: pa.Table) -> list:
+    def step(self, kind: str, n_total: int, *vals) -> list:
         """Fused superstep: apply the incoming messages of iteration k,
         then immediately compute the outgoing messages of iteration k+1 —
         ONE remote call per worker per superstep instead of two, halving
         the per-iteration scheduling/barrier overhead. Returns
         [msg_q for q in 0..P-1] + [apply_stats] (num_returns = P + 1)."""
-        stats = self.apply_messages(kind, n_total, *tables)
+        stats = self.apply_messages(kind, n_total, *vals)
         msgs = self.compute_messages(kind)
         return msgs + [stats]
 
-    def apply_messages(self, kind: str, n_total: int, *tables: pa.Table) -> dict:
+    def apply_messages(self, kind: str, n_total: int, *vals) -> dict:
+        """Apply the value vectors of one superstep, positionally aligned
+        to the per-source-partition indices cached by
+        cache_incoming_structure (the dst lists are np.unique outputs, so
+        direct fancy indexing is exact — and ~10x faster than the
+        buffered np.add.at)."""
         t0 = time.time()
+        if len(vals) == 1 and isinstance(vals[0], list):
+            # P == 1 num_returns quirk, as in cache_incoming_structure
+            vals = tuple(vals[0])
         if kind in ("pagerank", "ppr"):
             incoming = np.zeros(len(self.u), np.float64)
-            for t in tables:
-                dst = t["dst"].to_numpy(zero_copy_only=False)
-                val = t["val"].to_numpy(zero_copy_only=False)
-                idx = np.searchsorted(self.u, dst)
-                # dst is an np.unique output (unique within each table),
-                # so direct fancy indexing is exact — and ~10x faster
-                # than the buffered np.add.at
-                incoming[idx] += val
+            for idx, val in zip(self._in_idx, vals):
+                if len(val):
+                    incoming[idx] += val
             if kind == "ppr":
                 new = DAMPING * incoming
                 src = getattr(self, "ppr_source", None)
@@ -246,12 +273,9 @@ class PartitionWorker:
             return {"max_delta": delta, "l1_delta": l1}
         else:
             new = self.state.copy()
-            for t in tables:
-                dst = t["dst"].to_numpy(zero_copy_only=False)
-                val = t["val"].to_numpy(zero_copy_only=False)
-                idx = np.searchsorted(self.u, dst)
-                # unique-dst contract as above
-                new[idx] = np.minimum(new[idx], val)
+            for idx, val in zip(self._in_idx, vals):
+                if len(val):
+                    new[idx] = np.minimum(new[idx], val)
             changed = int((new != self.state).sum())
             self.state = new
             self.metrics.update(apply_sec=time.time() - t0)
@@ -599,6 +623,23 @@ class SuperstepEngine:
             for p in range(num_partitions)
         ]
         self.n_total = sum(ray.get([w.num_vertices.remote() for w in self.workers]))
+        # one-time static-structure exchange: each pair's destination
+        # list never changes, so steady-state supersteps ship bare value
+        # vectors (see PartitionWorker.structure_lists)
+        struct_refs = [
+            w.structure_lists.options(num_returns=self.P).remote()
+            for w in self.workers
+        ]
+        if self.P == 1:
+            struct_refs = [[r] for r in struct_refs]
+        ray.get(
+            [
+                w.cache_incoming_structure.remote(
+                    *[struct_refs[p][q] for p in range(self.P)]
+                )
+                for q, w in enumerate(self.workers)
+            ]
+        )
 
     # -- checkpoint bookkeeping --------------------------------------------
 
