@@ -1297,6 +1297,24 @@ def q_token_count_bpe(sf_dir: str):
     return _docs(sf_dir).map_batches(token_count_bpe, batch_format="pandas")
 
 
+def q_sequence_pack(sf_dir: str):
+    """Fixed-length training-sequence packing schedule: each doc assigned
+    to the 2048-token pack containing its first token (doc_id
+    concatenation order). Distributed two-phase prefix-sum scan — see
+    stages.text.sequence_pack."""
+    from graphsetintersection_ray.stages.text import sequence_pack
+
+    return sequence_pack(_docs(sf_dir), seq_len=2048)
+
+
+def q_doc_chunks(sf_dir: str):
+    """Overlapping 64-token / 16-overlap chunk schedule per document
+    (map-only flat expansion) — the RAG / long-context prep step."""
+    from graphsetintersection_ray.stages.text import doc_chunks
+
+    return doc_chunks(_docs(sf_dir), chunk_len=64, overlap=16)
+
+
 def q_text_quality(sf_dir: str):
     from graphsetintersection_ray.stages.text import TextQualityScorer
 
@@ -1863,6 +1881,8 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
+    "sequence_pack": q_sequence_pack,
+    "doc_chunks": q_doc_chunks,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2518,6 +2538,37 @@ ORDER BY total_qty DESC, l_partkey LIMIT 10""",
         f"AS n_tokens, len(regexp_extract_all(text, '{_WS_RE}')) "
         "AS n_ws_tokens FROM documents"
     ),
+    "sequence_pack": """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 2048 AS pack_id
+FROM s""",
+    "doc_chunks": """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n
+  FROM documents
+), k AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 64 THEN 1
+              ELSE CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1 END AS nc
+  FROM t
+)
+SELECT k.doc_id, u.chunk_idx, u.chunk_idx * 48 AS chunk_start,
+       LEAST(64, k.n - u.chunk_idx * 48) AS chunk_len
+FROM k, UNNEST(range(k.nc)) AS u(chunk_idx)""",
     "text_quality": f"""
 SELECT doc_id,
   length(text) AS n_chars,

@@ -1595,3 +1595,90 @@ def test_centroid_sim_exact_and_outlier_signal(ray_session):
     from graphsetintersection_ray.functions.kernels import round_half_away
 
     assert out1[0] == round_half_away(np.array([want]), 6)[0]
+
+
+def test_sequence_pack_matches_pandas_scan(ray_session):
+    """sequence_pack (distributed two-phase prefix-sum scan) vs a
+    single-threaded pandas replay on sparse, shuffled doc_ids: identical
+    (start_offset, pack_id) for every doc, and pack occupancy never
+    exceeds seq_len except for a doc spanning a pack boundary."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import TOKEN_RE, sequence_pack
+
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 10_000, 400))
+    words = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 120)))
+        for _ in range(len(ids))
+    ]
+    df = pd.DataFrame({"doc_id": ids, "text": texts}).sample(
+        frac=1.0, random_state=3
+    )
+    seq_len = 256
+    got = (
+        sequence_pack(rd.from_pandas(df, override_num_blocks=7), seq_len)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("doc_id").reset_index(drop=True)
+    want["n_tokens"] = want["text"].str.count(TOKEN_RE).astype(np.int64)
+    want["start_offset"] = want["n_tokens"].cumsum() - want["n_tokens"]
+    want["pack_id"] = want["start_offset"] // seq_len
+    for col in ("doc_id", "n_tokens", "start_offset", "pack_id"):
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy())
+
+
+def test_sequence_pack_empty_input(ray_session):
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import sequence_pack
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "text": []})
+    )
+    out = sequence_pack(empty)
+    # typed schema survives the empty path (to_pandas() on an empty
+    # Dataset drops columns — a Ray behavior, not an engine one)
+    assert out.schema().names == [
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        "pack_id",
+    ]
+    assert out.count() == 0
+
+
+def test_doc_chunks_cover_every_token(ray_session):
+    """Chunk schedule invariants on random lengths: chunks tile [0, n)
+    with stride chunk_len-overlap, consecutive chunks overlap by exactly
+    `overlap` tokens (except the short tail), every token is covered,
+    and zero-token docs emit no chunks."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.text import doc_chunks
+
+    rng = np.random.default_rng(11)
+    texts = [""] + [
+        " ".join(["tok"] * int(n)) for n in rng.integers(1, 300, 60)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    chunk_len, overlap = 48, 12
+    out = (
+        doc_chunks(rd.from_pandas(df), chunk_len, overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    n_of = df["text"].str.split().str.len().fillna(0).astype(int)
+    assert 0 not in set(out["doc_id"])  # empty doc -> no chunks
+    for doc_id, g in out.groupby("doc_id"):
+        n = int(n_of[doc_id])
+        starts = g["chunk_start"].to_numpy()
+        lens = g["chunk_len"].to_numpy()
+        assert starts[0] == 0
+        assert (np.diff(starts) == chunk_len - overlap).all()
+        assert (lens[:-1] == chunk_len).all() and 0 < lens[-1] <= chunk_len
+        assert starts[-1] + lens[-1] == n  # full coverage, exact tail
+        assert (lens == np.minimum(chunk_len, n - starts)).all()
