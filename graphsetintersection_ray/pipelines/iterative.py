@@ -298,6 +298,36 @@ def hits(
     return xform(eng.collect_hits()), stats
 
 
+def topo_levels(art: GraphArtifacts) -> tuple:
+    """(v, level): longest-path DAG levels (dependency / scheduling
+    depth) on the canonical directed edge set — level[v] = length of the
+    longest directed path ending at v, 0 for sources. A monotone
+    MAX-label superstep fixpoint on the partitioned out-CSR (one
+    pre-aggregated all-to-all per round, rounds = longest path). The
+    canonical encoding guarantees acyclicity (src < dst), which the
+    engine enforces with a loud cycle guard. Beyond the reference's
+    operator set; recursive-CTE SQL oracle (level UNION-deduped per
+    round, rows bounded by V x depth)."""
+    eng = engine_for(art, None)
+    out_path, in_path = ensure_directed_csr(art)
+    stats = eng.topo_levels(out_path, in_path)
+
+    def xform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": t["v"].cast(pa.int32()),
+                "level": t["level"],
+            }
+        )
+
+    if eng.n_total > _collect_max_vertices():
+        return (
+            eng.topo_dataset().map_batches(xform, batch_format="pyarrow"),
+            stats,
+        )
+    return xform(eng.collect_topo()), stats
+
+
 def ensure_symmetric_csr_pair(art: GraphArtifacts) -> str:
     """Build (once, manifest-guarded) a symmetric-adjacency CSR in the
     out/in on-disk format next to the engine's partitioned CSR — the

@@ -466,6 +466,16 @@ def q_hits(sf_dir: str):
     return res
 
 
+def q_topo_levels(sf_dir: str):
+    """Longest-path DAG levels (dependency/scheduling depth) on the
+    canonical directed edge set: level[v] = longest directed path ending
+    at v, via a monotone MAX-label superstep fixpoint. Exact
+    recursive-CTE SQL oracle."""
+    art = build_graph(sf_dir)
+    res, _ = it.topo_levels(art)
+    return res
+
+
 def q_neighborhood_function(sf_dir: str):
     """HyperBall approximate neighborhood function (radius,
     est_reachable): per-vertex HyperLogLog ball counters max-merged along
@@ -1849,6 +1859,7 @@ QUERIES = {
     "pagerank_fixed": q_pagerank_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
+    "topo_levels": q_topo_levels,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,
@@ -2311,6 +2322,18 @@ GROUP BY a.src"""
 SELECT v, round(score, 6) AS score FROM pr"""
     ),
     "hits": _hits_oracle_sql(HITS_ORACLE_ITERS),
+    "topo_levels": _with(
+        """lvls AS (
+  WITH RECURSIVE lv(v, level) AS (
+    SELECT v, CAST(0 AS BIGINT) FROM deg
+    UNION
+    SELECT e.dst, lv.level + 1
+    FROM lv JOIN edges e ON e.src = lv.v
+  )
+  SELECT v, level FROM lv
+)
+SELECT v, MAX(level) AS level FROM lvls GROUP BY v"""
+    ),
     "eigenvector": _eigen_oracle_sql(EIGEN_MULTIPLIES),
     "ppr_fixed": _with(
         f"""ppr AS (

@@ -400,6 +400,50 @@ class PartitionWorker:
             }
         )
 
+    # -- DAG longest-path levels (topological depth) ---------------------------
+
+    def topo_init(self) -> None:
+        """level[v] = length of the longest directed path ending at v
+        (0 for sources). Monotone MAX fixpoint: the canonical edge set
+        is a DAG by construction (src < dst after dense-rank encoding),
+        so the fixpoint exists and converges in longest-path rounds."""
+        self.level = np.zeros(len(self.u), np.int64)
+
+    def topo_messages(self) -> list[pa.Table]:
+        """level+1 along every out-edge, pre-aggregated by MAX per
+        (dst, src-partition) — same combiner shape as compute_messages."""
+        per_edge = np.repeat(self.level + 1, np.diff(self.out_offs))
+        out = []
+        for q in range(self.P):
+            uniq = self._out_uniq[q]
+            if len(uniq) == 0:
+                out.append(
+                    pa.table(
+                        {"dst": pa.array([], pa.int64()),
+                         "val": pa.array([], pa.int64())}
+                    )
+                )
+                continue
+            red = np.full(len(uniq), -1, np.int64)
+            np.maximum.at(red, self._out_inv[q], per_edge[self._out_sel[q]])
+            out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
+        return out
+
+    def topo_apply(self, *tables: pa.Table) -> int:
+        incoming = np.full(len(self.u), -1, np.int64)
+        for t in tables:
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            np.maximum.at(incoming, np.searchsorted(self.u, dst), val)
+        changed = incoming > self.level
+        np.copyto(self.level, incoming, where=changed)
+        return int(changed.sum())
+
+    def topo_table(self) -> pa.Table:
+        return pa.table(
+            {"v": pa.array(self.u), "level": pa.array(self.level)}
+        )
+
     # -- HyperBall (approximate neighborhood function) ------------------------
     # HLL primitives shared with the approx-distinct operator live in
     # functions/hll.py.
@@ -903,6 +947,60 @@ class SuperstepEngine:
         auth_norm = float(np.sqrt(sum(a for _, a in ss)))
         ray.get([w.hits_scale.remote(hub_norm, auth_norm) for w in self.workers])
         return {"iters": iters, "sec": time.time() - t0}
+
+    def topo_levels(
+        self, out_csr_path: str, in_csr_path: str, max_levels: int = 1_000_000
+    ) -> dict:
+        """Longest-path DAG levels (scheduling / dependency depth) on the
+        canonical directed edge set: level[v] = longest directed path
+        ending at v, computed as a monotone MAX-label fixpoint — one
+        pre-aggregated all-to-all per superstep, converging in
+        longest-path-length rounds (the DAG's condensation depth).
+        Raises loudly past ``max_levels`` — the only way a monotone max
+        fixpoint fails to converge is a cycle, which the canonical
+        src<dst encoding rules out by construction."""
+        ray.get(
+            [
+                w.load_directed.remote(out_csr_path, in_csr_path)
+                for w in self.workers
+            ]
+        )
+        ray.get([w.topo_init.remote() for w in self.workers])
+        t0 = time.time()
+        it = 0
+        while True:
+            msgs = [
+                w.topo_messages.options(num_returns=self.P).remote()
+                for w in self.workers
+            ]
+            if self.P == 1:
+                msgs = [[r] for r in msgs]
+            changed = ray.get(
+                [
+                    w.topo_apply.remote(*[msgs[p][q] for p in range(self.P)])
+                    for q, w in enumerate(self.workers)
+                ]
+            )
+            it += 1
+            if sum(changed) == 0:
+                break
+            if it > max_levels:
+                raise RuntimeError(
+                    f"topo_levels exceeded {max_levels} supersteps — "
+                    "the edge set contains a cycle"
+                )
+        return {"iters": it, "sec": time.time() - t0}
+
+    def topo_dataset(self):
+        """(v, level) as a Ray Dataset — one block per partition, no
+        driver concatenation (the at-scale result path)."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs([w.topo_table.remote() for w in self.workers])
+
+    def collect_topo(self) -> pa.Table:
+        tables = ray.get([w.topo_table.remote() for w in self.workers])
+        return pa.concat_tables([t for t in tables if t.num_rows])
 
     def hyperball(
         self, max_iters: int = 64, m: int = 64, seed: int = 77

@@ -1354,3 +1354,26 @@ def test_harmonic_star_and_superstep_path(art, ray_session):
     finally:
         ct.BC_BROADCAST_MAX_EDGES = old
     pd.testing.assert_frame_equal(base, dist, check_dtype=False)
+
+
+def test_topo_levels_matches_longest_path(art):
+    """topo_levels (monotone MAX-label superstep fixpoint on the
+    directed out-CSR) vs an exact dense longest-path DP over the
+    canonical DAG: level[v] = max over in-neighbors u of level[u]+1, 0
+    for sources, evaluated in ascending-id order (valid because the
+    canonical encoding guarantees src < dst)."""
+    from graphsetintersection_ray.pipelines import iterative as it
+
+    res, stats = it.topo_levels(art)
+    got = res.to_pandas().sort_values("v").reset_index(drop=True)
+
+    edf = art.edges.to_pandas()
+    assert (edf.src < edf.dst).all()  # the acyclicity guarantee
+    n = art.n_vertices
+    want = np.zeros(n, np.int64)
+    by_dst = edf.sort_values("dst")
+    for s, d in zip(by_dst.src.to_numpy(), by_dst.dst.to_numpy()):
+        want[d] = max(want[d], want[s] + 1)
+    assert got.v.tolist() == list(range(n))
+    np.testing.assert_array_equal(got.level.to_numpy(), want)
+    assert stats["iters"] >= int(want.max()) + 1
