@@ -29,6 +29,7 @@ from graphsetintersection_ray.pipelines.graph import (
 )
 from graphsetintersection_ray.pipelines import iterative as it
 from graphsetintersection_ray.pipelines.triangle import (
+    global_four_clique_count,
     global_triangle_count,
     per_vertex_triangles,
 )
@@ -513,6 +514,46 @@ def q_square_count(sf_dir: str):
 
     art = build_graph(sf_dir)
     return square_count(art)
+
+
+def q_four_clique_count(sf_dir: str):
+    """(cliques4,): exact global 4-clique (K4) count — each discovered
+    triangle extended over N+(w) with two membership probes against the
+    sorted edge-key array (the intersection ladder one rung above TC);
+    at scale, triangle corners joined with the packed CSR three ways."""
+    art = build_graph(sf_dir)
+    n = global_four_clique_count(
+        art.oriented,
+        num_partitions=art.num_partitions,
+        n_vertices=art.n_vertices,
+        n_edges=art.n_edges,
+    )
+    return pa.table({"cliques4": pa.array([n], pa.int64())})
+
+
+def q_transitivity(sf_dir: str):
+    """(transitivity,): global clustering ratio 3·triangles / wedges,
+    wedges = Σ_v deg(v)·(deg(v)−1)/2 — one scalar TC reduce plus one
+    pre-aggregated wedge sum over the degree table."""
+    art = build_graph(sf_dir)
+    tri = global_triangle_count(
+        art.oriented,
+        num_partitions=art.num_partitions,
+        n_vertices=art.n_vertices,
+        n_edges=art.n_edges,
+    )
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())})
+
+    wedge_partials = art.degrees.map_batches(
+        wedge_partial, batch_format="pyarrow"
+    )
+    wedges = int(wedge_partials.sum("w") or 0)
+    val = 3.0 * tri / wedges if wedges else 0.0
+    return pa.table(
+        {"transitivity": pa.array([float(round_half_away(val, 6))], pa.float64())}
+    )
 
 
 def q_modularity(sf_dir: str):
@@ -1867,6 +1908,8 @@ QUERIES = {
     "connected_components": q_connected_components,
     "component_sizes": q_component_sizes,
     "square_count": q_square_count,
+    "four_clique_count": q_four_clique_count,
+    "transitivity": q_transitivity,
     "modularity": q_modularity,
     "label_propagation": q_label_propagation,
     "bfs_distances": q_bfs_distances,
@@ -2221,6 +2264,26 @@ SELECT round(
   - (SELECT sum(dc * dc) FROM dsum) * 1.0 / (4.0 * m * m),
   6) AS modularity
 FROM intra, em"""
+    ),
+    # each 4-clique {a<b<c<d} matched exactly once on canonical ids
+    "four_clique_count": _with(
+        """SELECT count(*) AS cliques4 FROM edges ab
+JOIN edges ac ON ac.src = ab.src AND ac.dst > ab.dst
+JOIN edges ad ON ad.src = ab.src AND ad.dst > ac.dst
+JOIN edges bc ON bc.src = ab.dst AND bc.dst = ac.dst
+JOIN edges bd ON bd.src = ab.dst AND bd.dst = ad.dst
+JOIN edges cd ON cd.src = ac.dst AND cd.dst = ad.dst"""
+    ),
+    "transitivity": _with(
+        """tri AS (
+  SELECT count(*) AS t FROM edges e1
+  JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+wedg AS (SELECT sum(degree * (degree - 1) // 2) AS w FROM deg)
+SELECT round(CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END, 6)
+  AS transitivity
+FROM tri, wedg"""
     ),
     # #C4 = sum over unordered pairs of C(common-neighbors, 2) / 2 —
     # every 4-cycle has exactly two opposite-corner pairs

@@ -225,6 +225,29 @@ def _bitmap_hash(keys: np.ndarray, bitmap_bits: int) -> np.ndarray:
     ) >> np.uint64(64 - bitmap_bits)
 
 
+def _edge_member(edge_keys, bitmap, bitmap_bits, keys: np.ndarray) -> np.ndarray:
+    """Exact membership of (src<<32|dst) int64 keys in the global sorted
+    edge-key array — the same two-stage probe as the wedge kernel (bitmap
+    pre-filter, then binary search over sorted probes so successive
+    lookups stay cache-coherent)."""
+    out = np.zeros(len(keys), bool)
+    hp = _bitmap_hash(keys, bitmap_bits)
+    maybe = (
+        bitmap[hp >> np.uint64(3)]
+        & (np.uint8(1) << (hp & np.uint64(7)).astype(np.uint8))
+    ) != 0
+    cand = np.flatnonzero(maybe)
+    if len(cand) == 0:
+        return out
+    ckeys = keys[cand]
+    probe_order = np.argsort(ckeys, kind="stable")
+    sorted_probes = ckeys[probe_order]
+    idx = np.searchsorted(edge_keys, sorted_probes)
+    idx[idx == len(edge_keys)] = 0
+    out[cand[probe_order]] = edge_keys[idx] == sorted_probes
+    return out
+
+
 def _wedge_hits(state, t: pa.Table):
     """Triangle corners (as degree ranks) closed by one batch of oriented
     edges, against the broadcast wedge state. Returns (u, v, w) rank arrays
@@ -526,3 +549,187 @@ def global_triangle_count(
     )
     total = partials.sum("partial")
     return int(total or 0) // 3
+
+
+# -- 4-clique counting --------------------------------------------------------
+# The natural next rung of the reference's intersection ladder: where a
+# triangle is one |N+(u) ∩ N+(v)| per oriented edge
+# (org_triangle_count.cpp:56-86), a 4-clique extends each discovered
+# triangle (u < v < w in degree-rank order) by every x ∈ N+(w) that is
+# ALSO an out-neighbor of u and v — two more membership probes against
+# the same sorted edge-key array. Each 4-clique {a<b<c<d} is counted
+# exactly once, at (u,v,w,x) = (a,b,c,d).
+
+
+def _make_four_clique_counter(state_ref):
+    import ray as _ray
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        state = _ray.get(state_ref)
+        (
+            edge_keys, offsets, flat, _orig, _rank, bitmap, bitmap_bits,
+        ) = state
+        empty = pa.table({"partial": pa.array([0], pa.int64())})
+        hits = _wedge_hits(state, t)
+        if hits is None:
+            return empty
+        u, v, w = hits
+        # extension candidates: all x in N+(w) (every x > w by orientation)
+        start = offsets[w]
+        lens = offsets[w + 1] - start
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        idx = np.repeat(start, lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        x = flat[idx]
+        ru = np.repeat(u, lens)
+        ok = _edge_member(
+            edge_keys, bitmap, bitmap_bits, (ru << np.int64(32)) | x
+        )
+        cnt = 0
+        if ok.any():
+            sel = np.flatnonzero(ok)
+            rv = np.repeat(v, lens)[sel]
+            ok2 = _edge_member(
+                edge_keys, bitmap, bitmap_bits, (rv << np.int64(32)) | x[sel]
+            )
+            cnt = int(ok2.sum())
+        return pa.table({"partial": pa.array([cnt], pa.int64())})
+
+    return count_batch
+
+
+def _bucket_triangle_corners(batch: pd.DataFrame) -> pa.Table:
+    """One joined bucket → enumerated triangle corners (a, b, c), all
+    three pairs oriented edges with a < b < c in (degree, id) order."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int32()),
+            "b": pa.array([], pa.int32()),
+            "c": pa.array([], pa.int32()),
+        }
+    )
+    hits = _bucket_hits(batch)
+    if hits is None:
+        return empty
+    a, b, c = hits
+    return pa.table(
+        {
+            "a": pa.array(a.astype(np.int32)),
+            "b": pa.array(b.astype(np.int32)),
+            "c": pa.array(c.astype(np.int32)),
+        }
+    )
+
+
+def _bucket_four_clique_partials(batch: pd.DataFrame) -> pa.Table:
+    """One bucket of triangle corners joined with the three packed
+    adjacency blobs → scalar 4-clique partial: per row,
+    |N+(a) ∩ N+(b) ∩ N+(c)| via two batched sorted-key intersections
+    (row-composite int64 keys, same shape as _bucket_hits' side A/B)."""
+    n = len(batch)
+    if n == 0:
+        return pa.table({"partial": pa.array([0], pa.int64())})
+
+    def flat_keys(col):
+        blobs = np.array(
+            [b"" if x is None else x for x in batch[col].to_numpy()],
+            dtype=object,
+        )
+        lens = (
+            np.fromiter((len(x) for x in blobs), np.int64, count=n) // 4
+        )
+        vals = np.frombuffer(b"".join(blobs), dtype="<i4").astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        return (rows << np.int64(32)) | vals
+
+    ka, kb, kc = flat_keys("na"), flat_keys("nb"), flat_keys("nc")
+    if len(ka) == 0 or len(kb) == 0 or len(kc) == 0:
+        return pa.table({"partial": pa.array([0], pa.int64())})
+    # rows ascend and each adjacency list is sorted → all keys sorted
+    idx = np.searchsorted(ka, kb)
+    idx[idx == len(ka)] = 0
+    kab = kb[ka[idx] == kb]
+    if len(kab) == 0:
+        return pa.table({"partial": pa.array([0], pa.int64())})
+    idx = np.searchsorted(kc, kab)
+    idx[idx == len(kc)] = 0
+    cnt = int((kc[idx] == kab).sum())
+    return pa.table({"partial": pa.array([cnt], pa.int64())})
+
+
+def global_four_clique_count(
+    oriented_edges: ray.data.Dataset,
+    num_partitions: int = 32,
+    n_vertices: int | None = None,
+    n_edges: int | None = None,
+) -> int:
+    """Exact global 4-clique (K4) count.
+
+    Broadcast path (≤ BROADCAST_MAX_EDGES): wedge kernel enumerates
+    triangles per batch, then each is extended over N+(w) with two
+    bitmap-prefiltered membership probes — no extra shuffle at all.
+
+    At-scale path: triangles are enumerated by the same data-sized
+    bucketed join plan as TC, then the corner table is hash-joined with
+    the packed CSR three times (on a, b, c) and each bucket computes
+    |N+(a) ∩ N+(b) ∩ N+(c)| with two batched sorted-key intersections —
+    the K4 analog of the reference's oriented two-level nesting
+    (org_triangle_count.cpp:56-86 extended one rung)."""
+    if n_edges is None:
+        n_edges = oriented_edges.count()
+    if n_edges <= BROADCAST_MAX_EDGES:
+        mat, state_ref = wedge_state_for(
+            oriented_edges, num_partitions, n_vertices
+        )
+        partials = mat.map_batches(
+            _make_four_clique_counter(state_ref),
+            batch_format="pyarrow",
+            batch_size=8_192,
+        )
+        return int(partials.sum("partial") or 0)
+
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+    corners = _joined_buckets(oriented_edges, num_partitions, n_edges)(
+        _bucket_triangle_corners
+    )
+    csr = compact_blocks(
+        build_csr(oriented_edges, num_partitions=num_partitions, packed=True)
+    )
+    cur = corners
+    for corner, out_col in (("a", "na"), ("b", "nb"), ("c", "nc")):
+        cur = cur.join(
+            csr,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(corner,),
+            right_on=("u",),
+        ).map_batches(
+            lambda t, _c=out_col: t.rename_columns(
+                [_c if name == "nbrs_bin" else name for name in t.column_names]
+            ).drop_columns([c for c in ("u",) if c in t.column_names]),
+            batch_format="pyarrow",
+        )
+        # inner join is lossless here: a and b always have out-neighbors
+        # (b, c ∈ N+(a), c ∈ N+(b)); a c with empty N+ contributes 0.
+    n_buckets = max(num_partitions, int(n_edges // JOIN_EDGES_PER_BUCKET) + 1)
+    bucketed = cur.map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_buckets,
+                pa.int32(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    partials = bucket_groups(
+        bucketed, _bucket_four_clique_partials, n_buckets, bucket_col="bucket"
+    )
+    return int(partials.sum("partial") or 0)

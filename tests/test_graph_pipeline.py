@@ -1377,3 +1377,35 @@ def test_topo_levels_matches_longest_path(art):
     assert got.v.tolist() == list(range(n))
     np.testing.assert_array_equal(got.level.to_numpy(), want)
     assert stats["iters"] >= int(want.max()) + 1
+
+
+def test_four_clique_count_both_paths(art):
+    """global_four_clique_count vs a brute-force O(V^4) K4 oracle, on
+    both the broadcast wedge-extension path and the forced join path
+    (triangle corners ⋈ packed CSR three ways)."""
+    from graphsetintersection_ray.pipelines import triangle as tri_mod
+    from graphsetintersection_ray.pipelines.triangle import (
+        global_four_clique_count,
+    )
+
+    edf = art.edges.to_pandas()
+    E = set(zip(edf.src, edf.dst))
+    V = sorted(set(edf.src) | set(edf.dst))
+    total = 0
+    for a, b, c, d in itertools.combinations(V, 4):
+        if (
+            (a, b) in E and (a, c) in E and (a, d) in E
+            and (b, c) in E and (b, d) in E and (c, d) in E
+        ):
+            total += 1
+    assert total > 0  # the fixture graph must actually exercise K4
+    assert global_four_clique_count(art.oriented, num_partitions=4) == total
+
+    old = tri_mod.BROADCAST_MAX_EDGES
+    tri_mod.BROADCAST_MAX_EDGES = 0
+    try:
+        assert (
+            global_four_clique_count(art.oriented, num_partitions=4) == total
+        )
+    finally:
+        tri_mod.BROADCAST_MAX_EDGES = old
