@@ -30,6 +30,18 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# GRAFT_PIN_CPUS=1: pin this process (and every Ray child it forks —
+# raylet, object store, workers inherit the mask) to physical cores
+# 0..NUM_CPUS-1. ray.init(num_cpus=N) caps SCHEDULER SLOTS only: actor
+# pools requesting fractional cpus (superstep PartitionWorker at 0.25)
+# schedule more OS processes than N, and the OS then spreads them over
+# all 32 physical cores — the lo level of a scaling pair silently runs
+# on hi-level hardware (measured: "8-cpu" PR at 77-158M edges/s, above
+# the honest 8-core bandwidth share). Affinity makes an N-cpu level
+# mean N cores the way an N-node cluster means N nodes' hardware.
+PIN_CPUS = os.environ.get("GRAFT_PIN_CPUS") == "1"
+if PIN_CPUS and hasattr(os, "sched_setaffinity"):
+    os.sched_setaffinity(0, set(range(NUM_CPUS)))
 # partitions track the worker count, exactly as a real N- vs 4N-node
 # cluster would be provisioned (results are partition-count-invariant);
 # override with GRAFT_PARTITIONS to pin a fixed plan across levels
@@ -247,14 +259,29 @@ def _burn(seconds: float) -> int:
     return x
 
 
+def _pin_pool_worker(cores) -> None:
+    """Pool initializer: pin a calibration worker to the same core set
+    the pinned Ray level runs on, so ceiling and job see one machine."""
+    if hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(cores))
+
+
+def _pool(n_procs: int):
+    import multiprocessing as mp
+
+    if PIN_CPUS:
+        return mp.Pool(
+            n_procs, initializer=_pin_pool_worker, initargs=(range(n_procs),)
+        )
+    return mp.Pool(n_procs)
+
+
 def _calibrate(n_procs: int, seconds: float = 2.0) -> float:
     """Pure-CPU throughput actually deliverable to n_procs processes RIGHT
     NOW. The sandbox host is shared with co-tenants, so the wall-clock
     ceiling for 32 vs 8 workers varies over time — scaling efficiency is
     only meaningful relative to this concurrently-measured ceiling."""
-    import multiprocessing as mp
-
-    with mp.Pool(n_procs) as p:
+    with _pool(n_procs) as p:
         return float(sum(p.map(_burn, [seconds] * n_procs)))
 
 
@@ -288,9 +315,7 @@ def _calibrate_mem(n_procs: int, seconds: float = 2.0) -> float:
     count, while a real 4x-node cluster quadruples channels with cores.
     The PR-vs-memory-ceiling ratio is therefore the honest single-node
     proxy for PR's cluster scaling."""
-    import multiprocessing as mp
-
-    with mp.Pool(n_procs) as p:
+    with _pool(n_procs) as p:
         return float(sum(p.map(_mem_burn, [seconds] * n_procs)))
 
 

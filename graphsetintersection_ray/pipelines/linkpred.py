@@ -967,3 +967,188 @@ def modularity(art, labels: ray.data.Dataset | None = None) -> ray.data.Dataset:
             {"modularity": pa.array([float(round_half_away(q, 6))], pa.float64())}
         )
     )
+
+
+def rich_club(art) -> "ray.data.Dataset":
+    """(k, rich_club): the rich-club coefficient curve
+    φ(k) = 2·E_k / (N_k·(N_k−1)) for k = 0..max_degree−1, where
+    N_k = #vertices with degree > k and E_k = #edges with BOTH endpoint
+    degrees > k (Colizza et al. 2006, public). Hub-connectivity audit of
+    the transcript graph.
+
+    Plan: two bounded histograms — the degree histogram and the per-edge
+    min-endpoint-degree histogram — each pre-aggregated per batch
+    (np.unique combiner) before one tiny sum_by shuffle; the driver only
+    suffix-sums two max_degree-length vectors. Endpoint degrees come from
+    the broadcast degree vector under BROADCAST_MAX_VERTICES, else from
+    two projected hash joins (the link_scores at-scale pattern)."""
+    import ray as _ray
+
+    def deg_hist(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"degree": pa.array(val), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    dh = sum_by(
+        art.degrees.map_batches(deg_hist, batch_format="pyarrow"),
+        ["degree"], "n", out_col="n",
+    ).to_pandas()  # ≤ max_degree rows
+
+    def md_hist_cols(s: np.ndarray, d: np.ndarray) -> pa.Table:
+        md = np.minimum(s, d)
+        val, cnt = np.unique(md, return_counts=True)
+        return pa.table(
+            {"md": pa.array(val), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    if art.n_vertices <= gb.BROADCAST_MAX_VERTICES:
+        ddf = art.degrees.to_pandas()
+        deg_vec = np.zeros(art.n_vertices, np.int64)
+        deg_vec[ddf["v"].to_numpy()] = ddf["degree"].to_numpy()
+        deg_ref = _ray.put(deg_vec)
+
+        def md_hist(t: pa.Table) -> pa.Table:
+            deg = _ray.get(deg_ref)
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return md_hist_cols(deg[s], deg[d])
+
+        mparts = art.edges.map_batches(md_hist, batch_format="pyarrow")
+    else:
+        j1 = compact_blocks(art.edges).join(
+            art.degrees,
+            join_type="inner",
+            num_partitions=art.num_partitions,
+            on=("src",),
+            right_on=("v",),
+        ).map_batches(
+            lambda t: t.select(["src", "dst", "degree"]).rename_columns(
+                ["src", "dst", "deg_s"]
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        j2 = compact_blocks(j1).join(
+            art.degrees,
+            join_type="inner",
+            num_partitions=art.num_partitions,
+            on=("dst",),
+            right_on=("v",),
+        )
+
+        def md_hist_join(t: pa.Table) -> pa.Table:
+            return md_hist_cols(
+                t["deg_s"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["degree"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+
+        mparts = j2.map_batches(md_hist_join, batch_format="pyarrow")
+
+    mh = sum_by(mparts, ["md"], "n", out_col="n").to_pandas()
+
+    max_deg = int(dh["degree"].max()) if len(dh) else 0
+    hvec = np.zeros(max_deg + 1, np.int64)
+    hvec[dh["degree"].to_numpy()] = dh["n"].to_numpy()
+    mvec = np.zeros(max_deg + 1, np.int64)
+    if len(mh):
+        mvec[mh["md"].to_numpy()] = mh["n"].to_numpy()
+    ks = np.arange(max_deg, dtype=np.int64)  # k = 0..max_deg-1
+    n_k = art.n_vertices - np.cumsum(hvec)[ks]  # degree > k
+    e_k = art.n_edges - np.cumsum(mvec)[ks]  # min endpoint degree > k
+    keep = n_k >= 2
+    phi = 2.0 * e_k[keep] / (n_k[keep] * (n_k[keep] - 1.0))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(ks[keep], pa.int64()),
+                "rich_club": pa.array(round_half_away(phi, 6), pa.float64()),
+            }
+        )
+    )
+
+
+# deterministic multiplicative-hash sampling key — identical int64
+# arithmetic on the engine and SQL sides (no overflow: ids < 2^31, so
+# v·2654435761 + u·40503 < 2^63)
+_NS_MULT_V = 2_654_435_761
+_NS_MULT_U = 40_503
+_NS_MOD = 1_000_000_007
+
+
+def _ns_partial_top_k(
+    s: np.ndarray, d: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    key = (d * _NS_MULT_V + s * _NS_MULT_U) % _NS_MOD
+    order = np.lexsort((d, key, s))
+    s2, d2 = s[order], d[order]
+    starts = np.flatnonzero(np.r_[True, s2[1:] != s2[:-1]])
+    lens = np.diff(np.append(starts, len(s2)))
+    pos = np.arange(len(s2), dtype=np.int64) - np.repeat(starts, lens)
+    keep = pos < k
+    return s2[keep], d2[keep]
+
+
+def neighbor_sample(art, k: int = 3) -> "ray.data.Dataset":
+    """(u, v): a deterministic k-neighbor sample per vertex over the
+    symmetric adjacency — the GNN mini-batch fan-out primitive
+    (GraphSAGE, Hamilton et al. 2017, public), made reproducible by
+    ranking each vertex's neighbors with a multiplicative-hash key
+    (v·2654435761 + u·40503 mod 1e9+7, ties by v) instead of an RNG.
+
+    Plan: per-batch partial top-k first (≤k rows per (u, batch) — the
+    map-side combiner that bounds shuffle volume by k·V, not |E|), then
+    one data-sized bucketed merge applying the same rank-and-head pass,
+    so a vertex's partials never need to fit anywhere but one bucket."""
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int32()), "v": pa.array([], pa.int32())}
+            )
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, sv = _ns_partial_top_k(s, d, k)
+        return pa.table(
+            {
+                "u": pa.array(su.astype(np.int32), pa.int32()),
+                "v": pa.array(sv.astype(np.int32), pa.int32()),
+            }
+        )
+
+    parts = art.sym.map_batches(partial, batch_format="pyarrow")
+    # partial rows ≤ k·V; size buckets to the data, not the cpu count
+    n_buckets = max(
+        art.num_partitions, int(k * art.n_vertices) // 2_000_000 + 1
+    )
+    bucketed = parts.map_batches(
+        lambda t: t.append_column(
+            "bucket",
+            pa.array(
+                t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % n_buckets,
+                pa.int32(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("u", pa.int32()), ("v", pa.int32())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        s = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, sv = _ns_partial_top_k(s, d, k)
+        return pa.table(
+            {
+                "u": pa.array(su.astype(np.int32), pa.int32()),
+                "v": pa.array(sv.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return bucket_groups(
+        bucketed, merge, n_buckets, bucket_col="bucket",
+        batch_format="pyarrow",
+    )

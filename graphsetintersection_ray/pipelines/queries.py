@@ -556,6 +556,24 @@ def q_transitivity(sf_dir: str):
     )
 
 
+def q_rich_club(sf_dir: str):
+    """(k, rich_club): rich-club coefficient curve φ(k) for
+    k = 0..max_degree−1 — two pre-aggregated bounded histograms, driver
+    suffix sums (output size = max degree)."""
+    from graphsetintersection_ray.pipelines.linkpred import rich_club
+
+    return rich_club(build_graph(sf_dir))
+
+
+def q_neighbor_sample(sf_dir: str):
+    """(u, v): deterministic 3-neighbor sample per vertex (GraphSAGE
+    fan-out primitive) via multiplicative-hash ranking — per-batch
+    partial top-k, one bucketed merge."""
+    from graphsetintersection_ray.pipelines.linkpred import neighbor_sample
+
+    return neighbor_sample(build_graph(sf_dir), k=3)
+
+
 def q_modularity(sf_dir: str):
     """(modularity,): exact Newman modularity of the deterministic
     entity-type vertex partition — intra-edge count and per-community
@@ -1910,6 +1928,8 @@ QUERIES = {
     "square_count": q_square_count,
     "four_clique_count": q_four_clique_count,
     "transitivity": q_transitivity,
+    "rich_club": q_rich_club,
+    "neighbor_sample": q_neighbor_sample,
     "modularity": q_modularity,
     "label_propagation": q_label_propagation,
     "bfs_distances": q_bfs_distances,
@@ -2284,6 +2304,33 @@ wedg AS (SELECT sum(degree * (degree - 1) // 2) AS w FROM deg)
 SELECT round(CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END, 6)
   AS transitivity
 FROM tri, wedg"""
+    ),
+    "rich_club": _with(
+        """emin AS (
+  SELECT least(da.degree, db.degree) AS md
+  FROM edges e
+  JOIN deg da ON da.v = e.src
+  JOIN deg db ON db.v = e.dst
+),
+ks AS (
+  SELECT DISTINCT unnest(generate_series(0, degree - 1)) AS k FROM deg
+),
+curve AS (
+  SELECT k,
+         (SELECT count(*) FROM deg WHERE degree > k) AS n_k,
+         (SELECT count(*) FROM emin WHERE md > k) AS e_k
+  FROM ks
+)
+SELECT k, round(2.0 * e_k / (n_k * (n_k - 1.0)), 6) AS rich_club
+FROM curve WHERE n_k >= 2"""
+    ),
+    "neighbor_sample": _with(
+        """SELECT src AS u, dst AS v FROM (
+  SELECT src, dst, row_number() OVER (
+    PARTITION BY src
+    ORDER BY (dst * 2654435761 + src * 40503) % 1000000007, dst
+  ) AS rn FROM sym
+) WHERE rn <= 3"""
     ),
     # #C4 = sum over unordered pairs of C(common-neighbors, 2) / 2 —
     # every 4-cycle has exactly two opposite-corner pairs

@@ -1409,3 +1409,69 @@ def test_four_clique_count_both_paths(art):
         )
     finally:
         tri_mod.BROADCAST_MAX_EDGES = old
+
+
+def test_rich_club_matches_bruteforce(art):
+    """rich_club (two bounded histograms + driver suffix sums) vs a
+    direct per-k recount over the pandas edge/degree tables."""
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.pipelines.linkpred import rich_club
+
+    got = rich_club(art).to_pandas().sort_values("k").reset_index(drop=True)
+    edf = art.edges.to_pandas()
+    ddf = art.degrees.to_pandas()
+    deg = dict(zip(ddf.v, ddf.degree))
+    max_deg = max(deg.values())
+    rows = []
+    for k in range(max_deg):
+        nk = sum(1 for d in deg.values() if d > k)
+        if nk < 2:
+            continue
+        ek = sum(
+            1
+            for s, d in zip(edf.src, edf.dst)
+            if deg[s] > k and deg[d] > k
+        )
+        rows.append((k, float(round_half_away(2.0 * ek / (nk * (nk - 1)), 6))))
+    want = pd.DataFrame(rows, columns=["k", "rich_club"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_neighbor_sample_deterministic_topk(art):
+    """neighbor_sample vs a pandas groupby replay of the same
+    multiplicative-hash ranking; re-run must be identical (determinism)."""
+    from graphsetintersection_ray.pipelines.linkpred import neighbor_sample
+
+    k = 3
+    got = (
+        neighbor_sample(art, k=k)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    sdf = art.sym.to_pandas()
+    key = (
+        sdf.dst.to_numpy(np.int64) * 2654435761
+        + sdf.src.to_numpy(np.int64) * 40503
+    ) % 1000000007
+    rep = sdf.assign(key=key).sort_values(["src", "key", "dst"])
+    want = (
+        rep.groupby("src", sort=True)
+        .head(k)[["src", "dst"]]
+        .rename(columns={"src": "u", "dst": "v"})
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every vertex appears with min(degree, k) sampled neighbors
+    ddf = art.degrees.to_pandas()
+    counts = got.groupby("u").size()
+    for v, d in zip(ddf.v, ddf.degree):
+        assert counts.get(v, 0) == min(d, k)
+    got2 = (
+        neighbor_sample(art, k=k)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
