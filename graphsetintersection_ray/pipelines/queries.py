@@ -1392,6 +1392,25 @@ def q_text_quality(sf_dir: str):
     )
 
 
+def q_vocab_growth(sf_dir: str):
+    """(doc_threshold, vocab): Heaps-law vocabulary growth — distinct
+    lowercase tokens first seen at doc_id ≤ t for 8 even thresholds;
+    one bucketed token-min shuffle, map-only histogram."""
+    from graphsetintersection_ray.stages.text import vocab_growth
+
+    return vocab_growth(_docs(sf_dir))
+
+
+def q_quality_logistic(sf_dir: str):
+    """(doc_id, lr_score): fixed-weight logistic quality classifier over
+    the SQL-reproducible text features — map-only actor-pool scoring."""
+    from graphsetintersection_ray.stages.text import QualityLogistic
+
+    return _docs(sf_dir).map_batches(
+        QualityLogistic, batch_format="pandas", concurrency=2
+    )
+
+
 def q_lang_id(sf_dir: str):
     from graphsetintersection_ray.stages.text import lang_id
 
@@ -1958,6 +1977,8 @@ QUERIES = {
     "sequence_pack": q_sequence_pack,
     "doc_chunks": q_doc_chunks,
     "text_quality": q_text_quality,
+    "vocab_growth": q_vocab_growth,
+    "quality_logistic": q_quality_logistic,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -2719,6 +2740,41 @@ SELECT doc_id,
                 len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) / 100.0),
         6) AS quality
 FROM documents""",
+    "vocab_growth": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9_]+')) AS tok
+  FROM documents
+),
+first_seen AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+m AS (SELECT max(doc_id) AS md FROM documents),
+ts AS (
+  SELECT DISTINCT (i * md) // 8 AS doc_threshold
+  FROM m, (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS i)
+)
+SELECT doc_threshold,
+       (SELECT count(*) FROM first_seen WHERE first_doc <= doc_threshold)
+         AS vocab
+FROM ts""",
+    "quality_logistic": f"""
+WITH feats AS (
+  SELECT doc_id,
+    round(CASE WHEN length(text) > 0
+          THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS DOUBLE) / length(text) ELSE 0 END, 6) AS alpha_ratio,
+    round(CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) > 0
+          THEN CAST(len(regexp_extract_all(text,
+               '\\b({_STOP_ALTERNATION})\\b'))
+               AS DOUBLE) / len(regexp_extract_all(text, '[a-zA-Z0-9_]+'))
+          ELSE 0 END, 6) AS stopword_ratio,
+    len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-(-1.0 + 2.5 * alpha_ratio + 1.5 * stopword_ratio
+                           + 1.0 * least(1.0, n_tokens / 500.0)))), 6)
+    AS lr_score
+FROM feats""",
     "lang_id": "WITH "
     + _LANG_SCORES_SQL
     + """

@@ -1232,3 +1232,142 @@ def doc_chunks(docs, chunk_len: int = 64, overlap: int = 16):
         )
 
     return docs.map_batches(per_doc, batch_format="pandas")
+
+
+def vocab_growth(docs, n_points: int = 8, num_buckets: int = 64):
+    """(doc_threshold, vocab): the Heaps-law vocabulary-growth curve —
+    distinct lowercase tokens whose FIRST occurrence has doc_id ≤ t, at
+    ``n_points`` evenly spaced doc_id thresholds. The tokenizer-budget /
+    corpus-diversity signal of a training-data audit.
+
+    Scale shape: per-batch (token → min doc_id) combiner, ONE bucketed
+    min-reduce keyed by token (shuffle volume = distinct tokens per
+    batch, never corpus token occurrences), then a map-only searchsorted
+    histogram of first-occurrence ids against the threshold grid and an
+    n_points-row sum. No corpus sort, no driver materialization of the
+    vocabulary."""
+    import itertools
+
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sum_by,
+    )
+
+    md = int(docs.max("doc_id") or 0)
+    ts = np.unique(
+        (np.arange(1, n_points + 1, dtype=np.int64) * md) // n_points
+    )
+
+    def tok_first(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return _add_bucket(
+                pd.DataFrame(
+                    {
+                        "tok": pd.Series([], dtype=object),
+                        "first_doc": pd.Series([], dtype=np.int64),
+                    }
+                ),
+                ["tok"],
+                num_buckets,
+            )
+        flat = np.fromiter(
+            itertools.chain.from_iterable(toks), dtype=object, count=total
+        )
+        doc_of = np.repeat(batch["doc_id"].to_numpy(np.int64), lens)
+        g = (
+            pd.DataFrame({"tok": flat, "first_doc": doc_of})
+            .groupby("tok", sort=False)["first_doc"]
+            .min()
+            .reset_index()
+        )
+        return _add_bucket(g, ["tok"], num_buckets)
+
+    def reduce_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "first_doc": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            t.to_pandas()
+            .groupby("tok", sort=False)["first_doc"]
+            .min()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "tok": pa.array(g["tok"].to_numpy(object), pa.string()),
+                "first_doc": pa.array(g["first_doc"].to_numpy(np.int64)),
+            }
+        )
+
+    first_seen = bucket_groups(
+        docs.map_batches(tok_first, batch_format="pandas"),
+        reduce_min,
+        num_buckets,
+        batch_format="pyarrow",
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        fd = np.sort(t["first_doc"].to_numpy(zero_copy_only=False))
+        n = np.searchsorted(fd, ts, side="right")
+        return pa.table(
+            {
+                "doc_threshold": pa.array(ts),
+                "vocab": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return sum_by(
+        first_seen.map_batches(hist, batch_format="pyarrow"),
+        ["doc_threshold"],
+        "vocab",
+        out_col="vocab",
+        num_buckets=1,
+    )
+
+
+# fixed, public logistic weights over the SQL-reproducible quality
+# features — a deterministic stand-in for a fasttext-style quality
+# classifier (the features and rounding match text_quality exactly, so
+# the engine and the DuckDB oracle compute identical inputs)
+QUALITY_LR_BIAS = -1.0
+QUALITY_LR_W_ALPHA = 2.5
+QUALITY_LR_W_STOP = 1.5
+QUALITY_LR_W_LEN = 1.0
+
+
+class QualityLogistic:
+    """Actor-pool stage — (doc_id, lr_score): σ(w·x + b) over the
+    rounded quality features (alpha_ratio, stopword_ratio,
+    min(1, n_tokens/500)); the model-scoring stage of a curation
+    pipeline (weights are constants here; a learned model would load
+    once per actor in __init__ exactly the same way)."""
+
+    def __init__(self) -> None:
+        self.scorer = TextQualityScorer()
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        feats = self.scorer(batch)
+        alpha = feats["alpha_ratio"].to_numpy(zero_copy_only=False)
+        stop = feats["stopword_ratio"].to_numpy(zero_copy_only=False)
+        n_tokens = feats["n_tokens"].to_numpy(zero_copy_only=False)
+        z = (
+            QUALITY_LR_BIAS
+            + QUALITY_LR_W_ALPHA * alpha
+            + QUALITY_LR_W_STOP * stop
+            + QUALITY_LR_W_LEN * np.minimum(1.0, n_tokens / 500.0)
+        )
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pa.table(
+            {
+                "doc_id": feats["doc_id"],
+                "lr_score": pa.array(round_half_away(score, 6), pa.float64()),
+            }
+        )
