@@ -123,6 +123,34 @@ def pagerank(
     return _finalize(eng, xform), stats
 
 
+def katz(
+    art: GraphArtifacts,
+    iters: int = 8,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    round_to: int | None = 6,
+) -> tuple:
+    """(v, katz): truncated Katz centrality — exactly ``iters`` affine
+    supersteps x <- 1 + alpha*S.x from x = 0 (beta = 1, alpha = the
+    dyadic KATZ_ALPHA = 2^-7) on the symmetric adjacency, so the value
+    is the k-term Katz series sum alpha^j (S^j . 1) and an exact
+    recursive-CTE SQL replay exists. Same partitioned-CSR BSP engine as
+    pagerank (per-destination combiner, fused barriers, resumable)."""
+    eng = engine_for(art, ckpt_dir)
+    stats = eng.katz(iters=iters, resume=resume,
+                     checkpoint_every=1 if ckpt_dir else 0)
+
+    def xform(t: pa.Table) -> pa.Table:
+        score = t["state"].to_numpy(zero_copy_only=False)
+        if round_to is not None:
+            score = round_half_away(score, round_to)
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "katz": pa.array(score, pa.float64())}
+        )
+
+    return _finalize(eng, xform), stats
+
+
 def personalized_pagerank(
     art: GraphArtifacts,
     source: int = 0,

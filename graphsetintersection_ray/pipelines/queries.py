@@ -406,6 +406,21 @@ def q_pagerank(sf_dir: str):
     return out
 
 
+KATZ_ORACLE_ITERS = 8
+
+
+def q_katz_fixed(sf_dir: str):
+    """(v, katz): truncated Katz centrality — exactly KATZ_ORACLE_ITERS
+    affine supersteps x <- 1 + alpha*S.x from x = 0 (alpha = 2^-7,
+    dyadic, so every series term is an exact binary float), rounded at 6.
+    Exact recursive-CTE SQL oracle."""
+    art = build_graph(sf_dir)
+    out, _ = it.katz(
+        art, iters=KATZ_ORACLE_ITERS, resume=False, round_to=6
+    )
+    return out
+
+
 PPR_SOURCE = 0  # deterministic seed vertex for the oracle query
 
 
@@ -1935,6 +1950,7 @@ QUERIES = {
     "coreness": q_coreness,
     "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
+    "katz_fixed": q_katz_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
     "topo_levels": q_topo_levels,
@@ -2451,6 +2467,28 @@ GROUP BY a.src"""
   SELECT v, score FROM prr WHERE it = {PAGERANK_ORACLE_ITERS}
 )
 SELECT v, round(score, 6) AS score FROM pr"""
+    ),
+    # Exact replay of the engine's truncated Katz series: alpha = 2^-7
+    # is dyadic so every term alpha^j (S^j . 1) is an exact binary
+    # float on both sides; it = 0 seeds x = 0 (iteration 1 then lands
+    # on the all-ones beta vector exactly as the engine does).
+    "katz_fixed": _with(
+        f"""kz AS (
+  WITH RECURSIVE kr(v, score, it) AS (
+    SELECT v, CAST(0.0 AS DOUBLE), 0 FROM deg
+    UNION ALL
+    SELECT s.dst,
+           CAST(1.0 AS DOUBLE)
+             + CAST(0.0078125 AS DOUBLE) * sum(p.score),
+           p.it + 1
+    FROM kr p
+    JOIN sym s ON s.src = p.v
+    WHERE p.it < {KATZ_ORACLE_ITERS}
+    GROUP BY s.dst, p.it
+  )
+  SELECT v, score FROM kr WHERE it = {KATZ_ORACLE_ITERS}
+)
+SELECT v, round(score, 6) AS katz FROM kz"""
     ),
     "hits": _hits_oracle_sql(HITS_ORACLE_ITERS),
     "topo_levels": _with(
@@ -3333,6 +3371,54 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
 LIMIT 10""",
+    # All-pairs BFS distances by bounded recursive CTE: the UNION dedups
+    # (s, v, dist) triples, so the guard must exceed the graph's
+    # eccentricity (measured 3 at sf0.01 AND sf0.1 — the transcript
+    # graph is a 2-hop small world through its conv/tool hubs; 8 is a
+    # >2.5x margin — each level past saturation re-joins all n^2 pairs,
+    # so the guard is also the oracle's cost knob). min(dist) per
+    # (s, v) is then the true distance.
+    "closeness": _with(
+        """apd AS (
+  WITH RECURSIVE w(s, v, dist) AS (
+    SELECT vid, vid, CAST(0 AS BIGINT) FROM verts
+    UNION
+    SELECT w.s, e.dst, w.dist + 1
+    FROM w JOIN sym e ON e.src = w.v
+    WHERE w.dist < 8
+  )
+  SELECT s, v, min(dist) AS dist FROM w GROUP BY s, v
+)
+SELECT v,
+       round(CASE WHEN sum(dist) > 0
+                  THEN (count(*) - 1) / CAST(sum(dist) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS closeness
+FROM apd GROUP BY v"""
+    ),
+    # Same distance CTE; the engine sums INTEGER per-distance counts and
+    # evaluates cnt_d / d once per distinct distance (reduction-order-
+    # free), so the oracle groups to (v, dist, cnt) first — summing raw
+    # 1/dist rows instead would drift a ulp (3 x (1/3) != 3/3).
+    "harmonic": _with(
+        """apd AS (
+  WITH RECURSIVE w(s, v, dist) AS (
+    SELECT vid, vid, CAST(0 AS BIGINT) FROM verts
+    UNION
+    SELECT w.s, e.dst, w.dist + 1
+    FROM w JOIN sym e ON e.src = w.v
+    WHERE w.dist < 8
+  )
+  SELECT s, v, min(dist) AS dist FROM w GROUP BY s, v
+),
+per_d AS (
+  SELECT v, dist, count(*) AS cnt FROM apd GROUP BY v, dist
+)
+SELECT v,
+       round(coalesce(sum(CASE WHEN dist > 0
+                                THEN cnt / CAST(dist AS DOUBLE) END),
+                      0.0), 6) AS harmonic
+FROM per_d GROUP BY v"""
+    ),
 }
 
 # The driver's correctness gate samples the FIRST 50 registry entries.

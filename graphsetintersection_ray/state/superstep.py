@@ -42,6 +42,11 @@ import pyarrow.parquet as pq
 import ray
 
 DAMPING = 0.85
+# Katz attenuation: dyadic (2^-7) so every term of the Katz series
+# alpha^j * (S^j . 1) is an exactly-representable binary float — the
+# engine's partition-order partial sums and the SQL oracle's sum then
+# agree bit-for-bit at 6-decimal rounding.
+KATZ_ALPHA = 0.0078125
 
 
 def _part_dir(base: str, p: int) -> str:
@@ -123,6 +128,10 @@ class PartitionWorker:
                 idx = np.searchsorted(self.u, source)
                 if idx < len(self.u) and self.u[idx] == source:
                     self.state[idx] = 1.0
+        elif kind == "katz":
+            # x_0 = 0: iteration k yields the k-term Katz series
+            # sum_{j<k} alpha^j (S^j . 1)
+            self.state = np.zeros(len(self.u), np.float64)
         elif kind in ("cc", "labelprop"):
             self.state = self.u.astype(np.int64).copy()
         elif kind == "bfs":
@@ -200,6 +209,10 @@ class PartitionWorker:
                 ),
                 np.diff(self.offsets),
             )
+        elif kind == "katz":
+            # unnormalized propagation: each neighbor receives the raw
+            # score (the alpha attenuation is applied at the receiver)
+            per_edge = np.repeat(self.state, np.diff(self.offsets))
         elif kind == "bfs":
             # frontier relaxation: dist+1 along every out-edge (monotone
             # min fixpoint = unweighted shortest distance from the source)
@@ -220,7 +233,7 @@ class PartitionWorker:
                 out.append(vals[:0])
                 continue
             inv = self._dst_inv[q]
-            if kind in ("pagerank", "ppr"):
+            if kind in ("pagerank", "ppr", "katz"):
                 red = np.bincount(inv, weights=vals, minlength=len(uniq))
             else:
                 red = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
@@ -252,12 +265,14 @@ class PartitionWorker:
         if len(vals) == 1 and isinstance(vals[0], list):
             # P == 1 num_returns quirk, as in cache_incoming_structure
             vals = tuple(vals[0])
-        if kind in ("pagerank", "ppr"):
+        if kind in ("pagerank", "ppr", "katz"):
             incoming = np.zeros(len(self.u), np.float64)
             for idx, val in zip(self._in_idx, vals):
                 if len(val):
                     incoming[idx] += val
-            if kind == "ppr":
+            if kind == "katz":
+                new = 1.0 + KATZ_ALPHA * incoming
+            elif kind == "ppr":
                 new = DAMPING * incoming
                 src = getattr(self, "ppr_source", None)
                 if src is not None:
@@ -835,6 +850,26 @@ class SuperstepEngine:
             "pagerank",
             max_iters,
             lambda rs: max(r["max_delta"] for r in rs) < tol,
+            resume=resume,
+            checkpoint_every=checkpoint_every,
+        )
+
+    def katz(
+        self,
+        iters: int = 8,
+        resume: bool = True,
+        checkpoint_every: int = 1,
+    ) -> dict:
+        """Katz centrality, exactly ``iters`` affine iterations
+        x <- 1 + KATZ_ALPHA * S.x from x = 0 on the symmetric adjacency
+        (beta = 1). Fixed-iteration by design: the truncated Katz series
+        is deterministic and SQL-replayable; convergence needs
+        alpha < 1/lambda_max, which a fixed prefix never depends on."""
+        return self._run(
+            "katz",
+            "katz",
+            iters,
+            lambda rs: False,
             resume=resume,
             checkpoint_every=checkpoint_every,
         )

@@ -1076,6 +1076,25 @@ def test_eigenvector_matches_dense_numpy(art, sym_df):
     assert np.allclose(got.eig.to_numpy(), x, atol=1e-12)
 
 
+def test_katz_matches_dense_numpy(art, sym_df):
+    """8 affine supersteps x <- 1 + alpha*S.x from x = 0 vs a dense
+    numpy replay — exact (alpha = 2^-7 is dyadic, terms are exact
+    binary floats at this scale)."""
+    from graphsetintersection_ray.pipelines import iterative as it
+    from graphsetintersection_ray.state.superstep import KATZ_ALPHA
+
+    kz, stats = it.katz(art, iters=8, resume=False, round_to=None)
+    got = kz.to_pandas().sort_values("v").reset_index(drop=True)
+    N = art.n_vertices
+    A = np.zeros((N, N))
+    A[sym_df.src, sym_df.dst] = 1.0
+    x = np.zeros(N)
+    for _ in range(8):
+        x = 1.0 + KATZ_ALPHA * (A @ x)
+    assert stats["iters"] == 8
+    assert np.array_equal(got.katz.to_numpy(), x)
+
+
 def test_closeness_superstep_path_equals_broadcast(art, ray_session):
     """Force the superstep-BFS per-source path (zero threshold) on a
     source subset and check it equals the broadcast path exactly."""
