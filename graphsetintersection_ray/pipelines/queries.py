@@ -1438,6 +1438,16 @@ def q_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint, batch_format="pandas")
 
 
+def q_winnow_fingerprint(sf_dir: str):
+    """(doc_id, pos, fp): winnowing (MOSS) substring fingerprints —
+    robust-winnowed k-gram hash minima per document (k=5, w=4,
+    polynomial hash over code points). Map-only, exact SQL oracle via
+    per-window min_by with a composite (hash, rightmost-pos) key."""
+    from graphsetintersection_ray.stages.text import winnow_fingerprint
+
+    return _docs(sf_dir).map_batches(winnow_fingerprint, batch_format="pandas")
+
+
 def q_dedup_exact(sf_dir: str):
     from graphsetintersection_ray.stages.dedup import exact_dedup
 
@@ -1997,6 +2007,7 @@ QUERIES = {
     "quality_logistic": q_quality_logistic,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,
@@ -2829,6 +2840,41 @@ FROM sc""",
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
         "AS fp FROM documents"
     ),
+    # Winnowing replay: k-gram polynomial hashes at every position, then
+    # per window of 4 the minimum hash with RIGHTMOST tie-breaking via a
+    # composite min_by key (hash * 2^21 + (2^21 - pos); positions fit
+    # 2^21 at oracle scale). 257^4 = 4362470401 etc.; 5 Horner terms of
+    # code points stay < 2^55, exact in BIGINT like the engine's int64.
+    "winnow_fingerprint": """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         (ord(substr(s, CAST(i AS INTEGER), 1)) * 4362470401
+        + ord(substr(s, CAST(i + 1 AS INTEGER), 1)) * 16974593
+        + ord(substr(s, CAST(i + 2 AS INTEGER), 1)) * 66049
+        + ord(substr(s, CAST(i + 3 AS INTEGER), 1)) * 257
+        + ord(substr(s, CAST(i + 4 AS INTEGER), 1))) % 1000000007 AS hv
+  FROM norm, unnest(range(1, length(s) - 3)) AS u(i)
+  WHERE length(s) >= 8
+),
+win AS (
+  SELECT doc_id, CAST(t AS BIGINT) AS t
+  FROM norm, unnest(range(1, length(s) - 6)) AS u(t)
+  WHERE length(s) >= 8
+),
+sel AS (
+  SELECT w.doc_id,
+         min_by(h.pos, h.hv * 2097152 + (2097152 - h.pos)) AS pos,
+         min(h.hv) AS fp
+  FROM win w
+  JOIN h ON h.doc_id = w.doc_id AND h.pos BETWEEN w.t AND w.t + 3
+  GROUP BY w.doc_id, w.t
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel""",
     "dedup_exact": (
         "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
     ),

@@ -160,6 +160,76 @@ def fingerprint(batch: pd.DataFrame) -> pa.Table:
     )
 
 
+WINNOW_K = 5  # k-gram length (chars of the normalized text)
+WINNOW_W = 4  # winnowing window (hashes); guarantee: any shared
+#               substring of >= K + W - 1 = 8 chars yields a shared
+#               fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+WINNOW_B = 257  # polynomial hash base over Unicode code points
+WINNOW_M = 1_000_000_007  # modulus; 5 Horner terms stay < 2^55, so
+#               both int64 NumPy and DuckDB BIGINT evaluate exactly
+
+
+def winnow_fingerprint(batch: pd.DataFrame) -> pa.Table:
+    """(doc_id, pos, fp): winnowing fingerprints — per document, the
+    k-gram hash minima selected by robust winnowing (in every window of
+    W consecutive k-gram hashes keep the minimum, rightmost on ties),
+    the MOSS substring-matching sketch. pos is the 1-based k-gram start
+    in the whitespace-normalized lowercase text; fp the polynomial hash
+    sum code_j * B^(K-1-j) mod M over Unicode code points, chosen so an
+    exact SQL replay exists (same normalization as ``fingerprint``).
+
+    Scale shape: map-only — no shuffle; the fingerprint set is ~2/(W+1)
+    of the k-gram stream per document, emitted per batch. Downstream
+    substring-level dedup joins on fp (hash-bucketed) exactly like the
+    shingle pipelines. Per-doc loop: the hash/winnow math is vectorized
+    NumPy per document (code points via utf-32 reinterpretation); docs
+    are the short axis of a batch."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    norm = (
+        batch["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    )
+    ids_out: list[np.ndarray] = []
+    pos_out: list[np.ndarray] = []
+    fp_out: list[np.ndarray] = []
+    b1 = WINNOW_B
+    b2, b3, b4 = b1 * b1, b1 * b1 * b1, b1 * b1 * b1 * b1
+    for doc_id, s in zip(batch["doc_id"], norm):
+        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+        L = len(cp)
+        if L < WINNOW_K + WINNOW_W - 1:
+            continue
+        h = (
+            cp[: L - 4] * b4
+            + cp[1 : L - 3] * b3
+            + cp[2 : L - 2] * b2
+            + cp[3 : L - 1] * b1
+            + cp[4:]
+        ) % WINNOW_M
+        win = sliding_window_view(h, WINNOW_W)
+        # rightmost minimum: argmin over the reversed window is the
+        # FIRST minimum in reversed order = last in original order
+        am = win[:, ::-1].argmin(axis=1)
+        sel = np.unique(np.arange(len(win)) + (WINNOW_W - 1 - am))
+        ids_out.append(np.full(len(sel), doc_id, np.int64))
+        pos_out.append(sel + 1)  # 1-based, matching SQL substr
+        fp_out.append(h[sel])
+    empty = np.array([], np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate(ids_out) if ids_out else empty, pa.int64()
+            ),
+            "pos": pa.array(
+                np.concatenate(pos_out) if pos_out else empty, pa.int64()
+            ),
+            "fp": pa.array(
+                np.concatenate(fp_out) if fp_out else empty, pa.int64()
+            ),
+        }
+    )
+
+
 def token_quantiles(docs, qs=(0.25, 0.5, 0.9)):
     """(lang_pred, q, n_tokens): EXACT per-language token-count quantiles
     (discrete, DuckDB quantile_disc semantics: the value at sorted index

@@ -1682,3 +1682,68 @@ def test_doc_chunks_cover_every_token(ray_session):
         assert (lens[:-1] == chunk_len).all() and 0 < lens[-1] <= chunk_len
         assert starts[-1] + lens[-1] == n  # full coverage, exact tail
         assert (lens == np.minimum(chunk_len, n - starts)).all()
+
+
+def test_winnow_fingerprint_brute_force_replay():
+    """Stage output equals a scalar-Python winnowing replay (per-window
+    rightmost-min scan) on crafted docs: periodic text forces hash TIES
+    inside windows (the rightmost rule is load-bearing), plus unicode,
+    short-doc, and whitespace-normalization cases."""
+    from graphsetintersection_ray.stages.text import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_W,
+        winnow_fingerprint,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "abcabcabcabcabcabc",       # periodic: every k-gram hash repeats
+                "The  quick\tbrown fox jumps over the lazy dog",
+                "héllo wörld héllo wörld again",  # non-ascii code points
+                "short",                     # L < K + W - 1: no output
+                "aaaaaaaaaaaaaaa",           # all ties everywhere
+            ],
+        }
+    )
+    got = (
+        winnow_fingerprint(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+
+    want_rows = []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        s = " ".join(text.lower().split())
+        cps = [ord(c) for c in s]
+        if len(cps) < WINNOW_K + WINNOW_W - 1:
+            continue
+        hs = [
+            sum(
+                cps[i + j] * WINNOW_B ** (WINNOW_K - 1 - j)
+                for j in range(WINNOW_K)
+            )
+            % WINNOW_M
+            for i in range(len(cps) - WINNOW_K + 1)
+        ]
+        sel = set()
+        for t in range(len(hs) - WINNOW_W + 1):
+            best = t
+            for p in range(t, t + WINNOW_W):
+                if hs[p] <= hs[best]:  # <= : rightmost wins ties
+                    best = p
+            sel.add(best)
+        want_rows += [
+            {"doc_id": doc_id, "pos": p + 1, "fp": hs[p]} for p in sorted(sel)
+        ]
+    want = pd.DataFrame(want_rows, columns=["doc_id", "pos", "fp"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # doc 4 is below the minimum length: nothing emitted
+    assert 4 not in set(got.doc_id)
+    # the winnowing guarantee: docs 1 and 5 are dense-tie cases and
+    # still select ~2/(w+1) of positions, never zero
+    assert (got.doc_id == 1).sum() > 0 and (got.doc_id == 5).sum() > 0
