@@ -1448,6 +1448,19 @@ def q_winnow_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(winnow_fingerprint, batch_format="pandas")
 
 
+def q_winnow_dup_pairs(sf_dir: str):
+    """(doc_a, doc_b, shared, overlap): substring-level near-dup pairs —
+    docs sharing >= WINNOW_MIN_SHARED distinct winnow hashes, overlap =
+    containment shared/min(|fp_a|,|fp_b|). Exact SQL oracle (max_df=None
+    keeps pair generation exact; production uses the skew guard)."""
+    from graphsetintersection_ray.stages.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(sf_dir), min_shared=WINNOW_MIN_SHARED,
+        min_overlap=WINNOW_MIN_OVERLAP, max_df=None,
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from graphsetintersection_ray.stages.dedup import exact_dedup
 
@@ -2008,6 +2021,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
     "dedup_exact": q_dedup_exact,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,
@@ -2090,6 +2104,41 @@ sc AS (
   FROM ls
 )
 """
+
+WINNOW_MIN_SHARED = 8  # pair thresholds for winnow_dup_pairs (+ oracle)
+WINNOW_MIN_OVERLAP = 0.5
+
+# Winnowing CTE chain (shared by winnow_fingerprint / winnow_dup_pairs):
+# k-gram polynomial hashes at every position of the normalized text,
+# then per window of 4 the minimum hash with rightmost tie-breaking.
+_WINNOW_SQL = """norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         (ord(substr(s, CAST(i AS INTEGER), 1)) * 4362470401
+        + ord(substr(s, CAST(i + 1 AS INTEGER), 1)) * 16974593
+        + ord(substr(s, CAST(i + 2 AS INTEGER), 1)) * 66049
+        + ord(substr(s, CAST(i + 3 AS INTEGER), 1)) * 257
+        + ord(substr(s, CAST(i + 4 AS INTEGER), 1))) % 1000000007 AS hv
+  FROM norm, unnest(range(1, length(s) - 3)) AS u(i)
+  WHERE length(s) >= 8
+),
+win AS (
+  SELECT doc_id, CAST(t AS BIGINT) AS t
+  FROM norm, unnest(range(1, length(s) - 6)) AS u(t)
+  WHERE length(s) >= 8
+),
+sel AS (
+  SELECT w.doc_id,
+         min_by(h.pos, h.hv * 2097152 + (2097152 - h.pos)) AS pos,
+         min(h.hv) AS fp
+  FROM win w
+  JOIN h ON h.doc_id = w.doc_id AND h.pos BETWEEN w.t AND w.t + 3
+  GROUP BY w.doc_id, w.t
+)"""
 
 _SHINGLES_SQL = """
 toks AS (
@@ -2845,36 +2894,28 @@ FROM sc""",
     # composite min_by key (hash * 2^21 + (2^21 - pos); positions fit
     # 2^21 at oracle scale). 257^4 = 4362470401 etc.; 5 Horner terms of
     # code points stay < 2^55, exact in BIGINT like the engine's int64.
-    "winnow_fingerprint": """
-WITH norm AS (
-  SELECT doc_id,
-         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-  FROM documents
-),
-h AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         (ord(substr(s, CAST(i AS INTEGER), 1)) * 4362470401
-        + ord(substr(s, CAST(i + 1 AS INTEGER), 1)) * 16974593
-        + ord(substr(s, CAST(i + 2 AS INTEGER), 1)) * 66049
-        + ord(substr(s, CAST(i + 3 AS INTEGER), 1)) * 257
-        + ord(substr(s, CAST(i + 4 AS INTEGER), 1))) % 1000000007 AS hv
-  FROM norm, unnest(range(1, length(s) - 3)) AS u(i)
-  WHERE length(s) >= 8
-),
-win AS (
-  SELECT doc_id, CAST(t AS BIGINT) AS t
-  FROM norm, unnest(range(1, length(s) - 6)) AS u(t)
-  WHERE length(s) >= 8
-),
-sel AS (
-  SELECT w.doc_id,
-         min_by(h.pos, h.hv * 2097152 + (2097152 - h.pos)) AS pos,
-         min(h.hv) AS fp
-  FROM win w
-  JOIN h ON h.doc_id = w.doc_id AND h.pos BETWEEN w.t AND w.t + 3
-  GROUP BY w.doc_id, w.t
+    "winnow_fingerprint": "WITH "
+    + _WINNOW_SQL
+    + "\nSELECT DISTINCT doc_id, pos, fp FROM sel",
+    # Containment overlap over DISTINCT winnow hashes — the MOSS pair
+    # report: shared = |fp_a ∩ fp_b|, overlap = shared / min set size.
+    "winnow_dup_pairs": "WITH "
+    + _WINNOW_SQL
+    + f""",
+fset AS (SELECT DISTINCT doc_id, fp FROM sel),
+fcnt AS (SELECT doc_id, count(*) AS n FROM fset GROUP BY doc_id),
+finter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM fset a JOIN fset b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT DISTINCT doc_id, pos, fp FROM sel""",
+SELECT doc_a, doc_b, i AS shared,
+       round(CAST(i AS DOUBLE) / least(ca.n, cb.n), 6) AS overlap
+FROM finter
+JOIN fcnt ca ON ca.doc_id = doc_a
+JOIN fcnt cb ON cb.doc_id = doc_b
+WHERE i >= {WINNOW_MIN_SHARED}
+  AND CAST(i AS DOUBLE) / least(ca.n, cb.n) >= {WINNOW_MIN_OVERLAP}""",
     "dedup_exact": (
         "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
     ),

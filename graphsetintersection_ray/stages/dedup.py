@@ -373,6 +373,107 @@ def hot_shingles(docs: rd.Dataset, max_df: int = DEFAULT_MAX_DF) -> rd.Dataset:
     return dfs.filter(expr=f"df > {int(max_df)}")
 
 
+def winnow_dup_pairs(
+    docs: rd.Dataset,
+    min_shared: int = 8,
+    min_overlap: float = 0.5,
+    max_df: int | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """(doc_a, doc_b, shared, overlap): substring-level near-duplicate
+    pairs via winnowing fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS pipeline): pairs of documents sharing >= ``min_shared``
+    DISTINCT winnowed k-gram hashes AND containment overlap = shared /
+    min(|fp_a|, |fp_b|) >= ``min_overlap`` (containment is robust when
+    a small doc is embedded in a large one, unlike Jaccard; the ratio
+    gate matters — templated corpora share boilerplate k-grams, so an
+    absolute count alone selects near-all-pairs). doc_a < doc_b,
+    overlap rounded to 6 (thresholds applied PRE-rounding, mirrored in
+    the SQL oracle).
+
+    EXACT by default; open-domain runs should pass
+    ``max_df=DEFAULT_MAX_DF``: a fingerprint shared by d docs emits
+    d(d-1)/2 pairs (same blowup/guard trade-off as ``jaccard_pairs``).
+
+    Scale shape: map-only fingerprinting, then the same bounded
+    machinery as the shingle pipelines — distinct (doc, fp) with a
+    map-side combiner, fp-bucketed pair generation, pre-aggregated
+    pair counts, and two hash joins for the per-doc set sizes. No
+    stage ever holds more than one bucket."""
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+    from graphsetintersection_ray.stages.shuffle import (
+        counted_groups,
+        distinct_by,
+        grouped_apply,
+    )
+    from graphsetintersection_ray.stages.text import winnow_fingerprint
+
+    fp = distinct_by(
+        docs.map_batches(winnow_fingerprint, batch_format="pandas"),
+        ["doc_id", "fp"],
+    ).materialize()
+    nb = _sized_buckets(fp.count())
+    counts = counted_groups(fp, ["doc_id"], count_col="n_fp", num_buckets=nb)
+    pair_counts = counted_groups(
+        grouped_apply(
+            fp.map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t["doc_id"], "shingle": t["fp"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            ["shingle"],
+            _pairs_for_shingle_group(max_df),
+            out_schema=_PAIR_SCHEMA,
+            num_buckets=nb,
+        ),
+        ["doc_a", "doc_b"],
+        count_col="i",
+        num_buckets=nb,
+    )
+
+    j1 = compact_blocks(pair_counts).join(
+        compact_blocks(counts),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+        right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"], "i": t["i"],
+             "n_a": t["n_fp"]}
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = compact_blocks(j1).join(
+        compact_blocks(counts),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+        right_on=("doc_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        inter = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nbv = t["n_fp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ov_all = inter.astype(np.float64) / np.minimum(na, nbv)
+        keep = (inter >= min_shared) & (ov_all >= min_overlap)
+        ov = ov_all[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "shared": pa.array(inter[keep], pa.int64()),
+                "overlap": pa.array(round_half_away(ov, 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
