@@ -492,6 +492,31 @@ def q_topo_levels(sf_dir: str):
     return res
 
 
+def q_tool_flow_scc(sf_dir: str):
+    """(node, scc): strongly connected components of the per-conversation
+    tool-flow digraph (node = '<conv>:<tool>', edge = consecutive-turn
+    tool transition — genuinely cyclic, unlike the canonical DAG
+    encoding). scc = lexicographically minimal member key. Distributed
+    forward/backward min-label peel on a partitioned directed-CSR pair
+    (pipelines/flowgraph.py); exact SQL oracle via mutual reachability
+    over the recursive closure."""
+    from graphsetintersection_ray.pipelines import flowgraph
+
+    art = flowgraph.build_flow_graph(sf_dir)
+    res, _ = flowgraph.scc(art)
+    return res
+
+
+def q_tool_transitions(sf_dir: str):
+    """(src_tool, dst_tool, n): the corpus's tool-transition Markov
+    matrix — counts of consecutive-turn tool pairs within conversations
+    (self-transitions included). Conv-bucketed shuffle with per-bucket
+    partial counts; exact SQL oracle via a lead() window."""
+    from graphsetintersection_ray.pipelines import flowgraph
+
+    return flowgraph.tool_transitions(transcripts_from_sf(sf_dir))
+
+
 def q_neighborhood_function(sf_dir: str):
     """HyperBall approximate neighborhood function (radius,
     est_reachable): per-vertex HyperLogLog ball counters max-merged along
@@ -1977,6 +2002,8 @@ QUERIES = {
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
     "topo_levels": q_topo_levels,
+    "tool_flow_scc": q_tool_flow_scc,
+    "tool_transitions": q_tool_transitions,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,
@@ -2302,6 +2329,43 @@ SELECT u, v, truss FROM trussres
 
 ORACLE_SQL = {
     "transcripts": TRANSCRIPTS_SQL,
+    # tool-flow digraph: node = conv:tool, edge = consecutive-turn tool
+    # transition (cyclic — unlike the canonical src<dst DAG). SCC id =
+    # min member key via mutual reachability over the recursive closure
+    # (closure rows stay conv-local, so it is cheap at sf scale).
+    "tool_flow_scc": _with(
+        """fnodes AS (SELECT DISTINCT conv_id || ':' || tool AS k FROM t),
+fseq AS (
+  SELECT conv_id, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM t
+),
+fedges AS (
+  SELECT DISTINCT conv_id || ':' || tool AS s, conv_id || ':' || nxt AS d
+  FROM fseq WHERE nxt IS NOT NULL AND nxt <> tool
+),
+freach AS (
+  WITH RECURSIVE r(v, w) AS (
+    SELECT k, k FROM fnodes
+    UNION
+    SELECT r.v, e.d FROM r JOIN fedges e ON e.s = r.w
+  )
+  SELECT v, w FROM r
+)
+SELECT a.v AS node, min(a.w) AS scc
+FROM freach a JOIN freach b ON b.v = a.w AND b.w = a.v
+GROUP BY a.v"""
+    ),
+    "tool_transitions": _with(
+        """fseq AS (
+  SELECT tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM t
+)
+SELECT tool AS src_tool, nxt AS dst_tool, count(*) AS n
+FROM fseq WHERE nxt IS NOT NULL
+GROUP BY tool, nxt"""
+    ),
     "coreness": _CORENESS_SQL,
     "trussness": _TRUSSNESS_SQL,
     "edge_table": _with("SELECT src_key, dst_key FROM e_all"),

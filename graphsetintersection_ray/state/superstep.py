@@ -459,6 +459,80 @@ class PartitionWorker:
             {"v": pa.array(self.u), "level": pa.array(self.level)}
         )
 
+    # -- strongly connected components (directed, cyclic edge sets) ------------
+    # Iterative forward/backward min-label peel: each round runs two
+    # min-label fixpoints over the UNASSIGNED subgraph —
+    #   f[v] = min vertex reachable FROM v      (push along the in-CSR:
+    #          for edge (w,u), u's forward-min lowers w's)
+    #   b[v] = min vertex that REACHES v        (push along the out-CSR)
+    # Vertices with f[v] == b[v] = m are exactly the members of SCC(m)
+    # whose minimum member m is both their forward- and backward-min;
+    # assign scc = m and peel. Assigned vertices carry the +INF sentinel,
+    # so they neither win a min nor relay one — paths through them are
+    # dead, which is what makes the peel correct round over round.
+
+    _SCC_INF = np.int64(1) << 62
+
+    def scc_init(self) -> None:
+        self.scc = np.full(len(self.u), -1, np.int64)
+
+    def scc_phase_init(self) -> int:
+        """Reset f/b to self for unassigned vertices (INF for assigned).
+        Returns this partition's unassigned count."""
+        active = self.scc < 0
+        self.fmin = np.where(active, self.u, self._SCC_INF)
+        self.bmin = np.where(active, self.u, self._SCC_INF)
+        return int(active.sum())
+
+    def scc_messages(self, which: str) -> list[pa.Table]:
+        """Min-combined per (dst, src-partition), same combiner shape as
+        compute_messages. 'f' pushes forward-mins to in-neighbors (in-CSR
+        adjacency); 'b' pushes backward-mins to out-neighbors (out-CSR)."""
+        if which == "f":
+            state, offs = self.fmin, self.in_offs
+            sels, uniqs, invs = self._in_sel, self._in_uniq, self._in_inv
+        else:
+            state, offs = self.bmin, self.out_offs
+            sels, uniqs, invs = self._out_sel, self._out_uniq, self._out_inv
+        per_edge = np.repeat(state, np.diff(offs))
+        out = []
+        for q in range(self.P):
+            uniq = uniqs[q]
+            if len(uniq) == 0:
+                out.append(
+                    pa.table(
+                        {"dst": pa.array([], pa.int64()),
+                         "val": pa.array([], pa.int64())}
+                    )
+                )
+                continue
+            red = np.full(len(uniq), self._SCC_INF, np.int64)
+            np.minimum.at(red, invs[q], per_edge[sels[q]])
+            out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
+        return out
+
+    def scc_apply(self, which: str, *tables: pa.Table) -> int:
+        incoming = np.full(len(self.u), self._SCC_INF, np.int64)
+        for t in tables:
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            np.minimum.at(incoming, np.searchsorted(self.u, dst), val)
+        state = self.fmin if which == "f" else self.bmin
+        upd = (self.scc < 0) & (incoming < state)
+        np.copyto(state, incoming, where=upd)
+        return int(upd.sum())
+
+    def scc_assign(self) -> int:
+        """Assign scc = f where the fixpoints agree; return the number of
+        vertices STILL unassigned in this partition."""
+        active = self.scc < 0
+        done = active & (self.fmin == self.bmin)
+        self.scc[done] = self.fmin[done]
+        return int(active.sum()) - int(done.sum())
+
+    def scc_table(self) -> pa.Table:
+        return pa.table({"v": pa.array(self.u), "scc": pa.array(self.scc)})
+
     # -- HyperBall (approximate neighborhood function) ------------------------
     # HLL primitives shared with the approx-distinct operator live in
     # functions/hll.py.
@@ -1035,6 +1109,73 @@ class SuperstepEngine:
 
     def collect_topo(self) -> pa.Table:
         tables = ray.get([w.topo_table.remote() for w in self.workers])
+        return pa.concat_tables([t for t in tables if t.num_rows])
+
+    def scc(
+        self, out_csr_path: str, in_csr_path: str, max_rounds: int = 10_000
+    ) -> dict:
+        """Strongly connected components on a (cyclic) directed edge set
+        by iterative forward/backward min-label peel (see the scc_*
+        worker docstrings). Each peel round runs two min-label superstep
+        fixpoints over the unassigned subgraph and assigns every SCC
+        whose minimum member is simultaneously its members' forward- and
+        backward-min — at least the SCC of the globally minimal
+        unassigned vertex, so rounds ≤ #SCCs (in practice a handful).
+        Raises loudly past ``max_rounds`` rather than spinning."""
+        ray.get(
+            [
+                w.load_directed.remote(out_csr_path, in_csr_path)
+                for w in self.workers
+            ]
+        )
+        ray.get([w.scc_init.remote() for w in self.workers])
+        t0 = time.time()
+        rounds = supersteps = 0
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"scc exceeded {max_rounds} peel rounds — pathological "
+                    "SCC structure; raise max_rounds explicitly"
+                )
+            ray.get([w.scc_phase_init.remote() for w in self.workers])
+            for which in ("f", "b"):
+                while True:
+                    msgs = [
+                        w.scc_messages.options(num_returns=self.P).remote(which)
+                        for w in self.workers
+                    ]
+                    if self.P == 1:
+                        msgs = [[r] for r in msgs]
+                    changed = ray.get(
+                        [
+                            w.scc_apply.remote(
+                                which, *[msgs[p][q] for p in range(self.P)]
+                            )
+                            for q, w in enumerate(self.workers)
+                        ]
+                    )
+                    supersteps += 1
+                    if sum(changed) == 0:
+                        break
+            remaining = sum(ray.get([w.scc_assign.remote() for w in self.workers]))
+            if remaining == 0:
+                break
+        return {
+            "rounds": rounds,
+            "supersteps": supersteps,
+            "sec": time.time() - t0,
+        }
+
+    def scc_dataset(self):
+        """(v, scc) as a Ray Dataset — one block per partition, no driver
+        concatenation (the at-scale result path)."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs([w.scc_table.remote() for w in self.workers])
+
+    def collect_scc(self) -> pa.Table:
+        tables = ray.get([w.scc_table.remote() for w in self.workers])
         return pa.concat_tables([t for t in tables if t.num_rows])
 
     def hyperball(

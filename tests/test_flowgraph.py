@@ -1,0 +1,142 @@
+"""Tool-flow digraph SCC: brute-force mutual-reachability oracle.
+
+The synthetic transcripts below are built to exercise every SCC shape the
+peel must handle: a 2-cycle (A→B→A), a 3-cycle that takes several peel
+rounds (its min member is not the forward-min of round one for everyone),
+a pure chain (all singleton SCCs), and a single-tool conversation (no
+transition edges at all — the self-loop carrier path).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mk_transcripts(rows):
+    import ray.data as rd
+
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "tool"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["role"] = "user"
+    df["text"] = "x"
+    df["ts"] = pd.Timestamp("2026-01-01")
+    return rd.from_pandas(df)
+
+
+def _brute_scc(edges):
+    """scc[node] = min mutually-reachable node (string min), via boolean
+    closure over the dense node set."""
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    reach = np.eye(n, dtype=bool)
+    for s, d in edges:
+        reach[idx[s], idx[d]] = True
+    for _ in range(n):
+        new = reach | (reach @ reach)
+        if (new == reach).all():
+            break
+        reach = new
+    mutual = reach & reach.T
+    return {
+        nodes[i]: min(nodes[j] for j in np.flatnonzero(mutual[i]))
+        for i in range(n)
+    }
+
+
+ROWS = (
+    # conv A: view→click→view→click  (2-cycle between A:view and A:click)
+    [("A", i, t) for i, t in enumerate(["view", "click", "view", "click"])]
+    # conv B: a 3-cycle x→y→z→x plus a tail into w (singleton)
+    + [("B", i, t) for i, t in enumerate(["x", "y", "z", "x", "w"])]
+    # conv C: pure chain p→q→r (all singletons)
+    + [("C", i, t) for i, t in enumerate(["p", "q", "r"])]
+    # conv D: single tool only (no transition edges; self-loop carrier)
+    + [("D", 0, "solo"), ("D", 1, "solo")]
+    # conv E: two disjoint 2-cycles sharing the conv (m↔n then u↔v)
+    + [("E", i, t) for i, t in enumerate(["m", "n", "m", "u", "v", "u"])]
+)
+
+
+def _expected():
+    seq = {}
+    for conv, i, t in ROWS:
+        seq.setdefault(conv, []).append((i, t))
+    edges = set()
+    nodes = set()
+    for conv, turns in seq.items():
+        turns.sort()
+        ks = [f"{conv}:{t}" for _, t in turns]
+        nodes.update(ks)
+        for a, b in zip(ks, ks[1:]):
+            if a != b:
+                edges.add((a, b))
+    edges |= {(k, k) for k in nodes}
+    return _brute_scc(edges)
+
+
+def test_scc_matches_brute_force(ray_session, tmp_path):
+    from graphsetintersection_ray.pipelines import flowgraph
+
+    art = flowgraph.build_flow_graph_from_transcripts(
+        _mk_transcripts(ROWS), cache_key=f"test-{tmp_path.name}", num_partitions=2
+    )
+    res, stats = flowgraph.scc(art)
+    got = dict(zip(res["node"].to_pylist(), res["scc"].to_pylist()))
+    assert got == _expected()
+    assert stats["rounds"] >= 1
+
+
+def test_scc_sf_matches_sql_oracle(ray_session):
+    """End-to-end vs the recursive-closure DuckDB oracle at sf0.001."""
+    import duckdb
+
+    from graphsetintersection_ray.pipelines.queries import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    res = QUERIES["tool_flow_scc"](sf)
+    got = (
+        res.to_pandas()
+        .sort_values(["node", "scc"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = (
+        con.execute(ORACLE_SQL["tool_flow_scc"]).df()
+        .sort_values(["node", "scc"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["node", "scc"]], want[["node", "scc"]])
+
+
+def test_tool_transitions_matches_pandas(ray_session):
+    from graphsetintersection_ray.pipelines import flowgraph
+
+    ds = _mk_transcripts(ROWS)
+    got = (
+        flowgraph.tool_transitions(ds)
+        .to_pandas()
+        .sort_values(["src_tool", "dst_tool"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(ROWS, columns=["conv_id", "turn_idx", "tool"]).sort_values(
+        ["conv_id", "turn_idx"]
+    )
+    pairs = {}
+    for conv, g in df.groupby("conv_id"):
+        ts = g["tool"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in pairs.items()],
+            columns=["src_tool", "dst_tool", "n"],
+        )
+        .sort_values(["src_tool", "dst_tool"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
