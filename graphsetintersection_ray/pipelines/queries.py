@@ -517,6 +517,41 @@ def q_tool_transitions(sf_dir: str):
     return flowgraph.tool_transitions(transcripts_from_sf(sf_dir))
 
 
+def q_conv_flatten(sf_dir: str):
+    """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text):
+    the per-conversation chat render — turns ordered by turn_idx as
+    'role: text' joined by newline, text preserved byte-for-byte (the
+    input_hint's per-turn text-equality invariant as a product operator:
+    what a training pipeline feeds the tokenizer). One conv-bucketed
+    shuffle, Arrow-vectorized join inside (stages/conversations.py)."""
+    from graphsetintersection_ray.stages.conversations import conv_flatten
+
+    return conv_flatten(transcripts_from_sf(sf_dir))
+
+
+def q_lang_mix_weights(sf_dir: str):
+    """(lang, n_docs, weight): temperature-resampled language mixing
+    weights over the document corpus — weight ∝ sqrt(n_docs), normalized
+    (T=2 temperature sampling, the standard multilingual rebalance). Per-
+    batch partial counts shuffle O(#langs) rows; the finalize runs on the
+    driver over #langs rows (inherently tiny). sqrt keeps both sides
+    IEEE-exact (no libm pow divergence vs the oracle)."""
+    from graphsetintersection_ray.stages.shuffle import counted_groups
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    counts = counted_groups(docs, ["lang"], count_col="n_docs")
+    df = counts.to_pandas().sort_values("lang").reset_index(drop=True)
+    w = np.sqrt(df["n_docs"].to_numpy(np.float64))
+    weight = round_half_away(w / w.sum(), 6)
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"].astype(str)),
+            "n_docs": pa.array(df["n_docs"].to_numpy(np.int64)),
+            "weight": pa.array(weight, pa.float64()),
+        }
+    )
+
+
 def q_neighborhood_function(sf_dir: str):
     """HyperBall approximate neighborhood function (radius,
     est_reachable): per-vertex HyperLogLog ball counters max-merged along
@@ -2004,6 +2039,8 @@ QUERIES = {
     "topo_levels": q_topo_levels,
     "tool_flow_scc": q_tool_flow_scc,
     "tool_transitions": q_tool_transitions,
+    "conv_flatten": q_conv_flatten,
+    "lang_mix_weights": q_lang_mix_weights,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,
@@ -2365,6 +2402,24 @@ GROUP BY a.v"""
 SELECT tool AS src_tool, nxt AS dst_tool, count(*) AS n
 FROM fseq WHERE nxt IS NOT NULL
 GROUP BY tool, nxt"""
+    ),
+    "conv_flatten": _with(
+        """SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user_turns,
+       count(DISTINCT tool) AS n_tools,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+         AS conv_text
+FROM t GROUP BY conv_id"""
+    ),
+    "lang_mix_weights": (
+        "WITH lc AS (SELECT lang, count(*) AS n_docs FROM documents "
+        "GROUP BY lang) "
+        "SELECT lang, n_docs, "
+        "round(sqrt(n_docs) / sum(sqrt(n_docs)) OVER (), 6) AS weight "
+        "FROM lc"
     ),
     "coreness": _CORENESS_SQL,
     "trussness": _TRUSSNESS_SQL,

@@ -1,0 +1,111 @@
+"""Conversation-level transforms over the transcript table.
+
+The engine's core input invariant (BASELINE.json input_hint) is per-turn
+text equality under stable (conv_id, turn_idx) ordering — ``conv_flatten``
+turns that invariant into a product operator: the chat-template render
+that a training-data pipeline feeds to a tokenizer (one row per
+conversation, turns concatenated in order with role tags, byte-for-byte).
+
+Scale shape: one conv-hash bucketed shuffle (whole conversations per
+bucket, same partitioning key as the edge derivation), then fully
+vectorized Arrow inside the bucket — the per-conversation join is
+``pc.binary_join`` over a ListArray built from group offsets, not a
+Python loop over conversations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from graphsetintersection_ray.stages.shuffle import bucket_groups, sized_buckets
+
+
+def _conv_bucket_full(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Like graph_build._conv_bucket but keeps text (the render input)."""
+    batch = batch[["conv_id", "turn_idx", "role", "tool", "text"]].copy()
+    batch["bucket"] = (
+        pd.util.hash_array(batch["conv_id"].to_numpy(object)) % num_buckets
+    ).astype(np.int64)
+    return batch
+
+
+def _flatten_bucket(b: pd.DataFrame) -> pa.Table:
+    conv = b["conv_id"].to_numpy(object)
+    turn = b["turn_idx"].to_numpy()
+    order = np.lexsort((turn, conv))
+    conv = conv[order]
+    role = pa.array(b["role"].to_numpy(object)[order], pa.string())
+    text = pa.array(b["text"].to_numpy(object)[order], pa.string())
+    tool = b["tool"].to_numpy(object)[order]
+
+    # group offsets over the sorted conv column
+    n = len(conv)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_user_turns": pa.array([], pa.int64()),
+                "n_tools": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "conv_text": pa.array([], pa.string()),
+            }
+        )
+    starts = np.concatenate([[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    counts = ends - starts
+
+    # 'role: text' per turn, then one vectorized per-conversation join
+    lines = pc.binary_join_element_wise(role, text, ": ")
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(np.concatenate([starts, [n]]), pa.int32()), lines
+        ),
+        "\n",
+    )
+
+    is_user = (
+        pc.equal(role, "user").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n_user = np.add.reduceat(is_user, starts)
+    chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+    n_chars = np.add.reduceat(chars, starts)
+    # distinct tools per conversation: sorted (conv, tool) boundary count
+    t_order = np.lexsort((tool, conv))
+    ct, tt = conv[t_order], tool[t_order]
+    new_pair = np.concatenate(
+        [[True], (ct[1:] != ct[:-1]) | (tt[1:] != tt[:-1])]
+    )
+    n_tools = np.add.reduceat(new_pair.astype(np.int64), starts)
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv[starts], pa.string()),
+            "n_turns": pa.array(counts.astype(np.int64)),
+            "n_user_turns": pa.array(n_user),
+            "n_tools": pa.array(n_tools),
+            "n_chars": pa.array(n_chars),
+            "conv_text": joined,
+        }
+    )
+
+
+def conv_flatten(transcripts: rd.Dataset) -> rd.Dataset:
+    """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text): the
+    per-conversation chat render — turns ordered by turn_idx, each as
+    'role: text', joined by newline, text bytes preserved exactly —
+    plus the per-conversation stats a curation filter reads."""
+    num_buckets = sized_buckets(transcripts.count())
+    bucketed = transcripts.map_batches(
+        _conv_bucket_full,
+        batch_format="pandas",
+        fn_kwargs=dict(num_buckets=num_buckets),
+    )
+    return bucket_groups(
+        bucketed, _flatten_bucket, num_buckets, bucket_col="bucket"
+    )

@@ -140,3 +140,30 @@ def test_tool_transitions_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_conv_flatten_preserves_text_bytes(ray_session):
+    """The render must carry text byte-for-byte — including embedded
+    newlines and 'role: ' look-alikes — in strict turn order."""
+    import ray.data as rd
+    from graphsetintersection_ray.stages.conversations import conv_flatten
+
+    rows = [
+        ("c1", 1, "assistant", "t1", "second\nline"),
+        ("c1", 0, "user", "t0", "first: tricky"),
+        ("c2", 0, "user", "t0", ""),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "tool", "text"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["ts"] = pd.Timestamp("2026-01-01")
+    out = conv_flatten(rd.from_pandas(df)).to_pandas().set_index("conv_id")
+    assert out.loc["c1", "conv_text"] == (
+        "user: first: tricky\nassistant: second\nline"
+    )
+    assert out.loc["c1", "n_turns"] == 2
+    assert out.loc["c1", "n_user_turns"] == 1
+    assert out.loc["c1", "n_tools"] == 2
+    assert out.loc["c1", "n_chars"] == len("first: tricky") + len("second\nline")
+    assert out.loc["c2", "conv_text"] == "user: "
