@@ -1732,6 +1732,19 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+def q_bigram_logprob(sf_dir: str):
+    """(doc_id, n_bigrams, avg_logprob): add-one-smoothed bigram-LM
+    fluency score under the corpus's own bigram counts — the conditional
+    complement of unigram_logprob (catches rare-next-token text whose
+    unigrams are common). Integer micro-unit sums (bit-exact); docs with
+    <2 tokens absent. Dual path: broadcast LM below
+    BIGRAM_BROADCAST_MAX distinct bigrams, hash-join scoring above (the
+    100 TB shape — bigram vocabulary is unbounded)."""
+    from graphsetintersection_ray.stages.text import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir))
+
+
 def q_corpus_report(sf_dir: str):
     """(n_docs, total_tokens, mean_quality): the composed end-to-end
     curation pipeline — CurationFilter gates, then exact dedup among
@@ -2106,6 +2119,7 @@ QUERIES = {
     "source_quality": q_source_quality,
     "oov_rate": q_oov_rate,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "corpus_report": q_corpus_report,
     "approx_distinct": q_approx_distinct,
     "weighted_sample": q_weighted_sample,
@@ -3237,6 +3251,35 @@ per AS (
 )
 SELECT doc_id, n_tokens,
        round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6) AS avg_logprob
+FROM per""",
+    "bigram_logprob": """
+WITH dl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(l) AS t FROM dl),
+bi AS (
+  SELECT doc_id, b[1] AS t1, b[2] AS t2 FROM (
+    SELECT doc_id, unnest(list_zip(l[:-2], l[2:])) AS b
+    FROM dl WHERE len(l) >= 2
+  )
+),
+bc AS (SELECT t1, t2, count(*) AS c12 FROM bi GROUP BY t1, t2),
+uc AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+v AS (SELECT count(*) AS vocab FROM uc),
+lm AS (
+  SELECT t1, t2,
+         CAST(round(round(ln((c12 + 1.0) / (c1 + vocab)), 6) * 1000000, 0)
+              AS BIGINT) AS lpi
+  FROM bc JOIN uc ON uc.t = bc.t1, v
+),
+per AS (
+  SELECT bi.doc_id, count(*) AS n_bigrams, sum(lpi) AS s
+  FROM bi JOIN lm ON lm.t1 = bi.t1 AND lm.t2 = bi.t2
+  GROUP BY bi.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(s AS DOUBLE) / (1000000.0 * n_bigrams), 6) AS avg_logprob
 FROM per""",
     "sample_docs": (
         "SELECT doc_id, text FROM documents WHERE doc_id % 16 = 0"

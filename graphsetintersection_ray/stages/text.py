@@ -14,6 +14,7 @@ stream through ``__call__``.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 
@@ -1135,6 +1136,241 @@ def unigram_logprob(docs, num_buckets: int = 64):
         )
 
     return docs.map_batches(per_doc, batch_format="pandas")
+
+
+# Above this many distinct bigrams the (bigram → logprob) map stops being
+# broadcast and the scoring switches to the hash-join path. At 10^12-turn
+# scale the bigram vocabulary is unbounded (unlike the unigram vocab), so
+# the join path is the production default shape; env-overridable so tests
+# force it at sf scale.
+BIGRAM_BROADCAST_MAX = int(os.environ.get("GRAFT_BIGRAM_BROADCAST_MAX", 2_000_000))
+
+
+def _doc_bigrams(batch: pd.DataFrame):
+    """flat (doc_id, 't1 t2') arrays for every within-doc adjacent token
+    pair. Docs are whole rows, so pairs never cross batches."""
+    import itertools
+
+    toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+    lens = toks.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    flat = np.fromiter(
+        itertools.chain.from_iterable(toks), dtype=object, count=total
+    )
+    doc_of = np.repeat(batch["doc_id"].to_numpy(np.int64), lens)
+    same = doc_of[1:] == doc_of[:-1]
+    pairs = flat[:-1][same] + " " + flat[1:][same]
+    return doc_of[:-1][same], pairs
+
+
+def bigram_logprob(docs, num_buckets: int = 64):
+    """(doc_id, n_bigrams, avg_logprob): add-one-smoothed bigram-LM score
+    — each adjacent token pair scored ln((c(t1,t2)+1) / (c(t1)+V)) under
+    the corpus's own bigram counts (V = unigram vocab size), averaged per
+    document. Docs with <2 tokens are absent. The conditional-fluency
+    complement of ``unigram_logprob``: repeated rare-next-token text
+    scores low even when its unigrams are common.
+
+    Exactness: per-pair logprobs rounded to 6 decimals, summed as integer
+    micro-units (reduction-order-free), one rounded division at the end —
+    same contract as unigram_logprob, so the DuckDB oracle is exact.
+
+    Scale shape: bigram/unigram counts are pre-aggregated count shuffles.
+    Below ``BIGRAM_BROADCAST_MAX`` distinct bigrams the (pair → lpi) map
+    is broadcast once and scoring is map-only. Above it — the 100 TB
+    regime, where the bigram vocabulary keeps growing — scoring is one
+    hash join of per-doc pair partials against the LM table keyed on the
+    pair, then a pre-aggregated per-doc sum shuffle. Both paths are
+    tested equal at a forced-zero threshold."""
+    import ray
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    def pair_counts(batch: pd.DataFrame) -> pa.Table:
+        _, pairs = _doc_bigrams(batch)
+        vc = pd.Series(pairs, dtype=object).value_counts()
+        return pa.table(
+            {
+                "pair": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    def tok_counts(batch: pd.DataFrame) -> pa.Table:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        vc = pd.Series(
+            [t for ts in toks for t in ts], dtype=object
+        ).value_counts()
+        return pa.table(
+            {
+                "t": pa.array(vc.index.to_numpy(object), pa.string()),
+                "n1": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    docs = docs.materialize()
+    bg = sum_by(
+        docs.map_batches(pair_counts, batch_format="pandas"),
+        ["pair"], "n", num_buckets=num_buckets,
+    ).materialize()
+    ug = sum_by(
+        docs.map_batches(tok_counts, batch_format="pandas"),
+        ["t"], "n1", num_buckets=num_buckets,
+    ).materialize()
+    vocab = ug.count()
+    n_bigram_kinds = bg.count()
+    # join fan-out sized by the DATA, not the bucket constant: Ray's
+    # hash-join reserves resources per partition, and a 64-partition join
+    # over a few hundred rows stalls an 8-cpu cluster outright
+    from graphsetintersection_ray.stages.shuffle import sized_buckets
+
+    jp = sized_buckets(n_bigram_kinds)
+
+    def lm_rows(t: pa.Table) -> pa.Table:
+        """(pair, lpi): join already done — t has (pair, n, n1)."""
+        c12 = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lpi = np.rint(
+            round_half_away(np.log((c12 + 1.0) / (c1 + vocab)), 6) * 1e6
+        ).astype(np.int64)
+        return pa.table({"pair": t["pair"], "lpi": pa.array(lpi)})
+
+    def with_t1(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t1 = pc.list_element(pc.split_pattern(t["pair"], " "), 0)
+        return pa.table({"pair": t["pair"], "n": t["n"], "t1": t1})
+
+    # compact_blocks: the bucket shuffle emits column-less empty blocks
+    # that crash Acero hash joins ("no match for key field") — every
+    # join input is normalized through it
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+
+    lm = (
+        compact_blocks(bg.map_batches(with_t1, batch_format="pyarrow"))
+        .join(
+            compact_blocks(ug),
+            join_type="inner",
+            num_partitions=jp,
+            on=("t1",),
+            right_on=("t",),
+        )
+        .map_batches(lm_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_bigrams", pa.int64()),
+            pa.field("avg_logprob", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nb = t["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_bigrams": pa.array(nb),
+                "avg_logprob": pa.array(
+                    round_half_away(s / (1e6 * nb), 6), pa.float64()
+                ),
+            }
+        )
+
+    if n_bigram_kinds <= BIGRAM_BROADCAST_MAX:
+        lm_df = lm.to_pandas()
+        lm_ref = ray.put(
+            dict(
+                zip(
+                    lm_df["pair"].to_numpy(object).tolist(),
+                    lm_df["lpi"].to_numpy(np.int64).tolist(),
+                )
+            )
+        )
+
+        def per_doc(batch: pd.DataFrame) -> pa.Table:
+            doc_of, pairs = _doc_bigrams(batch)
+            if len(pairs) == 0:
+                return out_schema.empty_table()
+            lpm = ray.get(lm_ref)
+            vals = pd.Series(pairs).map(lpm).to_numpy(np.int64)
+            g = (
+                pd.DataFrame({"doc_id": doc_of, "v": vals})
+                .groupby("doc_id", sort=False)["v"]
+                .agg(["size", "sum"])
+            )
+            return finalize(
+                pa.table(
+                    {
+                        "doc_id": pa.array(g.index.to_numpy(np.int64)),
+                        "n_bigrams": pa.array(g["size"].to_numpy(np.int64)),
+                        "s": pa.array(g["sum"].to_numpy(np.int64)),
+                    }
+                )
+            )
+
+        return docs.map_batches(per_doc, batch_format="pandas")
+
+    # join path: per-doc pair partials ⋈ LM on the pair, then one
+    # pre-aggregated per-doc sum shuffle
+    def doc_pair_partials(batch: pd.DataFrame) -> pa.Table:
+        doc_of, pairs = _doc_bigrams(batch)
+        if len(pairs) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pair": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pd.DataFrame({"doc_id": doc_of, "pair": pairs})
+            .groupby(["doc_id", "pair"], sort=False)
+            .size()
+            .reset_index(name="k")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "pair": pa.array(g["pair"].to_numpy(object), pa.string()),
+                "k": pa.array(g["k"].to_numpy(np.int64)),
+            }
+        )
+
+    scored = (
+        compact_blocks(
+            docs.map_batches(doc_pair_partials, batch_format="pandas")
+        )
+        .join(
+            compact_blocks(lm),
+            join_type="inner",
+            num_partitions=jp,
+            on=("pair",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bigrams": t["k"],
+                    "s": pa.array(
+                        t["k"].to_numpy(zero_copy_only=False)
+                        * t["lpi"].to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    summed = sum_by(
+        scored, ["doc_id"], ["n_bigrams", "s"], num_buckets=num_buckets
+    )
+    return summed.map_batches(finalize, batch_format="pyarrow")
 
 
 def sequence_pack(docs, seq_len: int = 2048):

@@ -1747,3 +1747,74 @@ def test_winnow_fingerprint_brute_force_replay():
     # the winnowing guarantee: docs 1 and 5 are dense-tie cases and
     # still select ~2/(w+1) of positions, never zero
     assert (got.doc_id == 1).sum() > 0 and (got.doc_id == 5).sum() > 0
+
+
+def test_bigram_logprob_paths_match_brute(ray_session, monkeypatch):
+    """Broadcast and hash-join scoring paths equal each other and a
+    driver-side brute-force add-one bigram LM."""
+    import math
+    import re
+
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages import text as tx
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat the cat the",
+        3: "one",          # <2 tokens -> absent
+        4: "zz yy zz yy zz",
+        5: "",
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    docs = rd.from_pandas(df).repartition(3)
+
+    out = (
+        tx.bigram_logprob(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(tx, "BIGRAM_BROADCAST_MAX", 0)
+    out2 = (
+        tx.bigram_logprob(docs, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+    # brute force
+    tok = {d: re.findall(r"[a-z0-9_]+", t.lower()) for d, t in texts.items()}
+    uni, bi = {}, {}
+    for ts in tok.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    V = len(uni)
+    from graphsetintersection_ray.functions.kernels import round_half_away
+
+    want = {}
+    for d, ts in tok.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        s = sum(
+            int(
+                np.rint(
+                    round_half_away(
+                        np.array([math.log((bi[p] + 1) / (uni[p[0]] + V))]), 6
+                    )[0]
+                    * 1e6
+                )
+            )
+            for p in pairs
+        )
+        want[d] = (len(pairs), float(round_half_away(
+            np.array([s / (1e6 * len(pairs))]), 6)[0]))
+    got = {
+        int(r.doc_id): (int(r.n_bigrams), float(r.avg_logprob))
+        for r in out.itertuples()
+    }
+    assert got == want
