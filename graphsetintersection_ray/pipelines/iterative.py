@@ -243,6 +243,28 @@ def label_propagation(
     return _finalize(eng, xform), stats
 
 
+MIS_SEED = 7
+
+
+def mis(art: GraphArtifacts, seed: int = MIS_SEED) -> tuple:
+    """(v, in_mis): deterministic Luby maximal independent set on the
+    symmetric adjacency (seeded splitmix64 round priorities — exactly
+    replayable, so the semantic oracle recomputes the full run). Two
+    combiner exchanges per round on the partitioned CSR, O(log n)
+    rounds."""
+    eng = engine_for(art, None)
+    stats = eng.mis(seed=seed)
+
+    def xform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "in_mis": t["in_mis"]}
+        )
+
+    if eng.n_total > _collect_max_vertices():
+        return eng.mis_dataset().map_batches(xform, batch_format="pyarrow"), stats
+    return xform(eng.collect_mis()), stats
+
+
 def ensure_directed_csr(art: GraphArtifacts) -> tuple[str, str]:
     """Build (once, manifest-guarded) the DIRECTED CSR pair next to the
     symmetric one: out-CSR partitioned by src, in-CSR (reversed edges)

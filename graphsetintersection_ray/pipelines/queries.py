@@ -517,6 +517,18 @@ def q_tool_transitions(sf_dir: str):
     return flowgraph.tool_transitions(transcripts_from_sf(sf_dir))
 
 
+def q_mis_luby(sf_dir: str):
+    """(v, in_mis): maximal independent set via Luby's algorithm —
+    deterministic seeded splitmix64 round priorities on the symmetric
+    adjacency, two combiner exchanges per round, O(log n) rounds. No SQL
+    oracle (the round structure is not relational); the semantic check
+    verifies independence + maximality against the edge table AND replays
+    the exact run driver-side (same hash, same rounds)."""
+    art = build_graph(sf_dir)
+    res, _ = it.mis(art)
+    return res
+
+
 def q_conv_flatten(sf_dir: str):
     """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text):
     the per-conversation chat render — turns ordered by turn_idx as
@@ -2054,6 +2066,7 @@ QUERIES = {
     "tool_transitions": q_tool_transitions,
     "conv_flatten": q_conv_flatten,
     "lang_mix_weights": q_lang_mix_weights,
+    "mis_luby": q_mis_luby,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,

@@ -533,6 +533,85 @@ class PartitionWorker:
     def scc_table(self) -> pa.Table:
         return pa.table({"v": pa.array(self.u), "scc": pa.array(self.scc)})
 
+    # -- maximal independent set (Luby 1986) -----------------------------------
+    # Each round, every undecided vertex draws a deterministic priority
+    # (splitmix64 of v + a round constant — a bijection, so priorities
+    # are DISTINCT within a round and ties cannot occur); a vertex joins
+    # the MIS iff its priority beats every undecided neighbor's, and
+    # neighbors of new members drop out. Two pre-aggregated exchanges per
+    # round (min-priority, then member-notify) on the symmetric CSR;
+    # O(log n) rounds w.h.p. States: 0 undecided / 1 IN / 2 OUT.
+
+    _MIS_INF = np.int64(np.iinfo(np.int64).max)
+
+    def mis_init(self, seed: int) -> None:
+        self.mis = np.zeros(len(self.u), np.int8)
+        self._mis_seed = int(seed)
+
+    def _mis_pri(self, rnd: int) -> np.ndarray:
+        from graphsetintersection_ray.functions.hll import splitmix64
+
+        c = np.uint64(self._mis_seed) * np.uint64(
+            0xD1B54A32D192ED03
+        ) + np.uint64(rnd)
+        h = splitmix64(self.u.astype(np.uint64) + c).view(np.int64)
+        # keep the INF sentinel unambiguous (remap the one colliding value)
+        h = np.where(h == self._MIS_INF, self._MIS_INF - 1, h)
+        return np.where(self.mis == 0, h, self._MIS_INF)
+
+    def mis_messages(self, rnd: int, which: str) -> list[pa.Table]:
+        if which == "p":
+            self._mis_pri_cur = self._mis_pri(rnd)
+            per_edge = np.repeat(self._mis_pri_cur, np.diff(self.offsets))
+            empty_fill, reduce_at = self._MIS_INF, np.minimum.at
+        else:  # 'n': notify neighbors of new members
+            per_edge = np.repeat(
+                (self.mis == 1).astype(np.int64), np.diff(self.offsets)
+            )
+            empty_fill, reduce_at = np.int64(0), np.maximum.at
+        out = []
+        for q in range(self.P):
+            uniq = self._dst_uniq[q]
+            if len(uniq) == 0:
+                out.append(
+                    pa.table(
+                        {"dst": pa.array([], pa.int64()),
+                         "val": pa.array([], pa.int64())}
+                    )
+                )
+                continue
+            red = np.full(len(uniq), empty_fill, np.int64)
+            reduce_at(red, self._dst_inv[q], per_edge[self._dst_sel[q]])
+            out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
+        return out
+
+    def mis_apply(self, which: str, *tables: pa.Table) -> int:
+        if which == "p":
+            incoming = np.full(len(self.u), self._MIS_INF, np.int64)
+            for t in tables:
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                val = t["val"].to_numpy(zero_copy_only=False)
+                np.minimum.at(incoming, np.searchsorted(self.u, dst), val)
+            win = (self.mis == 0) & (self._mis_pri_cur < incoming)
+            self.mis[win] = 1
+            return int(win.sum())
+        incoming = np.zeros(len(self.u), np.int64)
+        for t in tables:
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            np.maximum.at(incoming, np.searchsorted(self.u, dst), val)
+        drop = (self.mis == 0) & (incoming == 1)
+        self.mis[drop] = 2
+        return int((self.mis == 0).sum())
+
+    def mis_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "v": pa.array(self.u),
+                "in_mis": pa.array((self.mis == 1).astype(np.int64)),
+            }
+        )
+
     # -- HyperBall (approximate neighborhood function) ------------------------
     # HLL primitives shared with the approx-distinct operator live in
     # functions/hll.py.
@@ -1176,6 +1255,48 @@ class SuperstepEngine:
 
     def collect_scc(self) -> pa.Table:
         tables = ray.get([w.scc_table.remote() for w in self.workers])
+        return pa.concat_tables([t for t in tables if t.num_rows])
+
+    def mis(self, seed: int = 7, max_rounds: int = 200) -> dict:
+        """Luby's maximal independent set on the symmetric adjacency:
+        two pre-aggregated exchanges per round (min neighbor priority,
+        member notification); terminates when no vertex is undecided —
+        O(log n) rounds w.h.p., loud failure past ``max_rounds``."""
+        ray.get([w.mis_init.remote(seed) for w in self.workers])
+        t0 = time.time()
+        rnd = 0
+        while True:
+            rnd += 1
+            if rnd > max_rounds:
+                raise RuntimeError(
+                    f"mis exceeded {max_rounds} rounds (expected O(log n))"
+                )
+            for which in ("p", "n"):
+                msgs = [
+                    w.mis_messages.options(num_returns=self.P).remote(rnd, which)
+                    for w in self.workers
+                ]
+                if self.P == 1:
+                    msgs = [[r] for r in msgs]
+                counts = ray.get(
+                    [
+                        w.mis_apply.remote(
+                            which, *[msgs[p][q] for p in range(self.P)]
+                        )
+                        for q, w in enumerate(self.workers)
+                    ]
+                )
+            if sum(counts) == 0:
+                break
+        return {"rounds": rnd, "sec": time.time() - t0}
+
+    def mis_dataset(self):
+        import ray.data as rd
+
+        return rd.from_arrow_refs([w.mis_table.remote() for w in self.workers])
+
+    def collect_mis(self) -> pa.Table:
+        tables = ray.get([w.mis_table.remote() for w in self.workers])
         return pa.concat_tables([t for t in tables if t.num_rows])
 
     def hyperball(

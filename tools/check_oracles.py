@@ -1150,7 +1150,72 @@ def _check_embedding_dups_lsh(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_mis_luby(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """mis_luby vs (a) structural assertions — independence (no edge with
+    both endpoints IN) and maximality (every OUT vertex has an IN
+    neighbor) — and (b) an EXACT sequential replay of the seeded Luby
+    rounds (same splitmix64 priorities, same round constants)."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.hll import splitmix64
+    from graphsetintersection_ray.pipelines.iterative import MIS_SEED
+
+    nbrs = _nbr_sets(sf_dir)
+    got = dict(zip(rdf.v.astype(int), rdf.in_mis.astype(int)))
+    in_set = {v for v, m in got.items() if m == 1}
+    indep_violations = sum(
+        1 for v in in_set for w in nbrs.get(v, ()) if w in in_set
+    )
+    maximal_violations = sum(
+        1
+        for v, m in got.items()
+        if m == 0 and not any(w in in_set for w in nbrs.get(v, ()))
+    )
+
+    # exact replay
+    verts = np.array(sorted(got), dtype=np.int64)
+    INF = np.int64(np.iinfo(np.int64).max)
+    state = {int(v): 0 for v in verts}  # 0 undecided / 1 IN / 2 OUT
+    for rnd in range(1, 201):
+        c = np.uint64(MIS_SEED) * np.uint64(0xD1B54A32D192ED03) + np.uint64(rnd)
+        h = splitmix64(verts.astype(np.uint64) + c).view(np.int64)
+        h = np.where(h == INF, INF - 1, h)
+        pri = {
+            int(v): (int(x) if state[int(v)] == 0 else int(INF))
+            for v, x in zip(verts, h)
+        }
+        new_in = [
+            v
+            for v in state
+            if state[v] == 0
+            and all(pri[v] < pri[w] for w in nbrs.get(v, ()) if w in pri)
+        ]
+        for v in new_in:
+            state[v] = 1
+        for v in state:
+            if state[v] == 0 and any(state.get(w) == 1 for w in nbrs.get(v, ())):
+                state[v] = 2
+        if all(s != 0 for s in state.values()):
+            break
+    replay_mismatches = sum(
+        1 for v in state if (1 if state[v] == 1 else 0) != got.get(v)
+    )
+    return {
+        "check": "independence_maximality_and_exact_luby_replay",
+        "n_in_mis": len(in_set),
+        "indep_violations": indep_violations,
+        "maximal_violations": maximal_violations,
+        "replay_mismatches": replay_mismatches,
+        "pass": bool(
+            indep_violations == 0
+            and maximal_violations == 0
+            and replay_mismatches == 0
+        ),
+    }
+
+
 SEMANTIC_CHECKS = {
+    "mis_luby": _check_mis_luby,
     "embedding_dups_lsh": _check_embedding_dups_lsh,
     "pagerank": _check_pagerank,
     "harmonic": _check_harmonic,
