@@ -541,6 +541,16 @@ def q_conv_flatten(sf_dir: str):
     return conv_flatten(transcripts_from_sf(sf_dir))
 
 
+def q_turn_latency(sf_dir: str):
+    """(conv_id, n_gaps, mean_gap_s, max_gap_us): per-conversation
+    response-latency stats from consecutive-turn timestamp gaps (agent
+    responsiveness signal). Integer microsecond sums, one rounded
+    division — bit-exact; single-turn conversations absent."""
+    from graphsetintersection_ray.stages.conversations import turn_latency
+
+    return turn_latency(transcripts_from_sf(sf_dir))
+
+
 def q_lang_mix_weights(sf_dir: str):
     """(lang, n_docs, weight): temperature-resampled language mixing
     weights over the document corpus — weight ∝ sqrt(n_docs), normalized
@@ -2065,6 +2075,7 @@ QUERIES = {
     "tool_flow_scc": q_tool_flow_scc,
     "tool_transitions": q_tool_transitions,
     "conv_flatten": q_conv_flatten,
+    "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
     "eigenvector": q_eigenvector,
@@ -2440,6 +2451,21 @@ GROUP BY tool, nxt"""
        string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
          AS conv_text
 FROM t GROUP BY conv_id"""
+    ),
+    "turn_latency": _with(
+        """g AS (
+  SELECT conv_id,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+           AS gap_us
+  FROM t
+)
+SELECT conv_id, count(*) AS n_gaps,
+       round(CAST(sum(gap_us) AS DOUBLE) / (1000000.0 * count(*)), 6)
+         AS mean_gap_s,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY conv_id"""
     ),
     "lang_mix_weights": (
         "WITH lc AS (SELECT lang, count(*) AS n_docs FROM documents "

@@ -95,6 +95,72 @@ def _flatten_bucket(b: pd.DataFrame) -> pa.Table:
     )
 
 
+def _latency_bucket_cols(batch: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    batch = batch[["conv_id", "turn_idx", "ts"]].copy()
+    batch["bucket"] = (
+        pd.util.hash_array(batch["conv_id"].to_numpy(object)) % num_buckets
+    ).astype(np.int64)
+    return batch
+
+
+def _latency_for_bucket(b: pd.DataFrame) -> pa.Table:
+    conv = b["conv_id"].to_numpy(object)
+    turn = b["turn_idx"].to_numpy()
+    ts = b["ts"].to_numpy("datetime64[us]").view(np.int64)
+    order = np.lexsort((turn, conv))
+    conv, ts = conv[order], ts[order]
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_gaps": pa.array([], pa.int64()),
+            "mean_gap_s": pa.array([], pa.float64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        }
+    )
+    if len(conv) < 2:
+        return empty
+    same = conv[1:] == conv[:-1]
+    if not same.any():
+        return empty
+    gc = conv[:-1][same]
+    gaps = (ts[1:] - ts[:-1])[same]
+    starts = np.concatenate([[0], np.flatnonzero(gc[1:] != gc[:-1]) + 1])
+    n = np.diff(np.concatenate([starts, [len(gc)]]))
+    s = np.add.reduceat(gaps, starts)
+    mx = np.maximum.reduceat(gaps, starts)
+    from graphsetintersection_ray.functions.kernels import round_half_away
+
+    return pa.table(
+        {
+            "conv_id": pa.array(gc[starts], pa.string()),
+            "n_gaps": pa.array(n.astype(np.int64)),
+            # integer micro-second sums → one rounded division (bit-exact,
+            # reduction-order-free)
+            "mean_gap_s": pa.array(
+                round_half_away(s / (1e6 * n), 6), pa.float64()
+            ),
+            "max_gap_us": pa.array(mx.astype(np.int64)),
+        }
+    )
+
+
+def turn_latency(transcripts: rd.Dataset) -> rd.Dataset:
+    """(conv_id, n_gaps, mean_gap_s, max_gap_us): response-latency stats
+    per conversation — the gap between consecutive turns (turn_idx
+    order). Single-turn conversations are absent. Same conv-bucketed
+    shuffle as the flatten; integer microsecond sums keep the mean
+    bit-exact at any parallelism."""
+    num_buckets = sized_buckets(transcripts.count())
+    bucketed = transcripts.map_batches(
+        _latency_bucket_cols,
+        batch_format="pandas",
+        fn_kwargs=dict(num_buckets=num_buckets),
+    )
+    return bucket_groups(
+        bucketed, _latency_for_bucket, num_buckets, bucket_col="bucket"
+    )
+
+
 def conv_flatten(transcripts: rd.Dataset) -> rd.Dataset:
     """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text): the
     per-conversation chat render — turns ordered by turn_idx, each as
