@@ -208,6 +208,63 @@ def coreness(art: GraphArtifacts) -> pa.Table:
     )
 
 
+def densest_subgraph(art: GraphArtifacts) -> pa.Table:
+    """(best_density, n_vertices, n_edges, peel_level): greedy densest
+    subgraph — the best-density suffix of the SAME level-batched
+    Matula-Beck cascade coreness runs (Charikar's greedy 2-approximation:
+    when the peel first removes a vertex of the optimal subgraph S*, that
+    vertex still has degree ≥ ρ(S*) inside the snapshot, so the cascade
+    level k ≥ ρ* and the snapshot density = avg_deg/2 ≥ k/2 ≥ ρ*/2).
+    Deterministic — ties keep the earlier (larger) snapshot — so the
+    semantic oracle replays the exact cascade independently. Same
+    per-round cost/scale shape as ``coreness`` (remote bincounts over
+    cached edge blocks + O(V) driver vectors)."""
+    n = art.n_vertices
+    refs = art.sym.materialize().to_arrow_refs()
+    deg = np.zeros(n, np.int64)
+    ddf = art.degrees.to_pandas()
+    deg[ddf["v"].to_numpy()] = ddf["degree"].to_numpy()
+
+    active = np.ones(n, bool)
+    e_rem = int(deg.sum()) // 2
+    best = (e_rem / n if n else 0.0, n, e_rem, 0)
+    k = 0
+    while active.any():
+        k = max(k, int(deg[active].min()))
+        while True:
+            batch = np.flatnonzero(active & (deg <= k))
+            if len(batch) == 0:
+                break
+            active[batch] = False
+            if not active.any():
+                break
+            removed_mask = np.zeros(n, bool)
+            removed_mask[batch] = True
+            decs = ray.get(
+                [_peel_decrements.remote(r, removed_mask, n) for r in refs]
+            )
+            deg -= np.sum(decs, axis=0)
+            # deg[active] now counts active-to-active edges only, so the
+            # remaining edge count is the half handshake sum
+            e_rem = int(deg[active].sum()) // 2
+            nv = int(active.sum())
+            rho = e_rem / nv
+            if rho > best[0]:
+                best = (rho, nv, e_rem, k)
+    from graphsetintersection_ray.functions.kernels import round_half_away
+
+    return pa.table(
+        {
+            "best_density": pa.array(
+                round_half_away(np.array([best[0]]), 6), pa.float64()
+            ),
+            "n_vertices": pa.array([best[1]], pa.int64()),
+            "n_edges": pa.array([best[2]], pa.int64()),
+            "peel_level": pa.array([best[3]], pa.int64()),
+        }
+    )
+
+
 def _tomita(R: list, P: np.ndarray, X: np.ndarray, offsets, flat, out: list):
     """Bron-Kerbosch with Tomita pivoting (org_maximal_clique.cpp:169-314).
     P, X sorted int arrays; emits maximal cliques R∪... into out."""

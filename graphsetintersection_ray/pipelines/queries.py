@@ -517,6 +517,16 @@ def q_tool_transitions(sf_dir: str):
     return flowgraph.tool_transitions(transcripts_from_sf(sf_dir))
 
 
+def q_densest_subgraph(sf_dir: str):
+    """(best_density, n_vertices, n_edges, peel_level): greedy densest
+    subgraph — the best-density suffix of the level-batched degeneracy
+    cascade (Charikar's 2-approximation). Deterministic; semantic oracle
+    replays the exact cascade independently over the edge table."""
+    from graphsetintersection_ray.pipelines.cliques import densest_subgraph
+
+    return densest_subgraph(build_graph(sf_dir))
+
+
 def q_mis_luby(sf_dir: str):
     """(v, in_mis): maximal independent set via Luby's algorithm —
     deterministic seeded splitmix64 round priorities on the symmetric
@@ -2078,6 +2088,7 @@ QUERIES = {
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
+    "densest_subgraph": q_densest_subgraph,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,
     "effective_diameter": q_effective_diameter,

@@ -1214,8 +1214,69 @@ def _check_mis_luby(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_densest_subgraph(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """densest_subgraph vs an independent numpy replay of the exact
+    level-batched cascade, plus the Charikar bound best ≥ degeneracy/2."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    src = edf.src.to_numpy(np.int64)
+    dst = edf.dst.to_numpy(np.int64)
+    n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    deg = np.bincount(src, minlength=n) + np.bincount(dst, minlength=n)
+    active = np.ones(n, bool)
+    e_rem = len(src)
+    best = (e_rem / n if n else 0.0, n, e_rem, 0)
+    k = 0
+    degeneracy = 0
+    while active.any():
+        k = max(k, int(deg[active].min()))
+        degeneracy = max(degeneracy, k)
+        while True:
+            batch = active & (deg <= k)
+            if not batch.any():
+                break
+            active &= ~batch
+            if not active.any():
+                break
+            keep = batch[src] & active[dst]
+            keep2 = batch[dst] & active[src]
+            deg -= np.bincount(dst[keep], minlength=n)
+            deg -= np.bincount(src[keep2], minlength=n)
+            e_rem = int(deg[active].sum()) // 2
+            nv = int(active.sum())
+            rho = e_rem / nv
+            if rho > best[0]:
+                best = (rho, nv, e_rem, k)
+    row = rdf.iloc[0]
+    want_density = float(round_half_away(np.array([best[0]]), 6)[0])
+    ok = (
+        float(row.best_density) == want_density
+        and int(row.n_vertices) == best[1]
+        and int(row.n_edges) == best[2]
+        and int(row.peel_level) == best[3]
+        and best[0] * 2 >= degeneracy - 1e-9
+    )
+    return {
+        "check": "exact_cascade_replay_and_charikar_bound",
+        "want": [want_density, best[1], best[2], best[3]],
+        "got": [
+            float(row.best_density),
+            int(row.n_vertices),
+            int(row.n_edges),
+            int(row.peel_level),
+        ],
+        "degeneracy": degeneracy,
+        "pass": bool(ok),
+    }
+
+
 SEMANTIC_CHECKS = {
     "mis_luby": _check_mis_luby,
+    "densest_subgraph": _check_densest_subgraph,
     "embedding_dups_lsh": _check_embedding_dups_lsh,
     "pagerank": _check_pagerank,
     "harmonic": _check_harmonic,
