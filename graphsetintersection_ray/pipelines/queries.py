@@ -551,6 +551,17 @@ def q_conv_flatten(sf_dir: str):
     return conv_flatten(transcripts_from_sf(sf_dir))
 
 
+def q_conv_dedup(sf_dir: str):
+    """(conv_id, canonical_conv, group_size): structural conversation
+    dedup — identical (role:tool) turn sequences form a group, canonical
+    = min conv_id (the survivor a training pipeline keeps). Signature
+    build + signature-keyed group shuffle; exact window-function SQL
+    oracle."""
+    from graphsetintersection_ray.stages.conversations import conv_dedup
+
+    return conv_dedup(transcripts_from_sf(sf_dir))
+
+
 def q_turn_latency(sf_dir: str):
     """(conv_id, n_gaps, mean_gap_s, max_gap_us): per-conversation
     response-latency stats from consecutive-turn timestamp gaps (agent
@@ -2085,6 +2096,7 @@ QUERIES = {
     "tool_flow_scc": q_tool_flow_scc,
     "tool_transitions": q_tool_transitions,
     "conv_flatten": q_conv_flatten,
+    "conv_dedup": q_conv_dedup,
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
@@ -2462,6 +2474,17 @@ GROUP BY tool, nxt"""
        string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
          AS conv_text
 FROM t GROUP BY conv_id"""
+    ),
+    "conv_dedup": _with(
+        """cfsig AS (
+  SELECT conv_id,
+         string_agg(role || ':' || tool, '>' ORDER BY turn_idx) AS sig
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id,
+       min(conv_id) OVER (PARTITION BY sig) AS canonical_conv,
+       count(*) OVER (PARTITION BY sig) AS group_size
+FROM cfsig"""
     ),
     "turn_latency": _with(
         """g AS (

@@ -161,6 +161,74 @@ def turn_latency(transcripts: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _sig_for_bucket(b: pd.DataFrame) -> pa.Table:
+    conv = b["conv_id"].to_numpy(object)
+    turn = b["turn_idx"].to_numpy()
+    order = np.lexsort((turn, conv))
+    conv = conv[order]
+    role = pa.array(b["role"].to_numpy(object)[order], pa.string())
+    tool = pa.array(b["tool"].to_numpy(object)[order], pa.string())
+    n = len(conv)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "sig": pa.array([], pa.string()),
+            }
+        )
+    starts = np.concatenate([[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1])
+    lines = pc.binary_join_element_wise(role, tool, ":")
+    sig = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(np.concatenate([starts, [n]]), pa.int32()), lines
+        ),
+        ">",
+    )
+    return pa.table({"conv_id": pa.array(conv[starts], pa.string()), "sig": sig})
+
+
+def conv_dedup(transcripts: rd.Dataset) -> rd.Dataset:
+    """(conv_id, canonical_conv, group_size): structural conversation
+    dedup — conversations with the IDENTICAL (role:tool) turn sequence
+    form a group; canonical = min conv_id (the survivor a training
+    pipeline keeps; group_size > 1 marks boilerplate agent loops).
+
+    Two bounded shuffles: the conv-bucketed signature build, then a
+    signature-keyed group shuffle (pre-deduped per batch, so shuffle
+    volume tracks distinct signatures, not conversations)."""
+    from graphsetintersection_ray.stages.shuffle import _add_bucket
+
+    num_buckets = sized_buckets(transcripts.count())
+    bucketed = transcripts.map_batches(
+        _conv_bucket_full,
+        batch_format="pandas",
+        fn_kwargs=dict(num_buckets=num_buckets),
+    )
+    sigs = bucket_groups(
+        bucketed, _sig_for_bucket, num_buckets, bucket_col="bucket"
+    )
+
+    def sig_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return _add_bucket(batch, ["sig"], num_buckets)
+
+    def dedup_group(g: pd.DataFrame) -> pa.Table:
+        canon = g.groupby("sig", sort=False)["conv_id"].transform("min")
+        size = g.groupby("sig", sort=False)["conv_id"].transform("size")
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"].to_numpy(object), pa.string()),
+                "canonical_conv": pa.array(canon.to_numpy(object), pa.string()),
+                "group_size": pa.array(size.to_numpy(np.int64)),
+            }
+        )
+
+    return bucket_groups(
+        sigs.map_batches(sig_bucket, batch_format="pandas"),
+        dedup_group,
+        num_buckets,
+    )
+
+
 def conv_flatten(transcripts: rd.Dataset) -> rd.Dataset:
     """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text): the
     per-conversation chat render — turns ordered by turn_idx, each as
