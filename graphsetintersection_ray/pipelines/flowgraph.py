@@ -309,7 +309,10 @@ def scc(art: FlowArtifacts, max_rounds: int = 10_000) -> tuple:
             {"v": t["v"].cast(pa.int32()), "scc": t["scc"].cast(pa.int32())}
         )
 
-    ds = eng.scc_dataset().map_batches(as_i32, batch_format="pyarrow")
+    # compact_blocks: empty per-partition blocks crash Acero hash joins
+    ds = gb.compact_blocks(
+        eng.scc_dataset().map_batches(as_i32, batch_format="pyarrow")
+    )
     j1 = ds.join(
         art.vertices,
         join_type="inner",
