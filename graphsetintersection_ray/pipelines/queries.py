@@ -1775,6 +1775,18 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+def q_ngram_novelty(sf_dir: str):
+    """(doc_id, n_shingles, n_novel, novelty_rate): share of a doc's
+    distinct word-3-shingles first seen (min doc_id) in that doc — the
+    corpus-freshness curation signal (boilerplate re-crawls ≈ 0, new
+    content ≈ 1). One shingle-keyed bucket shuffle emitting per-doc
+    partials + one per-doc sum shuffle; exact SQL oracle on the shared
+    shingle prelude."""
+    from graphsetintersection_ray.stages.dedup import ngram_novelty
+
+    return ngram_novelty(_docs(sf_dir))
+
+
 def q_bigram_logprob(sf_dir: str):
     """(doc_id, n_bigrams, avg_logprob): add-one-smoothed bigram-LM
     fluency score under the corpus's own bigram counts — the conditional
@@ -2167,6 +2179,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "ngram_novelty": q_ngram_novelty,
     "corpus_report": q_corpus_report,
     "approx_distinct": q_approx_distinct,
     "weighted_sample": q_weighted_sample,
@@ -3325,6 +3338,18 @@ per AS (
 SELECT doc_id, n_tokens,
        round(CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 6) AS avg_logprob
 FROM per""",
+    "ngram_novelty": (
+        "WITH "
+        + _SHINGLES_SQL
+        + """,
+fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM sh JOIN fo ON fo.s = sh.s GROUP BY sh.doc_id"""
+    ),
     "bigram_logprob": """
 WITH dl AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l

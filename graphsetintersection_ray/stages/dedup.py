@@ -364,6 +364,71 @@ def jaccard_pairs(
     )
 
 
+def ngram_novelty(docs: rd.Dataset, num_buckets: int | None = None) -> rd.Dataset:
+    """(doc_id, n_shingles, n_novel, novelty_rate): per-document n-gram
+    novelty — the share of a doc's distinct word-3-shingles whose FIRST
+    corpus occurrence (minimum doc_id) is this doc. The corpus-freshness
+    complement of the dedup family: boilerplate re-crawls score ~0,
+    genuinely new content ~1 (the "how much new text does this source
+    add" curation signal).
+
+    Scale shape: one shingle-keyed bucketed shuffle (a shingle's every
+    occurrence lands in one bucket, so the bucket-local min doc_id IS
+    the global first occurrence) emitting per-doc PARTIAL counts, then
+    one pre-aggregated per-doc sum shuffle. No joins, no broadcast, no
+    driver state."""
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sized_buckets,
+        sum_by,
+    )
+
+    sh = docs.map_batches(shingle_table, batch_format="pyarrow").materialize()
+    if num_buckets is None:
+        num_buckets = sized_buckets(sh.count())
+
+    def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        return _add_bucket(batch, ["shingle"], num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        first = g.groupby("shingle", sort=False)["doc_id"].transform("min")
+        part = (
+            g.assign(novel=(g["doc_id"] == first).astype(np.int64))
+            .groupby("doc_id", sort=False)
+            .agg(n_shingles=("shingle", "size"), n_novel=("novel", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(part["doc_id"].to_numpy(np.int64)),
+                "n_shingles": pa.array(part["n_shingles"].to_numpy(np.int64)),
+                "n_novel": pa.array(part["n_novel"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = bucket_groups(
+        sh.map_batches(bucketed, batch_format="pandas"), per_bucket, num_buckets
+    )
+    summed = sum_by(partials, ["doc_id"], ["n_shingles", "n_novel"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ns = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_shingles": pa.array(ns),
+                "n_novel": pa.array(nn),
+                "novelty_rate": pa.array(
+                    round_half_away(nn / ns, 6), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
 def hot_shingles(docs: rd.Dataset, max_df: int = DEFAULT_MAX_DF) -> rd.Dataset:
     """(shingle, df) diagnostics: shingles the skew guard would drop."""
     from graphsetintersection_ray.stages.shuffle import counted_groups
