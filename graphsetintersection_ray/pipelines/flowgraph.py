@@ -264,17 +264,26 @@ def build_flow_graph_from_transcripts(
     return art
 
 
-def scc(art: FlowArtifacts, max_rounds: int = 10_000) -> tuple:
+def scc(
+    art: FlowArtifacts,
+    max_rounds: int = 10_000,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+) -> tuple:
     """(node, scc) strings: SCC id = the lexicographically minimal member
     key (dense ranks are assigned in key order, so int-min == string-min
-    and the DuckDB oracle's min(varchar) matches exactly)."""
+    and the DuckDB oracle's min(varchar) matches exactly). With a
+    ``ckpt_dir`` the assignment vector checkpoints at every peel-round
+    boundary and a killed run resumes from the newest complete round."""
     from graphsetintersection_ray.pipelines.iterative import (
         _collect_max_vertices,
         engine_for,
     )
 
-    eng = engine_for(art, None)
-    stats = eng.scc(art.out_path, art.in_path, max_rounds=max_rounds)
+    eng = engine_for(art, ckpt_dir)
+    stats = eng.scc(
+        art.out_path, art.in_path, max_rounds=max_rounds, resume=resume
+    )
 
     if art.n_vertices <= gb.BROADCAST_MAX_VERTICES:
         vtbl = pa.concat_tables(

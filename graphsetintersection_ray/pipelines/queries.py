@@ -539,6 +539,35 @@ def q_mis_luby(sf_dir: str):
     return res
 
 
+def q_scc_sizes(sf_dir: str):
+    """(size, n_sccs): size distribution of the tool-flow SCCs (how many
+    recurrent tool-loop cores of each size the corpus has). One
+    pre-aggregated count shuffle over the SCC assignment."""
+    from graphsetintersection_ray.pipelines import flowgraph
+    from graphsetintersection_ray.stages.shuffle import counted_groups
+
+    art = flowgraph.build_flow_graph(sf_dir)
+    res, _ = flowgraph.scc(art)
+    ds = res if isinstance(res, rd.Dataset) else rd.from_arrow(res)
+    per_scc = counted_groups(ds, ["scc"], count_col="size")
+    return counted_groups(
+        per_scc.map_batches(
+            lambda t: pa.table({"size": t["size"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["size"],
+        count_col="n_sccs",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "size": t["size"].cast(pa.int64()),
+                "n_sccs": t["n_sccs"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_conv_flatten(sf_dir: str):
     """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text):
     the per-conversation chat render — turns ordered by turn_idx as
@@ -2107,6 +2136,7 @@ QUERIES = {
     "topo_levels": q_topo_levels,
     "tool_flow_scc": q_tool_flow_scc,
     "tool_transitions": q_tool_transitions,
+    "scc_sizes": q_scc_sizes,
     "conv_flatten": q_conv_flatten,
     "conv_dedup": q_conv_dedup,
     "turn_latency": q_turn_latency,
@@ -2476,6 +2506,33 @@ GROUP BY a.v"""
 SELECT tool AS src_tool, nxt AS dst_tool, count(*) AS n
 FROM fseq WHERE nxt IS NOT NULL
 GROUP BY tool, nxt"""
+    ),
+    "scc_sizes": _with(
+        """fnodes AS (SELECT DISTINCT conv_id || ':' || tool AS k FROM t),
+fseq AS (
+  SELECT conv_id, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM t
+),
+fedges AS (
+  SELECT DISTINCT conv_id || ':' || tool AS s, conv_id || ':' || nxt AS d
+  FROM fseq WHERE nxt IS NOT NULL AND nxt <> tool
+),
+freach AS (
+  WITH RECURSIVE r(v, w) AS (
+    SELECT k, k FROM fnodes
+    UNION
+    SELECT r.v, e.d FROM r JOIN fedges e ON e.s = r.w
+  )
+  SELECT v, w FROM r
+),
+fscc AS (
+  SELECT a.v AS node, min(a.w) AS scc
+  FROM freach a JOIN freach b ON b.v = a.w AND b.w = a.v
+  GROUP BY a.v
+),
+szs AS (SELECT scc, count(*) AS sz FROM fscc GROUP BY scc)
+SELECT sz AS size, count(*) AS n_sccs FROM szs GROUP BY sz"""
     ),
     "conv_flatten": _with(
         """SELECT conv_id,

@@ -533,6 +533,16 @@ class PartitionWorker:
     def scc_table(self) -> pa.Table:
         return pa.table({"v": pa.array(self.u), "scc": pa.array(self.scc)})
 
+    def scc_sync_state(self) -> None:
+        """Mirror the scc assignment into the generic state slot so the
+        shared per-partition checkpoint/load machinery applies. f/b are
+        round-local (re-initialized by scc_phase_init), so the assignment
+        vector is the complete round-boundary state."""
+        self.state = self.scc
+
+    def scc_from_state(self) -> None:
+        self.scc = self.state.astype(np.int64)
+
     # -- maximal independent set (Luby 1986) -----------------------------------
     # Each round, every undecided vertex draws a deterministic priority
     # (splitmix64 of v + a round constant — a bijection, so priorities
@@ -1191,7 +1201,11 @@ class SuperstepEngine:
         return pa.concat_tables([t for t in tables if t.num_rows])
 
     def scc(
-        self, out_csr_path: str, in_csr_path: str, max_rounds: int = 10_000
+        self,
+        out_csr_path: str,
+        in_csr_path: str,
+        max_rounds: int = 10_000,
+        resume: bool = True,
     ) -> dict:
         """Strongly connected components on a (cyclic) directed edge set
         by iterative forward/backward min-label peel (see the scc_*
@@ -1200,16 +1214,31 @@ class SuperstepEngine:
         whose minimum member is simultaneously its members' forward- and
         backward-min — at least the SCC of the globally minimal
         unassigned vertex, so rounds ≤ #SCCs (in practice a handful).
-        Raises loudly past ``max_rounds`` rather than spinning."""
+        Raises loudly past ``max_rounds`` rather than spinning.
+
+        Checkpointing (when the engine has a ckpt_dir): the assignment
+        vector is persisted per partition at every peel-round boundary
+        (f/b are round-local, so it is the complete state); ``resume``
+        reloads the newest complete round and continues peeling from
+        there — a killed run redoes at most one round's fixpoints."""
         ray.get(
             [
                 w.load_directed.remote(out_csr_path, in_csr_path)
                 for w in self.workers
             ]
         )
-        ray.get([w.scc_init.remote() for w in self.workers])
+        start = self.latest_complete_iter("scc") if (
+            resume and self.ckpt_dir
+        ) else -1
+        if start >= 0:
+            d = self._iter_dir("scc", start)
+            ray.get([w.load_state.remote(d) for w in self.workers])
+            ray.get([w.scc_from_state.remote() for w in self.workers])
+        else:
+            ray.get([w.scc_init.remote() for w in self.workers])
         t0 = time.time()
-        rounds = supersteps = 0
+        rounds = max(start + 1, 0)
+        supersteps = 0
         while True:
             rounds += 1
             if rounds > max_rounds:
@@ -1238,6 +1267,9 @@ class SuperstepEngine:
                     if sum(changed) == 0:
                         break
             remaining = sum(ray.get([w.scc_assign.remote() for w in self.workers]))
+            if self.ckpt_dir:
+                ray.get([w.scc_sync_state.remote() for w in self.workers])
+                self._checkpoint("scc", rounds - 1, {"remaining": remaining})
             if remaining == 0:
                 break
         return {

@@ -167,3 +167,26 @@ def test_conv_flatten_preserves_text_bytes(ray_session):
     assert out.loc["c1", "n_tools"] == 2
     assert out.loc["c1", "n_chars"] == len("first: tricky") + len("second\nline")
     assert out.loc["c2", "conv_text"] == "user: "
+
+
+def test_scc_checkpoint_resume(ray_session, tmp_path):
+    """A run killed after its first peel round resumes from the round-1
+    checkpoint and finishes with the exact uncheckpointed result."""
+    from graphsetintersection_ray.pipelines import flowgraph
+
+    art = flowgraph.build_flow_graph_from_transcripts(
+        _mk_transcripts(ROWS), cache_key=f"ckpt-{tmp_path.name}", num_partitions=2
+    )
+    want, _ = flowgraph.scc(art)
+    want_map = dict(zip(want["node"].to_pylist(), want["scc"].to_pylist()))
+
+    ck = str(tmp_path / "scc_ckpt")
+    with pytest.raises(RuntimeError, match="peel rounds"):
+        flowgraph.scc(art, max_rounds=1, ckpt_dir=ck)
+    # the killed run left a complete round-0 checkpoint behind
+    import os
+
+    assert os.path.isdir(os.path.join(ck, "scc", "iter=0"))
+    res, stats = flowgraph.scc(art, ckpt_dir=ck, resume=True)
+    got = dict(zip(res["node"].to_pylist(), res["scc"].to_pylist()))
+    assert got == want_map
