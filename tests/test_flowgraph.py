@@ -12,6 +12,18 @@ import pandas as pd
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_engine_pools(ray_session):
+    """The flowgraph tests cache several small superstep engines (each
+    worker reserves 0.25 CPU). On the 4-cpu test cluster those idle
+    reservations can starve later Dataset-heavy tests, so kill the
+    cached pools when this module finishes."""
+    yield
+    from graphsetintersection_ray.pipelines import iterative
+
+    iterative.release_engines()
+
+
 def _mk_transcripts(rows):
     import ray.data as rd
 
