@@ -591,6 +591,16 @@ def q_conv_dedup(sf_dir: str):
     return conv_dedup(transcripts_from_sf(sf_dir))
 
 
+def q_tool_entropy(sf_dir: str):
+    """(conv_id, n_turns, n_tools, tool_entropy): Shannon entropy of each
+    conversation's tool distribution (diversity signal: single-tool loops
+    0, uniform use ln(n_tools)). Integer counts in value-defined order;
+    exact SQL oracle."""
+    from graphsetintersection_ray.stages.conversations import tool_entropy
+
+    return tool_entropy(transcripts_from_sf(sf_dir))
+
+
 def q_turn_latency(sf_dir: str):
     """(conv_id, n_gaps, mean_gap_s, max_gap_us): per-conversation
     response-latency stats from consecutive-turn timestamp gaps (agent
@@ -2139,6 +2149,7 @@ QUERIES = {
     "scc_sizes": q_scc_sizes,
     "conv_flatten": q_conv_flatten,
     "conv_dedup": q_conv_dedup,
+    "tool_entropy": q_tool_entropy,
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
@@ -2555,6 +2566,19 @@ SELECT conv_id,
        min(conv_id) OVER (PARTITION BY sig) AS canonical_conv,
        count(*) OVER (PARTITION BY sig) AS group_size
 FROM cfsig"""
+    ),
+    "tool_entropy": _with(
+        """tc AS (
+  SELECT conv_id, tool, count(*) AS k FROM t GROUP BY conv_id, tool
+),
+te AS (
+  SELECT conv_id, sum(k) AS n, count(*) AS n_tools,
+         sum(k * ln(k)) AS klnk
+  FROM tc GROUP BY conv_id
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n_turns, n_tools,
+       round(ln(n) - klnk / n, 6) AS tool_entropy
+FROM te"""
     ),
     "turn_latency": _with(
         """g AS (

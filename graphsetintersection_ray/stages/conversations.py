@@ -229,6 +229,60 @@ def conv_dedup(transcripts: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _entropy_for_bucket(b: pd.DataFrame) -> pa.Table:
+    conv = b["conv_id"].to_numpy(object)
+    tool = b["tool"].to_numpy(object)
+    if len(conv) == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_tools": pa.array([], pa.int64()),
+                "tool_entropy": pa.array([], pa.float64()),
+            }
+        )
+    df = pd.DataFrame({"c": conv, "t": tool})
+    cnt = df.groupby(["c", "t"], sort=True).size().reset_index(name="k")
+    k = cnt["k"].to_numpy(np.float64)
+    cc = cnt["c"].to_numpy(object)
+    starts = np.concatenate([[0], np.flatnonzero(cc[1:] != cc[:-1]) + 1])
+    n = np.add.reduceat(k, starts)
+    # H = ln(n) - (1/n) Σ k ln k  — evaluated from integer counts in the
+    # value-defined sorted (conv, tool) order, so the float result is
+    # independent of partitioning/parallelism
+    klnk = np.add.reduceat(k * np.log(k), starts)
+    n_tools = np.diff(np.concatenate([starts, [len(cc)]]))
+    from graphsetintersection_ray.functions.kernels import round_half_away
+
+    return pa.table(
+        {
+            "conv_id": pa.array(cc[starts], pa.string()),
+            "n_turns": pa.array(n.astype(np.int64)),
+            "n_tools": pa.array(n_tools.astype(np.int64)),
+            "tool_entropy": pa.array(
+                round_half_away(np.log(n) - klnk / n, 6), pa.float64()
+            ),
+        }
+    )
+
+
+def tool_entropy(transcripts: rd.Dataset) -> rd.Dataset:
+    """(conv_id, n_turns, n_tools, tool_entropy): Shannon entropy of the
+    per-conversation tool distribution — the tool-diversity signal
+    (single-tool loops score 0, uniform tool use scores ln(n_tools)).
+    Evaluated from integer counts in a value-defined order, so the float
+    is partitioning-independent; one conv-bucketed shuffle."""
+    num_buckets = sized_buckets(transcripts.count())
+    bucketed = transcripts.map_batches(
+        _conv_bucket_full,
+        batch_format="pandas",
+        fn_kwargs=dict(num_buckets=num_buckets),
+    )
+    return bucket_groups(
+        bucketed, _entropy_for_bucket, num_buckets, bucket_col="bucket"
+    )
+
+
 def conv_flatten(transcripts: rd.Dataset) -> rd.Dataset:
     """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text): the
     per-conversation chat render — turns ordered by turn_idx, each as
