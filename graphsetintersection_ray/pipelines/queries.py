@@ -591,6 +591,17 @@ def q_conv_dedup(sf_dir: str):
     return conv_dedup(transcripts_from_sf(sf_dir))
 
 
+def q_conv_pack(sf_dir: str):
+    """(conv_id, n_chars, start_offset, pack_id): greedy context-window
+    packing of whole rendered conversations in (user, seq) order —
+    sequence_pack's two-phase distributed scan applied to the
+    conversation table (8192-char windows). Exact window-function SQL
+    oracle."""
+    from graphsetintersection_ray.stages.conversations import conv_pack
+
+    return conv_pack(transcripts_from_sf(sf_dir))
+
+
 def q_tool_entropy(sf_dir: str):
     """(conv_id, n_turns, n_tools, tool_entropy): Shannon entropy of each
     conversation's tool distribution (diversity signal: single-tool loops
@@ -2149,6 +2160,7 @@ QUERIES = {
     "scc_sizes": q_scc_sizes,
     "conv_flatten": q_conv_flatten,
     "conv_dedup": q_conv_dedup,
+    "conv_pack": q_conv_pack,
     "tool_entropy": q_tool_entropy,
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
@@ -2566,6 +2578,30 @@ SELECT conv_id,
        min(conv_id) OVER (PARTITION BY sig) AS canonical_conv,
        count(*) OVER (PARTITION BY sig) AS group_size
 FROM cfsig"""
+    ),
+    "conv_pack": _with(
+        """cfp AS (
+  SELECT conv_id, CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM t GROUP BY conv_id
+),
+ckey AS (
+  SELECT conv_id, n_chars,
+         CAST(regexp_extract(conv_id, '^c(\\d+)_(\\d+)$', 1) AS BIGINT)
+           * 1048576
+         + CAST(regexp_extract(conv_id, '^c(\\d+)_(\\d+)$', 2) AS BIGINT)
+           AS k
+  FROM cfp
+),
+sc AS (
+  SELECT conv_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM ckey
+)
+SELECT conv_id, n_chars, start_offset,
+       CAST(start_offset // 8192 AS BIGINT) AS pack_id
+FROM sc"""
     ),
     "tool_entropy": _with(
         """tc AS (

@@ -283,6 +283,133 @@ def tool_entropy(transcripts: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _conv_key(conv_ids: np.ndarray) -> np.ndarray:
+    """Deterministic packing order for 'c<user>_<seq>' conversation ids:
+    key = user * 2^20 + seq (numeric, not string, order — mirrored
+    exactly by the SQL oracle's regexp parse). Loud on malformed ids or
+    seq overflow rather than silently mis-ordering."""
+    ex = pd.Series(conv_ids, dtype=object).str.extract(r"^c(\d+)_(\d+)$")
+    if ex.isna().any().any():
+        bad = conv_ids[ex.isna().any(axis=1).to_numpy()][:3]
+        raise ValueError(f"conv_id(s) not 'c<user>_<seq>': {list(bad)!r}")
+    u = ex[0].astype(np.int64).to_numpy()
+    s = ex[1].astype(np.int64).to_numpy()
+    if (s >= (1 << 20)).any():
+        raise ValueError("conv seq overflows the 2^20 key stride")
+    return (u << 20) | s
+
+
+def conv_pack(transcripts: rd.Dataset, seq_len: int = 8192) -> rd.Dataset:
+    """(conv_id, n_chars, start_offset, pack_id): greedy context-window
+    packing of WHOLE conversations — the training step after the chat
+    render: conversations are concatenated in (user, seq) order and each
+    is assigned to the window holding its first character.
+
+    Same two-phase distributed scan as ``text.sequence_pack`` (its
+    docstring has the scale analysis): order-preserving range buckets
+    over the numeric conversation key, per-bucket totals reduced on the
+    driver (O(#buckets) rows), exclusive offsets broadcast, bucket-local
+    cumsum. The length unit is characters of the rendered conversation
+    (= conv_flatten's n_chars)."""
+    import ray
+
+    from graphsetintersection_ray.stages.shuffle import bucket_groups
+
+    cf = conv_flatten(transcripts).select_columns(["conv_id", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["conv_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_chars": t["n_chars"],
+                "k": pa.array(_conv_key(ids)),
+            }
+        )
+
+    counts = cf.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    out_schema = pa.schema(
+        {
+            "conv_id": pa.string(),
+            "n_chars": pa.int64(),
+            "start_offset": pa.int64(),
+            "pack_id": pa.int64(),
+        }
+    )
+
+    def id_partials(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series([], dtype=np.int64),
+                    "hi": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        ks = b["k"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": [ks.min()], "hi": [ks.max()], "n": [len(b)]})
+
+    parts = counts.map_batches(id_partials, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or parts["n"].sum() == 0:
+        import ray.data as rd2
+
+        return rd2.from_arrow(out_schema.empty_table())
+    lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
+    span = hi - lo + 1
+    num_buckets = sized_buckets(int(parts["n"].sum()))
+
+    def bucket_of(ks: np.ndarray) -> np.ndarray:
+        return (ks - lo) * num_buckets // span
+
+    def local_totals(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "__bucket": bucket_of(b["k"].to_numpy(np.int64)),
+                    "n_chars": b["n_chars"].to_numpy(np.int64),
+                }
+            )
+            .groupby("__bucket", sort=False)["n_chars"]
+            .sum()
+            .reset_index()
+        )
+
+    tot = counts.map_batches(local_totals, batch_format="pandas").to_pandas()
+    tot = tot.groupby("__bucket")["n_chars"].sum()
+    offsets = np.zeros(num_buckets + 1, np.int64)
+    offsets[tot.index.to_numpy(np.int64) + 1] = tot.to_numpy(np.int64)
+    offsets = np.cumsum(offsets)
+    off_ref = ray.put(offsets)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = bucket_of(b["k"].to_numpy(np.int64))
+        return b
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.sort_values("k")
+        nch = g["n_chars"].to_numpy(np.int64)
+        off = ray.get(off_ref)[int(g["__bucket"].iloc[0])]
+        start = off + np.cumsum(nch) - nch
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"].to_numpy(object), pa.string()),
+                "n_chars": pa.array(nch),
+                "start_offset": pa.array(start),
+                "pack_id": pa.array(start // seq_len),
+            }
+        )
+
+    return bucket_groups(
+        counts.map_batches(add_bucket, batch_format="pandas"),
+        pack,
+        num_buckets,
+    )
+
+
 def conv_flatten(transcripts: rd.Dataset) -> rd.Dataset:
     """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text): the
     per-conversation chat render — turns ordered by turn_idx, each as
