@@ -202,3 +202,37 @@ def test_scc_checkpoint_resume(ray_session, tmp_path):
     res, stats = flowgraph.scc(art, ckpt_dir=ck, resume=True)
     got = dict(zip(res["node"].to_pylist(), res["scc"].to_pylist()))
     assert got == want_map
+
+
+def test_conv_pack_matches_pandas_scan(ray_session):
+    """Packing offsets equal a driver-side cumsum in (user, seq) order,
+    under any blocking; malformed conversation ids fail loudly."""
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.conversations import conv_pack
+
+    rows = []
+    for u, s, text in [
+        (2, 0, "x" * 30), (0, 1, "y" * 50), (0, 0, "z" * 20), (10, 0, "w" * 45)
+    ]:
+        rows.append((f"c{u}_{s}", 0, "user", "t", text))
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "tool", "text"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["ts"] = pd.Timestamp("2026-01-01")
+    out = (
+        conv_pack(rd.from_pandas(df).repartition(3), seq_len=64)
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    # order: c0_0(20), c0_1(50), c2_0(30), c10_0(45)
+    assert out.loc["c0_0"].tolist() == [20, 0, 0]
+    assert out.loc["c0_1"].tolist() == [50, 20, 0]
+    assert out.loc["c2_0"].tolist() == [30, 70, 1]
+    assert out.loc["c10_0"].tolist() == [45, 100, 1]
+
+    bad = df.copy()
+    bad.loc[0, "conv_id"] = "weird!"
+    with pytest.raises(Exception, match="c<user>_<seq>"):
+        conv_pack(rd.from_pandas(bad)).to_pandas()
