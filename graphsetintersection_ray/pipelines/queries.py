@@ -591,6 +591,15 @@ def q_conv_dedup(sf_dir: str):
     return conv_dedup(transcripts_from_sf(sf_dir))
 
 
+def q_role_alternation(sf_dir: str):
+    """(conv_id, n_turns, n_same_role_adj): transcript QC — adjacent
+    turn pairs sharing a role per conversation (0 for a strict
+    user/assistant dialogue). Exact lag()-window SQL oracle."""
+    from graphsetintersection_ray.stages.conversations import role_alternation
+
+    return role_alternation(transcripts_from_sf(sf_dir))
+
+
 def q_conv_pack(sf_dir: str):
     """(conv_id, n_chars, start_offset, pack_id): greedy context-window
     packing of whole rendered conversations in (user, seq) order —
@@ -2161,6 +2170,7 @@ QUERIES = {
     "conv_flatten": q_conv_flatten,
     "conv_dedup": q_conv_dedup,
     "conv_pack": q_conv_pack,
+    "role_alternation": q_role_alternation,
     "tool_entropy": q_tool_entropy,
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
@@ -2578,6 +2588,17 @@ SELECT conv_id,
        min(conv_id) OVER (PARTITION BY sig) AS canonical_conv,
        count(*) OVER (PARTITION BY sig) AS group_size
 FROM cfsig"""
+    ),
+    "role_alternation": _with(
+        """ra AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t
+)
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_role_adj
+FROM ra GROUP BY conv_id"""
     ),
     "conv_pack": _with(
         """cfp AS (

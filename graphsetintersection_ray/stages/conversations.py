@@ -161,6 +161,51 @@ def turn_latency(transcripts: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _alternation_for_bucket(b: pd.DataFrame) -> pa.Table:
+    conv = b["conv_id"].to_numpy(object)
+    turn = b["turn_idx"].to_numpy()
+    order = np.lexsort((turn, conv))
+    conv = conv[order]
+    role = b["role"].to_numpy(object)[order]
+    n = len(conv)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_same_role_adj": pa.array([], pa.int64()),
+            }
+        )
+    starts = np.concatenate([[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1])
+    counts = np.diff(np.concatenate([starts, [n]]))
+    same = np.concatenate(
+        [[False], (conv[1:] == conv[:-1]) & (role[1:] == role[:-1])]
+    ).astype(np.int64)
+    viol = np.add.reduceat(same, starts)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv[starts], pa.string()),
+            "n_turns": pa.array(counts.astype(np.int64)),
+            "n_same_role_adj": pa.array(viol),
+        }
+    )
+
+
+def role_alternation(transcripts: rd.Dataset) -> rd.Dataset:
+    """(conv_id, n_turns, n_same_role_adj): transcript-QC — the number of
+    adjacent turn pairs sharing a role (a strict user/assistant dialogue
+    has zero). One conv-bucketed shuffle, vectorized inside."""
+    num_buckets = sized_buckets(transcripts.count())
+    bucketed = transcripts.map_batches(
+        _conv_bucket_full,
+        batch_format="pandas",
+        fn_kwargs=dict(num_buckets=num_buckets),
+    )
+    return bucket_groups(
+        bucketed, _alternation_for_bucket, num_buckets, bucket_col="bucket"
+    )
+
+
 def _sig_for_bucket(b: pd.DataFrame) -> pa.Table:
     conv = b["conv_id"].to_numpy(object)
     turn = b["turn_idx"].to_numpy()
