@@ -1017,6 +1017,66 @@ def q_bfsr_order(sf_dir: str):
     return bfsr_order(build_graph(sf_dir))
 
 
+HUB_MIN_DEGREE = 8
+
+
+def q_hub_subgraph(sf_dir: str):
+    """(src, dst): the induced subgraph on vertices of degree ≥ 8 — the
+    hub-core extraction that precedes dense-region mining (SlashBurn's
+    hub view as a reusable operator). Below BROADCAST_MAX_VERTICES the
+    degree mask is one broadcast boolean vector probed per batch
+    (map-only); above it, two hash joins against the degree table. Exact
+    SQL oracle."""
+    import pyarrow.compute as pc
+
+    art = build_graph(sf_dir)
+    if art.n_vertices <= gb.BROADCAST_MAX_VERTICES:
+        ddf = art.degrees.to_pandas()
+        mask = np.zeros(art.n_vertices, bool)
+        mask[ddf["v"].to_numpy()] = ddf["degree"].to_numpy() >= HUB_MIN_DEGREE
+        import ray as _ray
+
+        ref = _ray.put(mask)
+
+        def filt(t: pa.Table) -> pa.Table:
+            import ray as _ray2
+
+            m = _ray2.get(ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            keep = m[s] & m[d]
+            return pa.table(
+                {
+                    "src": pa.array(s[keep].astype(np.int32)),
+                    "dst": pa.array(d[keep].astype(np.int32)),
+                }
+            )
+
+        return art.edges.map_batches(filt, batch_format="pyarrow")
+
+    hubs = art.degrees.filter(expr=f"degree >= {HUB_MIN_DEGREE}").select_columns(["v"])
+    j1 = gb.compact_blocks(art.edges).join(
+        gb.compact_blocks(hubs),
+        join_type="inner",
+        num_partitions=art.num_partitions,
+        on=("src",),
+        right_on=("v",),
+    )
+    j2 = j1.join(
+        gb.compact_blocks(hubs),
+        join_type="inner",
+        num_partitions=art.num_partitions,
+        on=("dst",),
+        right_on=("v",),
+    )
+    return j2.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"].cast(pa.int32()), "dst": t["dst"].cast(pa.int32())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_bignode_select(sf_dir: str, deg_ratio: float = 0.5):
     """Hub list: smallest set of highest-degree vertices covering
     ``deg_ratio`` of total degree (R8 select_bignode, porder.cpp:353-392;
@@ -2201,6 +2261,7 @@ QUERIES = {
     "bfsr_order": q_bfsr_order,
     "slashburn_order": q_slashburn_order,
     "bignode_select": q_bignode_select,
+    "hub_subgraph": q_hub_subgraph,
     "vertex_labels": q_vertex_labels,
     "subgraph_match": q_subgraph_match,
     "maximal_cliques": q_maximal_cliques,
@@ -3034,6 +3095,11 @@ FROM deg d LEFT JOIN walk ON walk.v = d.v""",
 )
 SELECT v, degree FROM ranked
 WHERE before_me < 0.5 * (SELECT sum(degree) FROM deg)"""
+    ),
+    "hub_subgraph": _with(
+        f"""hubs AS (SELECT v FROM deg WHERE degree >= {HUB_MIN_DEGREE})
+SELECT e.src, e.dst
+FROM edges e JOIN hubs a ON a.v = e.src JOIN hubs b ON b.v = e.dst"""
     ),
     "vertex_labels": _with(
         "SELECT vid AS v, CASE substr(key, 1, 1) WHEN 'a' THEN 0 "
