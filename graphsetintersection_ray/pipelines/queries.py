@@ -1807,6 +1807,17 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev)
 
 
+def q_retention_cohorts(sf_dir: str):
+    """(cohort_week, week, n_users): weekly cohort retention — users by
+    Monday-truncated first-event week, counted per active week. Distinct
+    (user, week) partials + one user-keyed bucket shuffle + a tiny
+    (cohort, week) reduce; exact SQL oracle."""
+    from graphsetintersection_ray.stages.streaming import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
 def q_funnel_counts(sf_dir: str):
     """(stage, step, n_users): view -> click -> purchase funnel reach —
     users completing each prefix as an ordered subsequence of their
@@ -2297,6 +2308,7 @@ QUERIES = {
     "media_metadata": q_media_metadata,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
+    "retention_cohorts": q_retention_cohorts,
     "funnel_counts": q_funnel_counts,
     "conversion_time": q_conversion_time,
     "source_quality": q_source_quality,
@@ -3436,6 +3448,18 @@ FROM dots d JOIN cn USING (label)""",
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n, round(sum(value), 2) AS value_sum
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "retention_cohorts": """
+WITH fw AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT f.cohort_week, u.week, count(*) AS n_users
+FROM uw u JOIN fw f ON f.user_id = u.user_id
+GROUP BY f.cohort_week, u.week""",
     "sessionize": """
 WITH o AS (
   SELECT user_id, ts,

@@ -650,3 +650,78 @@ def weighted_sample(
             }
         )
     )
+
+
+def retention_cohorts(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """(cohort_week, week, n_users): weekly cohort retention — users
+    grouped by the ISO week (Monday-truncated) of their FIRST event,
+    counted in every week they were active.
+
+    Scale shape: per-batch distinct (user, week) partials (shuffle volume
+    tracks user-weeks, not events), one user-keyed bucket shuffle so each
+    user's weeks co-locate with their min (the cohort), then a tiny
+    (cohort, week) count reduce."""
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sum_by,
+    )
+
+    def _monday(ts: np.ndarray) -> np.ndarray:
+        days = ts.astype("datetime64[D]")
+        di = days.astype(np.int64)  # days since 1970-01-01 (a Thursday)
+        return days - ((di + 3) % 7)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        wk = _monday(b["ts"].to_numpy("datetime64[us]"))
+        part = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "wk": wk}
+        ).drop_duplicates()
+        return _add_bucket(part, ["user_id"], num_buckets)
+
+    out_schema = pa.schema(
+        [
+            pa.field("cohort_week", pa.date32()),
+            pa.field("week", pa.date32()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return out_schema.empty_table()
+        g = g.drop_duplicates(["user_id", "wk"])
+        cohort = g.groupby("user_id", sort=False)["wk"].transform("min")
+        cnt = (
+            g.assign(cohort=cohort)
+            .groupby(["cohort", "wk"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    cnt["cohort"].to_numpy("datetime64[D]")
+                ),
+                "week": pa.array(cnt["wk"].to_numpy("datetime64[D]")),
+                "n": pa.array(cnt["n"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = bucket_groups(
+        events.map_batches(partial, batch_format="pandas"),
+        per_bucket,
+        num_buckets,
+    )
+    summed = sum_by(partials, ["cohort_week", "week"], "n", out_col="n_users")
+
+    def to_schema(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": t["cohort_week"].cast(pa.date32()),
+                "week": t["week"].cast(pa.date32()),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return summed.map_batches(to_schema, batch_format="pyarrow")
