@@ -1807,6 +1807,42 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev)
 
 
+def q_daily_active(sf_dir: str):
+    """(day, n_users): exact daily active users — per-batch distinct
+    (day, user) partials, one bounded distinct shuffle, a tiny per-day
+    count. The exact complement of approx_distinct's HLL path."""
+    from graphsetintersection_ray.stages.shuffle import (
+        counted_groups,
+        distinct_by,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "day": t["ts"].cast(pa.timestamp("us")).cast(pa.date32()),
+                "user_id": t["user_id"],
+            }
+        )
+
+    pairs = distinct_by(
+        ev.map_batches(proj, batch_format="pyarrow"), ["day", "user_id"]
+    )
+    out = counted_groups(pairs, ["day"], count_col="n_users")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "day": t["day"].cast(pa.date32()),
+                "n_users": t["n_users"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_retention_cohorts(sf_dir: str):
     """(cohort_week, week, n_users): weekly cohort retention — users by
     Monday-truncated first-event week, counted per active week. Distinct
@@ -2309,6 +2345,7 @@ QUERIES = {
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
     "retention_cohorts": q_retention_cohorts,
+    "daily_active": q_daily_active,
     "funnel_counts": q_funnel_counts,
     "conversion_time": q_conversion_time,
     "source_quality": q_source_quality,
@@ -3448,6 +3485,10 @@ FROM dots d JOIN cn USING (label)""",
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n, round(sum(value), 2) AS value_sum
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "daily_active": (
+        "SELECT CAST(ts AS DATE) AS day, "
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY day"
+    ),
     "retention_cohorts": """
 WITH fw AS (
   SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
