@@ -591,6 +591,57 @@ def q_conv_dedup(sf_dir: str):
     return conv_dedup(transcripts_from_sf(sf_dir))
 
 
+CONV_PACK_SEQ_LEN = 8192
+
+
+def q_pack_stats(sf_dir: str):
+    """(pack_id, n_convs, used_chars, fill_ratio): packing-efficiency
+    readout over conv_pack's 8192-char windows — used_chars counts only
+    the portion of each conversation landing inside its starting window
+    (a conversation longer than the remainder spills into later windows,
+    which is exactly the waste this readout surfaces). One tiny
+    per-pack count shuffle over the pack schedule."""
+    from graphsetintersection_ray.stages.conversations import conv_pack
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    sched = conv_pack(transcripts_from_sf(sf_dir), seq_len=CONV_PACK_SEQ_LEN)
+
+    def partial(t: pa.Table) -> pa.Table:
+        start = t["start_offset"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        pid = t["pack_id"].to_numpy(zero_copy_only=False)
+        window_end = (pid + 1) * CONV_PACK_SEQ_LEN
+        used = np.minimum(start + nch, window_end) - start
+        return pa.table(
+            {
+                "pack_id": pa.array(pid.astype(np.int64)),
+                "n_convs": pa.array(np.ones(len(pid), np.int64)),
+                "used_chars": pa.array(used.astype(np.int64)),
+            }
+        )
+
+    summed = sum_by(
+        sched.map_batches(partial, batch_format="pyarrow"),
+        ["pack_id"],
+        ["n_convs", "used_chars"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        used = t["used_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pack_id": t["pack_id"].cast(pa.int64()),
+                "n_convs": t["n_convs"].cast(pa.int64()),
+                "used_chars": pa.array(used),
+                "fill_ratio": pa.array(
+                    round_half_away(used / CONV_PACK_SEQ_LEN, 6), pa.float64()
+                ),
+            }
+        )
+
+    return summed.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_role_alternation(sf_dir: str):
     """(conv_id, n_turns, n_same_role_adj): transcript QC — adjacent
     turn pairs sharing a role per conversation (0 for a strict
@@ -2277,6 +2328,7 @@ QUERIES = {
     "conv_flatten": q_conv_flatten,
     "conv_dedup": q_conv_dedup,
     "conv_pack": q_conv_pack,
+    "pack_stats": q_pack_stats,
     "role_alternation": q_role_alternation,
     "tool_entropy": q_tool_entropy,
     "turn_latency": q_turn_latency,
@@ -2698,6 +2750,39 @@ SELECT conv_id,
        min(conv_id) OVER (PARTITION BY sig) AS canonical_conv,
        count(*) OVER (PARTITION BY sig) AS group_size
 FROM cfsig"""
+    ),
+    "pack_stats": _with(
+        f"""cfp AS (
+  SELECT conv_id, CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM t GROUP BY conv_id
+),
+ckey AS (
+  SELECT conv_id, n_chars,
+         CAST(regexp_extract(conv_id, '^c(\\d+)_(\\d+)$', 1) AS BIGINT)
+           * 1048576
+         + CAST(regexp_extract(conv_id, '^c(\\d+)_(\\d+)$', 2) AS BIGINT)
+           AS k
+  FROM cfp
+),
+sc AS (
+  SELECT n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM ckey
+),
+pk AS (
+  SELECT CAST(start_offset // {CONV_PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+         least(start_offset + n_chars,
+               (start_offset // {CONV_PACK_SEQ_LEN} + 1)
+                 * {CONV_PACK_SEQ_LEN}) - start_offset AS used
+  FROM sc
+)
+SELECT pack_id, count(*) AS n_convs,
+       CAST(sum(used) AS BIGINT) AS used_chars,
+       round(CAST(sum(used) AS DOUBLE) / {CONV_PACK_SEQ_LEN}, 6)
+         AS fill_ratio
+FROM pk GROUP BY pack_id"""
     ),
     "role_alternation": _with(
         """ra AS (
