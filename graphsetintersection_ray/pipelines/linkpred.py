@@ -1152,3 +1152,194 @@ def neighbor_sample(art, k: int = 3) -> "ray.data.Dataset":
         bucketed, merge, n_buckets, bucket_col="bucket",
         batch_format="pyarrow",
     )
+
+
+NEG_SEED = 99
+NEG_OVERSAMPLE = 4
+
+
+def negative_edges(art, k: int = 3, seed: int = NEG_SEED) -> "ray.data.Dataset":
+    """(u, v): deterministic k negative samples per vertex — candidate
+    non-edges for link-prediction / GNN contrastive training (the
+    complement of ``neighbor_sample``). For vertex u, candidates are
+    ``splitmix64(u·P + i + seed) mod n`` for i = 0..4k-1; self-pairs and
+    existing edges are dropped and the first k survivors (by i) kept, so
+    the sample is reproducible at any parallelism. A vertex keeps < k
+    rows only if all 4k draws collide with its adjacency (vanishingly
+    rare below degree ≈ n/2; documented, not silent — the semantic check
+    recounts).
+
+    Edge-membership testing: below ``triangle.BROADCAST_MAX_EDGES`` the
+    sorted composite-key array ((src<<32)|dst over the symmetric edge
+    set) is broadcast once and probed with one searchsorted per batch
+    (map-only). Above it, a bucketed anti-join on the composite key
+    (candidates and edges co-bucketed by key hash) followed by a
+    per-vertex first-k bucket pass — both paths tested equal."""
+    import ray
+    import ray.data as rd
+
+    from graphsetintersection_ray.pipelines import triangle as tri
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sized_buckets,
+    )
+    from graphsetintersection_ray.functions.hll import splitmix64
+
+    n = art.n_vertices
+    m = NEG_OVERSAMPLE * k
+    out_schema = pa.schema([("u", pa.int32()), ("v", pa.int32())])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        vs = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vs) == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                }
+            )
+        i = np.arange(m, dtype=np.uint64)
+        raw = (
+            vs.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+            + i[None, :]
+            + np.uint64(seed)
+        ).ravel()
+        cand = (splitmix64(raw) % np.uint64(n)).astype(np.int64)
+        i = i.astype(np.int64)
+        row = np.repeat(vs, m)
+        keep = cand != row
+        return pa.table(
+            {
+                "u": pa.array(row[keep]),
+                "v": pa.array(cand[keep]),
+                "i": pa.array(np.tile(i, len(vs))[keep]),
+            }
+        )
+
+    cands = rd.range(n).map_batches(candidates, batch_format="pyarrow")
+
+    def first_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        i = t["i"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, u))
+        u, v, i = u[order], v[order], i[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.append(starts, len(u)))
+        pos = np.arange(len(u), dtype=np.int64) - np.repeat(starts, lens)
+        keep = pos < k
+        return pa.table(
+            {
+                "u": pa.array(u[keep].astype(np.int32), pa.int32()),
+                "v": pa.array(v[keep].astype(np.int32), pa.int32()),
+            }
+        )
+
+    if art.n_edges <= tri.BROADCAST_MAX_EDGES:
+        import pyarrow.compute as pc
+
+        et = pa.concat_tables(
+            [gb_ensure(b) for b in ray.get(art.sym.to_arrow_refs())]
+        )
+        keys = np.sort(
+            (
+                et["src"].to_numpy(zero_copy_only=False).astype(np.int64) << 32
+            )
+            | et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        def drop_edges(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            ks = ray.get(keys_ref)
+            key = (
+                t["u"].to_numpy(zero_copy_only=False) << 32
+            ) | t["v"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, key)
+            is_edge = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == key)
+            return t.filter(pa.array(~is_edge))
+
+        filtered = cands.map_batches(drop_edges, batch_format="pyarrow")
+        # per-u first-k needs all of u's survivors in one place; rd.range
+        # blocks can split a vertex only at block boundaries, but the
+        # bucket pass makes it correct under ANY blocking
+        nb = sized_buckets(n * m)
+        bucketed = filtered.map_batches(
+            lambda b: _add_bucket(b, ["u"], nb), batch_format="pandas"
+        )
+        return bucket_groups(
+            bucketed, lambda g: first_k(pa.Table.from_pandas(g, preserve_index=False)), nb
+        )
+
+    # at-scale: bucketed anti-join on the composite key, then first-k
+    nb = sized_buckets(2 * art.n_edges)
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        key = (
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64) << 32
+        ) | t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "u": pa.array(np.full(len(key), -1, np.int64)),
+                "v": pa.array(np.full(len(key), -1, np.int64)),
+                "i": pa.array(np.full(len(key), -1, np.int64)),
+            }
+        )
+
+    def cand_keys(t: pa.Table) -> pa.Table:
+        key = (
+            t["u"].to_numpy(zero_copy_only=False) << 32
+        ) | t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array(key), "u": t["u"], "v": t["v"], "i": t["i"]}
+        )
+
+    unioned = art.sym.map_batches(edge_keys, batch_format="pyarrow").union(
+        cands.map_batches(cand_keys, batch_format="pyarrow")
+    )
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                }
+            )
+        bad = set(g.loc[g["u"] < 0, "key"])
+        keep = (g["u"] >= 0) & ~g["key"].isin(bad)
+        return pa.table(
+            {
+                "u": pa.array(g.loc[keep, "u"].to_numpy(np.int64)),
+                "v": pa.array(g.loc[keep, "v"].to_numpy(np.int64)),
+                "i": pa.array(g.loc[keep, "i"].to_numpy(np.int64)),
+            }
+        )
+
+    survivors = bucket_groups(
+        unioned.map_batches(
+            lambda b: _add_bucket(b, ["key"], nb), batch_format="pandas"
+        ),
+        anti,
+        nb,
+    )
+    nb2 = sized_buckets(n * m)
+    bucketed = survivors.map_batches(
+        lambda b: _add_bucket(b, ["u"], nb2), batch_format="pandas"
+    )
+    return bucket_groups(
+        bucketed, lambda g: first_k(pa.Table.from_pandas(g, preserve_index=False)), nb2
+    )
+
+
+def gb_ensure(b):
+    from graphsetintersection_ray.stages.graph_build import _ensure_arrow
+
+    return _ensure_arrow(b)

@@ -1071,6 +1071,20 @@ def q_bfsr_order(sf_dir: str):
 HUB_MIN_DEGREE = 8
 
 
+def q_negative_edges(sf_dir: str):
+    """(u, v): deterministic k=3 negative samples per vertex (non-edges)
+    — the contrastive-training complement of neighbor_sample. Seeded
+    splitmix64 candidates, edge membership via a broadcast sorted
+    composite-key array below the edge threshold (bucketed anti-join
+    above). No SQL oracle (the draw order is procedural); semantic check:
+    no sampled pair is an edge, no self-pairs, per-vertex counts, exact
+    seeded replay."""
+    from graphsetintersection_ray.pipelines.linkpred import negative_edges
+
+    art = build_graph(sf_dir)
+    return negative_edges(art)
+
+
 def q_hub_subgraph(sf_dir: str):
     """(src, dst): the induced subgraph on vertices of degree ≥ 8 — the
     hub-core extraction that precedes dense-region mining (SlashBurn's
@@ -2361,6 +2375,7 @@ QUERIES = {
     "slashburn_order": q_slashburn_order,
     "bignode_select": q_bignode_select,
     "hub_subgraph": q_hub_subgraph,
+    "negative_edges": q_negative_edges,
     "vertex_labels": q_vertex_labels,
     "subgraph_match": q_subgraph_match,
     "maximal_cliques": q_maximal_cliques,

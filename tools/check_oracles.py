@@ -1274,9 +1274,63 @@ def _check_densest_subgraph(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_negative_edges(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """negative_edges vs an exact sequential replay of the seeded draws
+    (same splitmix64 stream, same first-k rule), plus structural
+    assertions: no sampled pair is an edge, no self-pairs."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.hll import splitmix64
+    from graphsetintersection_ray.pipelines.linkpred import (
+        NEG_OVERSAMPLE,
+        NEG_SEED,
+    )
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    k = 3
+    nbrs = _nbr_sets(sf_dir)
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    n = int(max(edf.src.max(), edf.dst.max())) + 1 if len(edf) else 0
+    edge_set = set(zip(edf.src.astype(int), edf.dst.astype(int))) | set(
+        zip(edf.dst.astype(int), edf.src.astype(int))
+    )
+    got = sorted(zip(rdf.u.astype(int), rdf.v.astype(int)))
+    edge_hits = sum(1 for p in got if p in edge_set)
+    self_pairs = sum(1 for u, v in got if u == v)
+
+    want = []
+    m = NEG_OVERSAMPLE * k
+    for u in range(n):
+        raw = (
+            np.uint64(u) * np.uint64(0x9E3779B97F4A7C15)
+            + np.arange(m, dtype=np.uint64)
+            + np.uint64(NEG_SEED)
+        )
+        cand = (splitmix64(raw) % np.uint64(n)).astype(np.int64)
+        taken = 0
+        for c in cand:
+            c = int(c)
+            if c == u or (u, c) in edge_set:
+                continue
+            want.append((u, c))
+            taken += 1
+            if taken == k:
+                break
+    want.sort()
+    return {
+        "check": "structural_and_exact_seeded_replay",
+        "rows": len(got),
+        "edge_hits": edge_hits,
+        "self_pairs": self_pairs,
+        "replay_match": bool(got == want),
+        "pass": bool(edge_hits == 0 and self_pairs == 0 and got == want),
+    }
+
+
 SEMANTIC_CHECKS = {
     "mis_luby": _check_mis_luby,
     "densest_subgraph": _check_densest_subgraph,
+    "negative_edges": _check_negative_edges,
     "embedding_dups_lsh": _check_embedding_dups_lsh,
     "pagerank": _check_pagerank,
     "harmonic": _check_harmonic,
