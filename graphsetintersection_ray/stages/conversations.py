@@ -404,8 +404,13 @@ def conv_pack(transcripts: rd.Dataset, seq_len: int = 8192) -> rd.Dataset:
     span = hi - lo + 1
     num_buckets = sized_buckets(int(parts["n"].sum()))
 
+    # division form, not (ks-lo)*B//span: the conversation key carries a
+    # 2^20 stride, so the multiply would overflow int64 once user ids
+    # pass ~2^33 at high bucket counts; ceil-division is equally monotone
+    stride = (span + num_buckets - 1) // num_buckets
+
     def bucket_of(ks: np.ndarray) -> np.ndarray:
-        return (ks - lo) * num_buckets // span
+        return (ks - lo) // stride
 
     def local_totals(b: pd.DataFrame) -> pd.DataFrame:
         return (
