@@ -243,6 +243,35 @@ def label_propagation(
     return _finalize(eng, xform), stats
 
 
+WPR_ITERS = 5
+
+
+def weighted_pagerank(
+    art: GraphArtifacts, iters: int = WPR_ITERS, round_to: int | None = 6
+) -> tuple:
+    """(v, score): alpha-weighted PageRank — edge weight α_u·α_v with
+    α = √degree (the R10 alpha surface as a weighting), which collapses
+    to an unweighted neighbor sum of y = x/S on the same partitioned
+    BSP engine (one α-sum pre-exchange + ``iters`` fixed supersteps).
+    Exact recursive-CTE SQL replay."""
+    eng = engine_for(art, None)
+    stats = eng.weighted_pagerank(iters=iters)
+
+    def xform(t: pa.Table) -> pa.Table:
+        score = t["state" if "state" in t.column_names else "score"].to_numpy(
+            zero_copy_only=False
+        )
+        if round_to is not None:
+            score = round_half_away(score, round_to)
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "score": pa.array(score, pa.float64())}
+        )
+
+    if eng.n_total > _collect_max_vertices():
+        return eng.wpr_dataset().map_batches(xform, batch_format="pyarrow"), stats
+    return xform(eng.collect_wpr()), stats
+
+
 MIS_SEED = 7
 
 

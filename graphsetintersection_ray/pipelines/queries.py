@@ -482,6 +482,16 @@ def q_hits(sf_dir: str):
     return res
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """(v, score): alpha-weighted PageRank — edge weight α_u·α_v with
+    α = √degree, 5 fixed iterations from x = 1/n. The weighting
+    collapses to an unweighted neighbor sum of x/S on the existing BSP
+    engine (one α-sum pre-pass); exact recursive-CTE SQL oracle."""
+    art = build_graph(sf_dir)
+    res, _ = it.weighted_pagerank(art, iters=it.WPR_ITERS, round_to=6)
+    return res
+
+
 def q_topo_levels(sf_dir: str):
     """Longest-path DAG levels (dependency/scheduling depth) on the
     canonical directed edge set: level[v] = longest directed path ending
@@ -2335,6 +2345,7 @@ QUERIES = {
     "katz_fixed": q_katz_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
+    "pagerank_weighted": q_pagerank_weighted,
     "topo_levels": q_topo_levels,
     "tool_flow_scc": q_tool_flow_scc,
     "tool_transitions": q_tool_transitions,
@@ -3118,6 +3129,34 @@ SELECT v, round(score, 6) AS score FROM pr"""
 SELECT v, round(score, 6) AS katz FROM kz"""
     ),
     "hits": _hits_oracle_sql(HITS_ORACLE_ITERS),
+    # alpha-weighted PageRank: w_uv = a_u*a_v with a = sqrt(degree)
+    # collapses to P(u->v) = a_v / S_u, S_u = sum of neighbor alphas —
+    # an exact 5-iteration recursive replay of the engine's fixpoint
+    "pagerank_weighted": _with(
+        """salpha AS (SELECT v, sqrt(CAST(degree AS DOUBLE)) AS a FROM deg),
+ssum AS (
+  SELECT s.src AS v, sum(a2.a) AS sw
+  FROM sym s JOIN salpha a2 ON a2.v = s.dst GROUP BY s.src
+),
+wpr AS (
+  WITH RECURSIVE wr(v, x, it) AS (
+    SELECT d.v, CAST(1.0 AS DOUBLE) / mx.n, 0 FROM deg d, nv mx
+    UNION ALL
+    SELECT s.dst,
+           CAST(0.15 AS DOUBLE) / mx.n
+             + CAST(0.85 AS DOUBLE) * aa.a * sum(p.x / su.sw),
+           p.it + 1
+    FROM wr p
+    JOIN ssum su ON su.v = p.v
+    JOIN sym s ON s.src = p.v
+    JOIN salpha aa ON aa.v = s.dst, nv mx
+    WHERE p.it < 5
+    GROUP BY s.dst, aa.a, p.it, mx.n
+  )
+  SELECT v, x FROM wr WHERE it = 5
+)
+SELECT v, round(x, 6) AS score FROM wpr"""
+    ),
     "topo_levels": _with(
         """lvls AS (
   WITH RECURSIVE lv(v, level) AS (

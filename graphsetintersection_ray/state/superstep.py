@@ -459,6 +459,75 @@ class PartitionWorker:
             {"v": pa.array(self.u), "level": pa.array(self.level)}
         )
 
+    # -- alpha-weighted PageRank ----------------------------------------------
+    # Edge weight w_uv = α_u·α_v with α = √degree (the reference's R10
+    # alpha surface, porder.cpp:394-422, as a weighting). The transition
+    # probability collapses to P(u→v) = α_v / S_u with S_u = Σ_{v∈N(u)} α_v,
+    # so the weighted power iteration is an UNWEIGHTED neighbor sum of
+    # y = x/S: one α-sum pre-pass, then per iteration
+    #   x'(v) = 0.15/n + 0.85·α_v·Σ_{u∈N(v)} y_u,   y' = x'/S.
+    # Same combiner-preaggregated all-to-all as PageRank.
+
+    def wpr_init(self) -> None:
+        self._wpr_alpha = np.sqrt(self.deg)
+
+    def wpr_alpha_messages(self) -> list[pa.Table]:
+        return self._wpr_sum_messages(self._wpr_alpha)
+
+    def _wpr_sum_messages(self, state: np.ndarray) -> list[pa.Table]:
+        per_edge = np.repeat(state, np.diff(self.offsets))
+        out = []
+        for q in range(self.P):
+            uniq = self._dst_uniq[q]
+            if len(uniq) == 0:
+                out.append(
+                    pa.table(
+                        {"dst": pa.array([], pa.int64()),
+                         "val": pa.array([], pa.float64())}
+                    )
+                )
+                continue
+            red = np.bincount(
+                self._dst_inv[q],
+                weights=per_edge[self._dst_sel[q]],
+                minlength=len(uniq),
+            )
+            out.append(pa.table({"dst": pa.array(uniq), "val": pa.array(red)}))
+        return out
+
+    def _wpr_incoming(self, tables) -> np.ndarray:
+        incoming = np.zeros(len(self.u), np.float64)
+        for t in tables:
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            val = t["val"].to_numpy(zero_copy_only=False)
+            incoming[np.searchsorted(self.u, dst)] += val
+        return incoming
+
+    def wpr_alpha_apply(self, n_total: int, *tables: pa.Table) -> None:
+        S = self._wpr_incoming(tables)
+        # canonical graphs have no isolated vertices; guard anyway so a
+        # zero S yields zero flow, not a NaN cascade
+        self._wpr_S = np.where(S > 0, S, 1.0)
+        x0 = np.full(len(self.u), 1.0 / max(n_total, 1), np.float64)
+        self._wpr_x = x0
+        self._wpr_y = x0 / self._wpr_S
+
+    def wpr_messages(self) -> list[pa.Table]:
+        return self._wpr_sum_messages(self._wpr_y)
+
+    def wpr_apply(self, n_total: int, *tables: pa.Table) -> None:
+        m = self._wpr_incoming(tables)
+        x = np.float64(0.15) / max(n_total, 1) + np.float64(
+            0.85
+        ) * self._wpr_alpha * m
+        self._wpr_x = x
+        self._wpr_y = x / self._wpr_S
+
+    def wpr_table(self) -> pa.Table:
+        return pa.table(
+            {"v": pa.array(self.u), "score": pa.array(self._wpr_x)}
+        )
+
     # -- strongly connected components (directed, cyclic edge sets) ------------
     # Iterative forward/backward min-label peel: each round runs two
     # min-label fixpoints over the UNASSIGNED subgraph —
@@ -1198,6 +1267,54 @@ class SuperstepEngine:
 
     def collect_topo(self) -> pa.Table:
         tables = ray.get([w.topo_table.remote() for w in self.workers])
+        return pa.concat_tables([t for t in tables if t.num_rows])
+
+    def weighted_pagerank(self, iters: int = 5) -> dict:
+        """Alpha-weighted PageRank (w_uv = α_u·α_v, α = √degree): one
+        α-sum pre-exchange, then ``iters`` fixed unweighted-sum
+        supersteps of y = x/S (see the wpr_* worker docstrings). Fixed
+        iteration count by design — the exact recursive-CTE SQL replay
+        needs a deterministic prefix."""
+        ray.get([w.wpr_init.remote() for w in self.workers])
+        t0 = time.time()
+        msgs = [
+            w.wpr_alpha_messages.options(num_returns=self.P).remote()
+            for w in self.workers
+        ]
+        if self.P == 1:
+            msgs = [[r] for r in msgs]
+        ray.get(
+            [
+                w.wpr_alpha_apply.remote(
+                    self.n_total, *[msgs[p][q] for p in range(self.P)]
+                )
+                for q, w in enumerate(self.workers)
+            ]
+        )
+        for _ in range(iters):
+            msgs = [
+                w.wpr_messages.options(num_returns=self.P).remote()
+                for w in self.workers
+            ]
+            if self.P == 1:
+                msgs = [[r] for r in msgs]
+            ray.get(
+                [
+                    w.wpr_apply.remote(
+                        self.n_total, *[msgs[p][q] for p in range(self.P)]
+                    )
+                    for q, w in enumerate(self.workers)
+                ]
+            )
+        return {"iters": iters, "sec": time.time() - t0}
+
+    def wpr_dataset(self):
+        import ray.data as rd
+
+        return rd.from_arrow_refs([w.wpr_table.remote() for w in self.workers])
+
+    def collect_wpr(self) -> pa.Table:
+        tables = ray.get([w.wpr_table.remote() for w in self.workers])
         return pa.concat_tables([t for t in tables if t.num_rows])
 
     def scc(
