@@ -159,6 +159,128 @@ def tool_transitions(transcripts: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _pmi_pair_partials(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket (tool_a < tool_b, count) partials over distinct
+    conversation-tool incidence — the E4 pair expansion (repeat/arange,
+    no per-conversation Python loop), with counts kept."""
+    ct = b[["conv_id", "tool"]].drop_duplicates().sort_values(
+        ["conv_id", "tool"]
+    )
+    conv = ct["conv_id"].to_numpy(object)
+    tool = ct["tool"].to_numpy(object)
+    empty = pd.DataFrame(
+        {
+            "tool_a": pd.Series([], dtype=object),
+            "tool_b": pd.Series([], dtype=object),
+            "n_uv": pd.Series([], dtype="int64"),
+        }
+    )
+    n = len(conv)
+    if n < 2:
+        return empty
+    starts = np.concatenate([[0], np.flatnonzero(conv[1:] != conv[:-1]) + 1])
+    lens = np.diff(np.append(starts, n))
+    pos = np.arange(n) - np.repeat(starts, lens)
+    rep = pos  # element at local pos p is the 'b' side of p pairs
+    total = int(rep.sum())
+    if total == 0:
+        return empty
+    j_idx = np.repeat(np.arange(n), rep)
+    off = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
+    i_idx = np.repeat(np.repeat(starts, lens), rep) + off
+    return (
+        pd.DataFrame({"tool_a": tool[i_idx], "tool_b": tool[j_idx]})
+        .groupby(["tool_a", "tool_b"], sort=False)
+        .size()
+        .reset_index(name="n_uv")
+    )
+
+
+def tool_pmi(transcripts: rd.Dataset) -> rd.Dataset:
+    """(tool_a, tool_b, n_uv, pmi): pointwise mutual information between
+    tool pairs co-occurring in a conversation — collocation strength of
+    the tool vocabulary (the E4 co-occurrence relation with statistics).
+    pmi = ln(n_uv·N / (n_u·n_v)) over conversation incidence, rounded at
+    6. Per-bucket pair partials are bounded by Σ tools-per-conv² (convs
+    are short); the tool marginals and N are tiny driver scalars."""
+    import ray  # noqa: F401
+
+    from graphsetintersection_ray.functions.kernels import round_half_away
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    num_buckets = sized_buckets(transcripts.count())
+    bucketed = transcripts.map_batches(
+        gb._conv_bucket,
+        batch_format="pandas",
+        fn_kwargs=dict(num_buckets=num_buckets),
+    )
+    pair_parts = bucket_groups(
+        bucketed, _pmi_pair_partials, num_buckets, bucket_col="bucket"
+    )
+    pairs_ds = sum_by(pair_parts, ["tool_a", "tool_b"], "n_uv")
+
+    # tool marginals + N: #tools rows — inherently tiny, driver-side
+    def inc_partials(b: pd.DataFrame) -> pd.DataFrame:
+        ct = b[["conv_id", "tool"]].drop_duplicates()
+        g = ct.groupby("tool", sort=False).size().reset_index(name="n_u")
+        g["n_convs"] = 0
+        uc = pd.DataFrame(
+            {
+                "tool": ["\x00convs"],
+                "n_u": [0],
+                "n_convs": [ct["conv_id"].nunique()],
+            }
+        )
+        return pd.concat([g, uc], ignore_index=True)
+
+    marg = (
+        bucket_groups(
+            bucketed,
+            lambda g: pa.Table.from_pandas(
+                inc_partials(g), preserve_index=False
+            ),
+            num_buckets,
+            bucket_col="bucket",
+        )
+        .to_pandas()
+        .groupby("tool")[["n_u", "n_convs"]]
+        .sum()
+    )
+    N = int(marg["n_convs"].sum())
+    n_u = {k: int(v) for k, v in marg["n_u"].items() if k != "\x00convs"}
+    # marginals are #tools rows (tiny); the PAIR table stays distributed —
+    # pmi is a broadcast-dict map, never a driver collect
+    marg_ref = ray.put((n_u, N))
+
+    def pmi_map(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tool_a": pa.array([], pa.string()),
+                    "tool_b": pa.array([], pa.string()),
+                    "n_uv": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        nu, nn = ray.get(marg_ref)
+        ta = t["tool_a"].to_numpy(zero_copy_only=False)
+        tb = t["tool_b"].to_numpy(zero_copy_only=False)
+        nuv = t["n_uv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.array([nu[x] for x in ta], np.float64)
+        bb = np.array([nu[x] for x in tb], np.float64)
+        pmi = round_half_away(np.log(nuv * nn / (a * bb)), 6)
+        return pa.table(
+            {
+                "tool_a": pa.array(ta, pa.string()),
+                "tool_b": pa.array(tb, pa.string()),
+                "n_uv": pa.array(nuv.astype(np.int64)),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return pairs_ds.map_batches(pmi_map, batch_format="pyarrow")
+
+
 @dataclass
 class FlowArtifacts:
     edges_str: rd.Dataset

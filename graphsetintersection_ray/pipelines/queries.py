@@ -578,6 +578,15 @@ def q_scc_sizes(sf_dir: str):
     )
 
 
+def q_tool_pmi(sf_dir: str):
+    """(tool_a, tool_b, n_uv, pmi): pointwise mutual information between
+    tool pairs co-occurring in a conversation (collocation strength of
+    the E4 relation). Exact SQL oracle."""
+    from graphsetintersection_ray.pipelines.flowgraph import tool_pmi
+
+    return tool_pmi(transcripts_from_sf(sf_dir))
+
+
 def q_conv_flatten(sf_dir: str):
     """(conv_id, n_turns, n_user_turns, n_tools, n_chars, conv_text):
     the per-conversation chat render — turns ordered by turn_idx as
@@ -2349,6 +2358,7 @@ QUERIES = {
     "topo_levels": q_topo_levels,
     "tool_flow_scc": q_tool_flow_scc,
     "tool_transitions": q_tool_transitions,
+    "tool_pmi": q_tool_pmi,
     "scc_sizes": q_scc_sizes,
     "conv_flatten": q_conv_flatten,
     "conv_dedup": q_conv_dedup,
@@ -2727,6 +2737,20 @@ GROUP BY a.v"""
 SELECT tool AS src_tool, nxt AS dst_tool, count(*) AS n
 FROM fseq WHERE nxt IS NOT NULL
 GROUP BY tool, nxt"""
+    ),
+    "tool_pmi": _with(
+        """ctp AS (SELECT DISTINCT conv_id, tool FROM t),
+ncv AS (SELECT count(DISTINCT conv_id) AS nc FROM t),
+tup AS (SELECT tool, count(*) AS n_u FROM ctp GROUP BY tool),
+prp AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_uv
+  FROM ctp a JOIN ctp b ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY a.tool, b.tool
+)
+SELECT tool_a, tool_b, n_uv,
+       round(ln(CAST(n_uv AS DOUBLE) * nc / (ta.n_u * tb.n_u)), 6) AS pmi
+FROM prp JOIN tup ta ON ta.tool = prp.tool_a
+         JOIN tup tb ON tb.tool = prp.tool_b, ncv"""
     ),
     "scc_sizes": _with(
         """fnodes AS (SELECT DISTINCT conv_id || ':' || tool AS k FROM t),
