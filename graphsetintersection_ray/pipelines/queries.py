@@ -691,6 +691,15 @@ def q_tool_entropy(sf_dir: str):
     return tool_entropy(transcripts_from_sf(sf_dir))
 
 
+def q_conv_segments(sf_dir: str):
+    """(conv_id, turn_idx, segment_id): sub-conversation segmentation at
+    >1 h turn gaps — the resegmentation prep before rendering stale
+    multi-session logs as separate examples. Exact window SQL oracle."""
+    from graphsetintersection_ray.stages.conversations import conv_segments
+
+    return conv_segments(transcripts_from_sf(sf_dir))
+
+
 def q_turn_latency(sf_dir: str):
     """(conv_id, n_gaps, mean_gap_s, max_gap_us): per-conversation
     response-latency stats from consecutive-turn timestamp gaps (agent
@@ -2366,6 +2375,7 @@ QUERIES = {
     "pack_stats": q_pack_stats,
     "role_alternation": q_role_alternation,
     "tool_entropy": q_tool_entropy,
+    "conv_segments": q_conv_segments,
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
@@ -2881,6 +2891,20 @@ te AS (
 SELECT conv_id, CAST(n AS BIGINT) AS n_turns, n_tools,
        round(ln(n) - klnk / n, 6) AS tool_entropy
 FROM te"""
+    ),
+    "conv_segments": _with(
+        """sg AS (
+  SELECT conv_id, turn_idx,
+         ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           > INTERVAL 1 HOUR AS gap
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(sum(CASE WHEN gap THEN 1 ELSE 0 END) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS segment_id
+FROM sg"""
     ),
     "turn_latency": _with(
         """g AS (

@@ -206,6 +206,58 @@ def role_alternation(transcripts: rd.Dataset) -> rd.Dataset:
     )
 
 
+SEGMENT_GAP_US = 3_600_000_000  # 1 hour
+
+
+def _segments_for_bucket(b: pd.DataFrame) -> pa.Table:
+    conv = b["conv_id"].to_numpy(object)
+    turn = b["turn_idx"].to_numpy()
+    ts = b["ts"].to_numpy("datetime64[us]").view(np.int64)
+    order = np.lexsort((turn, conv))
+    conv, turn, ts = conv[order], turn[order], ts[order]
+    n = len(conv)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "segment_id": pa.array([], pa.int64()),
+            }
+        )
+    new_conv = np.concatenate([[True], conv[1:] != conv[:-1]])
+    gap_break = np.concatenate(
+        [[False], (ts[1:] - ts[:-1]) > SEGMENT_GAP_US]
+    ) & ~new_conv
+    # segment_id = running count of gap breaks within the conversation
+    csum = np.cumsum(gap_break.astype(np.int64))
+    starts = np.flatnonzero(new_conv)
+    seg = csum - np.repeat(csum[starts], np.diff(np.append(starts, n)))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn.astype(np.int32)),
+            "segment_id": pa.array(seg),
+        }
+    )
+
+
+def conv_segments(transcripts: rd.Dataset) -> rd.Dataset:
+    """(conv_id, turn_idx, segment_id): sub-conversation segmentation —
+    a conversation splits where consecutive turns are more than an hour
+    apart (the resegmentation step before rendering stale multi-session
+    logs as separate training examples). One conv-bucketed shuffle,
+    vectorized cumulative gap counting inside."""
+    num_buckets = sized_buckets(transcripts.count())
+    bucketed = transcripts.map_batches(
+        _latency_bucket_cols,
+        batch_format="pandas",
+        fn_kwargs=dict(num_buckets=num_buckets),
+    )
+    return bucket_groups(
+        bucketed, _segments_for_bucket, num_buckets, bucket_col="bucket"
+    )
+
+
 def _sig_for_bucket(b: pd.DataFrame) -> pa.Table:
     conv = b["conv_id"].to_numpy(object)
     turn = b["turn_idx"].to_numpy()
