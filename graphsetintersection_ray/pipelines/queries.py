@@ -691,6 +691,40 @@ def q_tool_entropy(sf_dir: str):
     return tool_entropy(transcripts_from_sf(sf_dir))
 
 
+def q_conv_length_hist(sf_dir: str):
+    """(n_turns, n_convs): conversation-length histogram (the corpus
+    shape panel next to degree_hist). Two pre-aggregated count shuffles;
+    exact SQL oracle."""
+    from graphsetintersection_ray.stages.shuffle import counted_groups
+
+    tr = transcripts_from_sf(sf_dir)
+    per_conv = counted_groups(
+        tr.map_batches(
+            lambda t: pa.table({"conv_id": t["conv_id"]}),
+            batch_format="pyarrow",
+        ),
+        ["conv_id"],
+        count_col="n_turns",
+    )
+    out = counted_groups(
+        per_conv.map_batches(
+            lambda t: pa.table({"n_turns": t["n_turns"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["n_turns"],
+        count_col="n_convs",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "n_turns": t["n_turns"].cast(pa.int64()),
+                "n_convs": t["n_convs"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_conv_segments(sf_dir: str):
     """(conv_id, turn_idx, segment_id): sub-conversation segmentation at
     >1 h turn gaps — the resegmentation prep before rendering stale
@@ -2376,6 +2410,7 @@ QUERIES = {
     "role_alternation": q_role_alternation,
     "tool_entropy": q_tool_entropy,
     "conv_segments": q_conv_segments,
+    "conv_length_hist": q_conv_length_hist,
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
@@ -2891,6 +2926,10 @@ te AS (
 SELECT conv_id, CAST(n AS BIGINT) AS n_turns, n_tools,
        round(ln(n) - klnk / n, 6) AS tool_entropy
 FROM te"""
+    ),
+    "conv_length_hist": _with(
+        """clh AS (SELECT conv_id, count(*) AS n_turns FROM t GROUP BY conv_id)
+SELECT n_turns, count(*) AS n_convs FROM clh GROUP BY n_turns"""
     ),
     "conv_segments": _with(
         """sg AS (
