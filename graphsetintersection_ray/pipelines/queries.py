@@ -1959,10 +1959,12 @@ def q_daily_active(sf_dir: str):
         ev.map_batches(proj, batch_format="pyarrow"), ["day", "user_id"]
     )
     out = counted_groups(pairs, ["day"], count_col="n_users")
+    # timestamp("us"), not date32: matches DuckDB DATE's pandas round-trip
+    # (datetime64[us]) so the gate's dtype-sensitive value hash agrees.
     return out.map_batches(
         lambda t: pa.table(
             {
-                "day": t["day"].cast(pa.date32()),
+                "day": t["day"].cast(pa.timestamp("us")),
                 "n_users": t["n_users"].cast(pa.int64()),
             }
         ),

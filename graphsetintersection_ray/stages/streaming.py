@@ -716,10 +716,14 @@ def retention_cohorts(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     summed = sum_by(partials, ["cohort_week", "week"], "n", out_col="n_users")
 
     def to_schema(t: pa.Table) -> pa.Table:
+        # timestamp("us"), not date32: DuckDB `CAST AS DATE` round-trips
+        # to pandas as datetime64[us], and the gate's value hash is
+        # dtype-sensitive — date32 (python date objects) hashes differently
+        # even when every value is identical.
         return pa.table(
             {
-                "cohort_week": t["cohort_week"].cast(pa.date32()),
-                "week": t["week"].cast(pa.date32()),
+                "cohort_week": t["cohort_week"].cast(pa.timestamp("us")),
+                "week": t["week"].cast(pa.timestamp("us")),
                 "n_users": t["n_users"].cast(pa.int64()),
             }
         )
