@@ -4265,11 +4265,72 @@ FROM per_d GROUP BY v"""
     ),
 }
 
-# The driver's correctness gate samples the FIRST 50 registry entries.
-# Order the registry so every SQL-oracled query (strong rows+schema+hash
-# check) precedes the semantic-only ones (ordering permutations, sketches,
-# media decode) — those are still verified via NOORACLE_CHECKS.json replays.
+# The driver's correctness gate samples the FIRST 50 registry entries and
+# the window is static, so rotate it each round: the 50 least-recently-
+# driver-verified SQL-oracled queries go first (round-5 rotation below),
+# then the remaining oracled ones, then the semantic-only ones (verified
+# via NOORACLE_CHECKS.json replays instead).
+#
+# LAST_DRIVER_VERIFIED (from CORRECTNESS_r0N.json): the 38 queries that
+# open the round-5 window never produced a driver row in rounds 1-4 (the
+# sampled prefix was static); the next 12 were last driver-verified in
+# rounds 1-2; the trailing oracled block was driver-green in rounds 3-4.
+_ROUND5_WINDOW = [
+    "hub_subgraph",
+    "local_supplier_volume",
+    "shipping_priority",
+    "token_count_bpe",
+    "sequence_pack",
+    "doc_chunks",
+    "vocab_growth",
+    "quality_logistic",
+    "winnow_fingerprint",
+    "winnow_dup_pairs",
+    "dedup_clusters",
+    "dedup_survivors",
+    "retention_cohorts",
+    "daily_active",
+    "funnel_counts",
+    "conversion_time",
+    "source_quality",
+    "oov_rate",
+    "unigram_logprob",
+    "bigram_logprob",
+    "ngram_novelty",
+    "corpus_report",
+    "centroid_sim",
+    "stratified_sample",
+    "token_quantiles",
+    "top_docs_per_lang",
+    "decontaminate",
+    "ngram_decontaminate",
+    "ngram_counts",
+    "pii_scrub",
+    "repetition_ratio",
+    "curation_filter",
+    "asof_join",
+    "range_join",
+    "hopping_windows",
+    "tfidf_top_terms",
+    "closeness",
+    "harmonic",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_pairs",
+    "knn_topk",
+    "embedding_dups",
+    "media_metadata",
+    "event_windows",
+    "sessionize",
+]
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k in ORACLE_SQL},
+    **{k: QUERIES[k] for k in _ROUND5_WINDOW},
+    **{k: v for k, v in QUERIES.items()
+       if k in ORACLE_SQL and k not in _ROUND5_WINDOW},
     **{k: v for k, v in QUERIES.items() if k not in ORACLE_SQL},
 }
+
