@@ -399,7 +399,12 @@ def ivf_topk(
     if n_cells is None:
         n_cells = max(4, int(np.sqrt(n)))
     if nprobe is None:
-        nprobe = max(2, n_cells // 8)
+        # 0.7 * n_cells: holds measured recall >= 0.9 even on the isotropic
+        # test embeddings (where centroid ranking carries little signal and
+        # recall ~ tracks the probed-cell fraction); clustered real-world
+        # embeddings reach the same recall at much smaller nprobe — pass it
+        # explicitly to trade recall for probe cost.
+        nprobe = max(2, int(np.ceil(0.7 * n_cells)))
     nprobe = min(nprobe, n_cells)
     stride = max(1, n // IVF_TRAIN_ROWS)
 
@@ -522,39 +527,77 @@ def ivf_topk(
     )
 
 
+LSH_TOPK_TABLES = 8
+LSH_TOPK_PLANES = 8
+LSH_TOPK_FLIP_BITS = 2
+
+
 def lsh_topk(
     embeddings: rd.Dataset,
     query_ids: np.ndarray | list,
     k: int = 5,
-    n_planes: int = LSH_PLANES,
+    n_planes: int = LSH_TOPK_PLANES,
+    n_tables: int = LSH_TOPK_TABLES,
+    flip_bits: int = LSH_TOPK_FLIP_BITS,
     seed: int = 99,
 ) -> rd.Dataset:
-    """ANN variant: random-hyperplane LSH buckets; each query searches only
-    its bucket (plus 1-bit-flip probes). Same output schema as brute force;
-    recall < 1 by construction — measured in tests."""
+    """ANN variant: multi-table random-hyperplane LSH buckets; each query
+    searches its bucket in every table, plus all <=``flip_bits``-bit-flip
+    probe buckets. Same output schema as brute force; recall < 1 by
+    construction — measured in tests AND recorded vs global brute force in
+    NOORACLE_CHECKS.json.
+
+    Default tuning (8 tables x 8 planes, 2-bit multiprobe) holds measured
+    recall >= 0.9 even on the ISOTROPIC test embeddings (near-random
+    cosines, the hardest case for LSH) at the cost of a wide candidate set
+    (~60-70%% of the corpus per query there). On clustered real-world
+    embeddings the same defaults probe a small corpus fraction — the
+    planted-cluster pytest covers that regime. Corpus-side shuffle
+    replication is exactly ``n_tables``; query-side is
+    ``n_tables * (1 + P + C(P,2))`` rows per query, negligible for
+    query-list workloads."""
     embeddings = embeddings.materialize()
     sample = embeddings.take(1)
     dim = len(sample[0]["embedding"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    # one (dim, n_planes) slab per table, broadcast once
+    planes = rng.standard_normal((n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
+
+    def _probe_masks() -> np.ndarray:
+        masks = [0]
+        if flip_bits >= 1:
+            masks += [1 << b for b in range(n_planes)]
+        if flip_bits >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        return np.asarray(masks, np.int64)
 
     def with_bucket(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids, mat = _emb_matrix(t)
-        signs = (_normalize(mat) @ pl) > 0
-        bucket = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+        nmat = _normalize(mat)
         emb_list = t["embedding"].combine_chunks()
         is_q = np.isin(ids, np.fromiter(qset, np.int64))
-        # multiprobe: queries are replicated into every 1-bit-flip bucket
-        rep_ids = [ids]
-        rep_buckets = [bucket]
-        rep_rows = [np.arange(len(ids))]
         q_rows = np.flatnonzero(is_q)
-        for b in range(n_planes):
-            rep_ids.append(ids[q_rows])
-            rep_buckets.append(bucket[q_rows] ^ (1 << b))
-            rep_rows.append(q_rows)
+        masks = _probe_masks()
+        rep_ids, rep_buckets, rep_rows = [], [], []
+        for ti in range(n_tables):
+            signs = (nmat @ pl[ti]) > 0
+            sig = (signs.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+            base = np.int64(ti) << np.int64(n_planes)
+            # corpus rows: one bucket per table
+            rep_ids.append(ids)
+            rep_buckets.append(base + sig)
+            rep_rows.append(np.arange(len(ids)))
+            # query rows: every probe bucket beyond the home one
+            for m in masks[1:]:
+                rep_ids.append(ids[q_rows])
+                rep_buckets.append(base + (sig[q_rows] ^ m))
+                rep_rows.append(q_rows)
         all_rows = np.concatenate(rep_rows)
         return pa.table(
             {
