@@ -380,20 +380,21 @@ def tool_entropy(transcripts: rd.Dataset) -> rd.Dataset:
     )
 
 
-def _conv_key(conv_ids: np.ndarray) -> np.ndarray:
-    """Deterministic packing order for 'c<user>_<seq>' conversation ids:
+def _conv_key(conv_ids: np.ndarray) -> tuple[np.ndarray, bool]:
+    """Deterministic packing key for 'c<user>_<seq>' conversation ids:
     key = user * 2^20 + seq (numeric, not string, order — mirrored
-    exactly by the SQL oracle's regexp parse). Loud on malformed ids or
-    seq overflow rather than silently mis-ordering."""
+    exactly by the SQL oracle's regexp parse). Returns ``(keys, ok)``;
+    ``ok=False`` (keys are -1) when any id is malformed or the seq
+    overflows the 2^20 stride — the caller then falls back to the
+    lexicographic string-order packing path instead of failing."""
     ex = pd.Series(conv_ids, dtype=object).str.extract(r"^c(\d+)_(\d+)$")
     if ex.isna().any().any():
-        bad = conv_ids[ex.isna().any(axis=1).to_numpy()][:3]
-        raise ValueError(f"conv_id(s) not 'c<user>_<seq>': {list(bad)!r}")
+        return np.full(len(conv_ids), -1, np.int64), False
     u = ex[0].astype(np.int64).to_numpy()
     s = ex[1].astype(np.int64).to_numpy()
     if (s >= (1 << 20)).any():
-        raise ValueError("conv seq overflows the 2^20 key stride")
-    return (u << 20) | s
+        return np.full(len(conv_ids), -1, np.int64), False
+    return (u << 20) | s, True
 
 
 def conv_pack(transcripts: rd.Dataset, seq_len: int = 8192) -> rd.Dataset:
@@ -404,10 +405,17 @@ def conv_pack(transcripts: rd.Dataset, seq_len: int = 8192) -> rd.Dataset:
 
     Same two-phase distributed scan as ``text.sequence_pack`` (its
     docstring has the scale analysis): order-preserving range buckets
-    over the numeric conversation key, per-bucket totals reduced on the
-    driver (O(#buckets) rows), exclusive offsets broadcast, bucket-local
+    over the conversation key, per-bucket totals reduced on the driver
+    (O(#buckets) rows), exclusive offsets broadcast, bucket-local
     cumsum. The length unit is characters of the rendered conversation
-    (= conv_flatten's n_chars)."""
+    (= conv_flatten's n_chars).
+
+    Ordering key: ids matching 'c<user>_<seq>' pack in (user, seq)
+    NUMERIC order (the SQL-oracled path). Any other id shape falls back
+    to plain lexicographic conv_id order, with range buckets drawn from
+    per-block sorted split candidates instead of the numeric stride —
+    the output depends only on the global string order, so it stays
+    deterministic under any block partitioning."""
     import ray
 
     from graphsetintersection_ray.stages.shuffle import bucket_groups
@@ -416,15 +424,19 @@ def conv_pack(transcripts: rd.Dataset, seq_len: int = 8192) -> rd.Dataset:
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t["conv_id"].to_numpy(zero_copy_only=False)
+        k, _ = _conv_key(ids)
         return pa.table(
             {
                 "conv_id": t["conv_id"],
                 "n_chars": t["n_chars"],
-                "k": pa.array(_conv_key(ids)),
+                "k": pa.array(k),
             }
         )
 
     counts = cf.map_batches(keyed, batch_format="pyarrow").materialize()
+    # malformed ids key as -1 per batch; a non-negative global min means
+    # every block parsed, so the numeric (oracle-parity) path applies
+    numeric_key = counts.count() == 0 or int(counts.min("k")) >= 0
 
     out_schema = pa.schema(
         {
@@ -435,40 +447,75 @@ def conv_pack(transcripts: rd.Dataset, seq_len: int = 8192) -> rd.Dataset:
         }
     )
 
-    def id_partials(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame(
-                {
-                    "lo": pd.Series([], dtype=np.int64),
-                    "hi": pd.Series([], dtype=np.int64),
-                    "n": pd.Series([], dtype=np.int64),
-                }
-            )
-        ks = b["k"].to_numpy(np.int64)
-        return pd.DataFrame({"lo": [ks.min()], "hi": [ks.max()], "n": [len(b)]})
-
-    parts = counts.map_batches(id_partials, batch_format="pandas").to_pandas()
-    if len(parts) == 0 or parts["n"].sum() == 0:
+    n_total = counts.count()
+    if n_total == 0:
         import ray.data as rd2
 
         return rd2.from_arrow(out_schema.empty_table())
-    lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
-    span = hi - lo + 1
-    num_buckets = sized_buckets(int(parts["n"].sum()))
+    num_buckets = sized_buckets(n_total)
 
-    # division form, not (ks-lo)*B//span: the conversation key carries a
-    # 2^20 stride, so the multiply would overflow int64 once user ids
-    # pass ~2^33 at high bucket counts; ceil-division is equally monotone
-    stride = (span + num_buckets - 1) // num_buckets
+    if numeric_key:
+        sort_col = "k"
 
-    def bucket_of(ks: np.ndarray) -> np.ndarray:
-        return (ks - lo) // stride
+        def id_partials(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {
+                        "lo": pd.Series([], dtype=np.int64),
+                        "hi": pd.Series([], dtype=np.int64),
+                    }
+                )
+            ks = b["k"].to_numpy(np.int64)
+            return pd.DataFrame({"lo": [ks.min()], "hi": [ks.max()]})
+
+        parts = counts.map_batches(
+            id_partials, batch_format="pandas"
+        ).to_pandas()
+        lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
+        span = hi - lo + 1
+
+        # division form, not (ks-lo)*B//span: the conversation key carries
+        # a 2^20 stride, so the multiply would overflow int64 once user ids
+        # pass ~2^33 at high bucket counts; ceil-division is equally monotone
+        stride = (span + num_buckets - 1) // num_buckets
+
+        def bucket_of(b: pd.DataFrame) -> np.ndarray:
+            return (b["k"].to_numpy(np.int64) - lo) // stride
+
+    else:
+        # lexicographic fallback: order-preserving range buckets over the
+        # conv_id STRING, with split points drawn from per-block sorted
+        # candidates (O(blocks * 32) driver rows). Bucket boundaries may
+        # shift with block layout, but the output — global string order +
+        # exact prefix sums — does not.
+        sort_col = "conv_id"
+
+        def split_candidates(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({"conv_id": pd.Series([], dtype=object)})
+            ids = np.sort(b["conv_id"].to_numpy(object))
+            take = np.linspace(0, len(ids) - 1, min(32, len(ids))).astype(int)
+            return pd.DataFrame({"conv_id": ids[take]})
+
+        cand = np.sort(
+            counts.map_batches(split_candidates, batch_format="pandas")
+            .to_pandas()["conv_id"]
+            .to_numpy(object)
+        )
+        pick = np.linspace(0, len(cand) - 1, num_buckets + 1).astype(int)[1:-1]
+        splits = np.unique(cand[pick])
+        num_buckets = len(splits) + 1
+
+        def bucket_of(b: pd.DataFrame) -> np.ndarray:
+            return np.searchsorted(
+                splits, b["conv_id"].to_numpy(object), side="right"
+            ).astype(np.int64)
 
     def local_totals(b: pd.DataFrame) -> pd.DataFrame:
         return (
             pd.DataFrame(
                 {
-                    "__bucket": bucket_of(b["k"].to_numpy(np.int64)),
+                    "__bucket": bucket_of(b),
                     "n_chars": b["n_chars"].to_numpy(np.int64),
                 }
             )
@@ -486,13 +533,13 @@ def conv_pack(transcripts: rd.Dataset, seq_len: int = 8192) -> rd.Dataset:
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__bucket"] = bucket_of(b["k"].to_numpy(np.int64))
+        b["__bucket"] = bucket_of(b)
         return b
 
     def pack(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
             return out_schema.empty_table()
-        g = g.sort_values("k")
+        g = g.sort_values(sort_col)
         nch = g["n_chars"].to_numpy(np.int64)
         off = ray.get(off_ref)[int(g["__bucket"].iloc[0])]
         start = off + np.cumsum(nch) - nch

@@ -232,7 +232,26 @@ def test_conv_pack_matches_pandas_scan(ray_session):
     assert out.loc["c2_0"].tolist() == [30, 70, 1]
     assert out.loc["c10_0"].tolist() == [45, 100, 1]
 
-    bad = df.copy()
-    bad.loc[0, "conv_id"] = "weird!"
-    with pytest.raises(Exception, match="c<user>_<seq>"):
-        conv_pack(rd.from_pandas(bad)).to_pandas()
+    # non-conforming ids: lexicographic fallback, deterministic under any
+    # blocking (sampled string range buckets + exact prefix sums)
+    other = df.copy()
+    other["conv_id"] = ["sess-B", "sess-A", "za/9", "0aa"]
+    want_order = ["0aa", "sess-A", "sess-B", "za/9"]
+    lens = dict(zip(other["conv_id"], other["text"].str.len()))
+    starts = np.cumsum([0] + [lens[c] for c in want_order[:-1]])
+    for parts in (1, 3):
+        got = (
+            conv_pack(rd.from_pandas(other).repartition(parts), seq_len=64)
+            .to_pandas()
+            .sort_values("start_offset")
+        )
+        assert got["conv_id"].tolist() == want_order
+        assert got["start_offset"].tolist() == starts.tolist()
+        assert got["pack_id"].tolist() == (starts // 64).tolist()
+
+    # mixed corpus (one malformed id) also takes the lexicographic path
+    mixed = df.copy()
+    mixed.loc[0, "conv_id"] = "weird!"
+    got = conv_pack(rd.from_pandas(mixed), seq_len=64).to_pandas()
+    order = got.sort_values("start_offset")["conv_id"].tolist()
+    assert order == sorted(mixed["conv_id"].unique())
