@@ -2024,11 +2024,12 @@ def q_source_quality(sf_dir: str):
 def q_image_decode(sf_dir: str):
     """(doc_id, n_pixels, mean_gray): REAL byte-level image decode over
     MIXED payload formats — each doc carries a deterministic 8x8 RGB
-    image encoded as 24-bit BMP (even doc_id) or truecolor PNG with
-    scanline filter doc_id % 5 (odd doc_id); DecodeStage sniffs the
-    magic and decodes with pure NumPy + stdlib zlib, reduced here to
-    pixel count + mean grayscale (rounded to 6). Semantic oracle:
-    byte-free Philox replay of every image, exact equality."""
+    image encoded as 24-bit BMP (doc_id %% 3 == 0), truecolor PNG with
+    scanline filter doc_id %% 5 (== 1), or baseline JPEG at quality 90
+    (== 2); DecodeStage sniffs the magic and decodes with pure NumPy +
+    stdlib zlib, reduced here to pixel count + mean grayscale (rounded
+    to 6). Semantic oracle: byte-free Philox replay of every image
+    (JPEG rows replay encode+decode — deterministic), exact equality."""
     from graphsetintersection_ray.stages.multimodal import (
         DecodeStage,
         attach_media_payload,

@@ -3,11 +3,11 @@
 Images/audio/video are carried as Arrow ``binary`` columns with metadata
 columns alongside. ``DecodeStage`` REALLY decodes the formats this
 container can handle with pure NumPy + stdlib zlib — PCM16 WAV, 24-bit
-uncompressed BMP, and 8-bit truecolor PNG with all five scanline filters
-(byte-level RIFF/BMP/PNG codecs below, exercised end-to-end by the
-``media_decode`` / ``image_decode`` queries) — and raises
-NotImplementedError for codecs (JPEG/MP4/...) that need an
-imaging/audio library, unless
+uncompressed BMP, 8-bit truecolor PNG with all five scanline filters,
+and baseline sequential 4:4:4 JPEG (byte-level RIFF/BMP/PNG/JPEG codecs
+below, exercised end-to-end by the ``media_decode`` / ``image_decode``
+queries) — and raises NotImplementedError for codecs (MP4/...) that
+need a media library, unless
 constructed with ``fake=True`` (deterministic pseudo-decode keeping the
 plumbing testable for those formats).
 
@@ -69,11 +69,12 @@ class DecodeStage:
 
     REAL for the formats this environment can decode with pure NumPy +
     stdlib zlib — PCM16 WAV (``RIFF`` magic → normalized samples in
-    [-1, 1)), 24-bit uncompressed BMP (``BM`` magic) and 8-bit truecolor
-    PNG (signature magic), both images → grayscale mean(RGB)/255 —
-    sniffed per payload by magic bytes.
+    [-1, 1)), 24-bit uncompressed BMP (``BM`` magic), 8-bit truecolor
+    PNG (signature magic) and baseline sequential 4:4:4 JPEG (SOI+APP
+    magic), images → grayscale mean(RGB)/255 — sniffed per payload by
+    magic bytes.
 
-    Remaining compressed codecs (JPEG/MP4/...) need an imaging/audio library
+    Remaining compressed codecs (MP4/...) need a media library
     not present in this container: an unrecognized payload raises
     NotImplementedError (the documented production integration point)
     unless constructed with ``fake=True``, in which case it produces a
@@ -97,12 +98,15 @@ class DecodeStage:
         if c[:8] == b"\x89PNG\r\n\x1a\n":
             img = decode_png(c).astype(np.float32)
             return (img.mean(axis=2) / np.float32(255.0)).ravel()
+        if c[:3] == b"\xff\xd8\xff":
+            img = decode_jpeg(c).astype(np.float32)
+            return (img.mean(axis=2) / np.float32(255.0)).ravel()
         if not self.fake:
             raise NotImplementedError(
-                "payload is not WAV/BMP/PNG; other compressed codecs "
-                "(JPEG/MP4/...) require an imaging/audio library — "
-                "construct DecodeStage(fake=True) for the deterministic "
-                "stub on such formats"
+                "payload is not WAV/BMP/PNG/JPEG; other compressed codecs "
+                "(MP4/...) require a media library — construct "
+                "DecodeStage(fake=True) for the deterministic stub on "
+                "such formats"
             )
         key = int.from_bytes(hashlib.md5(c).digest()[:8], "little")
         rng = np.random.Generator(np.random.Philox(key=[key, 0]))
@@ -237,7 +241,7 @@ class FeatureExtract:
 # --------------------------------------------------------------------------
 # REAL pure-NumPy codecs for container-friendly formats (no external
 # libs): PCM16 WAV and 24-bit uncompressed BMP. Compressed codecs
-# (JPEG/MP4/...) remain the documented NotImplementedError integration
+# (MP4/...) remain the documented NotImplementedError integration
 # point in DecodeStage.
 # --------------------------------------------------------------------------
 
@@ -336,10 +340,12 @@ def attach_media_payload(
     PCM16 WAV (``kind='wav'``, Philox(doc_id)-seeded samples), 24-bit
     BMP (``kind='bmp'``, 8x8 seeded RGB), truecolor PNG
     (``kind='png'``, same seeded RGB through the zlib pipeline, scanline
-    filter = doc_id % 5 so every PNG filter ships in real payloads), or
-    ``kind='image'`` (BMP/PNG alternating by doc_id parity, exercising
-    the decoder's magic sniffing) — so the decode stage exercises
-    genuine byte-level codecs end-to-end."""
+    filter = doc_id % 5 so every PNG filter ships in real payloads),
+    baseline JPEG (``kind='jpeg'``, same seeded RGB through the DCT +
+    huffman pipeline at quality 90), or ``kind='image'`` (BMP / PNG /
+    JPEG rotating by doc_id % 3, exercising the decoder's magic
+    sniffing) — so the decode stage exercises genuine byte-level codecs
+    end-to-end."""
 
     def to_payload(b: pd.DataFrame) -> pa.Table:
         contents, mtypes = [], []
@@ -355,12 +361,18 @@ def attach_media_payload(
                 img = rng.integers(
                     0, 256, size=(8, 8, 3), dtype=np.int64
                 ).astype(np.uint8)
-                use_png = kind == "png" or (kind == "image" and did % 2 == 1)
+                use_png = kind == "png" or (kind == "image" and did % 3 == 1)
+                use_jpeg = kind == "jpeg" or (
+                    kind == "image" and did % 3 == 2
+                )
                 if use_png:
                     contents.append(
                         png_bytes(img, filter_type=int(did % 5))
                     )
                     mtypes.append("image/png")
+                elif use_jpeg:
+                    contents.append(jpeg_bytes(img, quality=90))
+                    mtypes.append("image/jpeg")
                 else:
                     contents.append(bmp24_bytes(img))
                     mtypes.append("image/bmp")
@@ -377,8 +389,7 @@ def attach_media_payload(
 
 # -- PNG (8-bit truecolor, non-interlaced) — zlib is stdlib, so this
 # compressed codec IS implementable here: full 5-filter decoder, encoder
-# with selectable per-row filter. JPEG/MP4 remain the documented
-# NotImplementedError integration point.
+# with selectable per-row filter.
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -525,3 +536,464 @@ def decode_png(b: bytes) -> np.ndarray:
         out[y] = rec
         prev = rec
     return out.reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 baseline sequential DCT, 4:4:4, Annex-K
+# tables), pure NumPy + stdlib — closes the last documented codec gap.
+# The decoder is fully table-driven (it reads DQT/DHT from the stream),
+# the encoder exists so the decoder is testable via lossy roundtrips
+# without an imaging library. Reference has no counterpart (target-spec
+# multimodal territory); see DecodeStage for the pipeline wiring.
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    np.int64,
+)
+
+_JPEG_QL = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    np.int64,
+)
+
+_JPEG_QC = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    np.int64,
+)
+
+# Annex K huffman specs: (bits-per-length[1..16], symbol list)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix; T @ b @ T.T equals T.81's FDCT
+    (and T.T @ S @ T its IDCT)."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    t = np.cos((2 * n + 1) * k * np.pi / 16) / 2.0
+    t[0, :] = 1.0 / np.sqrt(8.0)
+    return t
+
+
+def _jpeg_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex-K tables."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length), canonical T.81 assignment."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _jpeg_rgb_to_ycc(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _jpeg_mag_bits(v: int) -> tuple[int, int]:
+    """(category, appended-bit pattern) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def jpeg_bytes(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB image as a baseline sequential JPEG
+    (JFIF, 4:4:4, Annex-K huffman tables, IJG quality scaling). Lossy by
+    nature — exists so ``decode_jpeg`` roundtrips are testable offline."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ql, qc = _jpeg_quant_tables(quality)
+    t = _jpeg_dct_matrix()
+
+    # pad to 8-multiples with edge replication
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = _jpeg_rgb_to_ycc(padded) - 128.0
+    hb, wb = padded.shape[0] // 8, padded.shape[1] // 8
+
+    dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+    ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+
+    # vectorized FDCT + quantize for all blocks of all 3 components
+    blocks = (
+        ycc.reshape(hb, 8, wb, 8, 3).transpose(4, 0, 2, 1, 3)
+    )  # (3, hb, wb, 8, 8)
+    coeff = np.einsum("ij,cbwjk,lk->cbwil", t, blocks, t)
+    qtab = np.stack([ql, ql, ql], 0).reshape(3, 8, 8)
+    qtab[1:] = qc.reshape(8, 8)
+    quant = np.round(coeff / qtab[:, None, None]).astype(np.int64)
+    zz = quant.reshape(3, hb, wb, 64)[..., _JPEG_ZIGZAG]
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(hb):
+        for bx in range(wb):
+            for comp in range(3):
+                dct, act = (dc_l, ac_l) if comp == 0 else (dc_c, ac_c)
+                z = zz[comp, by, bx]
+                diff = int(z[0]) - prev_dc[comp]
+                prev_dc[comp] = int(z[0])
+                s, mb = _jpeg_mag_bits(diff)
+                code, ln = dct[s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(mb, s)
+                run = 0
+                nz = np.flatnonzero(z[1:])
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(z[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    s, mb = _jpeg_mag_bits(v)
+                    code, ln = act[(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(mb, s)
+                    run = 0
+                if last < 63:
+                    code, ln = act[0x00]  # EOB
+                    bw.put(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        return bytes([(tc << 4) | th] + bits + vals)
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(ql[_JPEG_ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, bytes([1]) + bytes(qc[_JPEG_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0, 0, _DC_L))
+    out += seg(0xFFC4, dht(1, 0, _AC_L))
+    out += seg(0xFFC4, dht(0, 1, _DC_C))
+    out += seg(0xFFC4, dht(1, 1, _AC_C))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+class _HuffTable:
+    """Canonical huffman decoder state (T.81 F.2.2.3 DECODE), built from
+    a DHT segment's (bits, vals)."""
+
+    def __init__(self, bits: list, vals: list) -> None:
+        self.mincode = np.zeros(17, np.int64)
+        self.maxcode = np.full(17, -1, np.int64)
+        self.valptr = np.zeros(17, np.int64)
+        self.vals = np.asarray(vals, np.int64)
+        code, i = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = i
+                self.mincode[length] = code
+                code += bits[length - 1]
+                i += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = 0
+        b = self.bits[self.pos : self.pos + n]
+        for bit in b:
+            v = (v << 1) | int(bit)
+        self.pos += n
+        return v
+
+    def decode(self, tbl: _HuffTable) -> int:
+        code, length = 0, 0
+        while True:
+            length += 1
+            if length > 16:
+                raise ValueError("invalid huffman stream")
+            code = (code << 1) | int(self.bits[self.pos])
+            self.pos += 1
+            if tbl.maxcode[length] >= code >= tbl.mincode[length]:
+                return int(
+                    tbl.vals[tbl.valptr[length] + code - tbl.mincode[length]]
+                )
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude pattern to its signed
+    value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (8-bit, 1x1 sampling for every
+    component, no restart markers — exactly what ``jpeg_bytes`` and any
+    4:4:4 baseline encoder emit) → (H, W, 3) uint8 RGB. Fully
+    table-driven: quant + huffman tables come from the stream's DQT/DHT
+    segments. Progressive / subsampled / restart-interval streams raise
+    NotImplementedError loudly."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple, _HuffTable] = {}
+    sof = None
+    comps = []  # (id, h, v, tq)
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = b[pos + 1]
+        (size,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                z = np.frombuffer(body[o + 1 : o + 65], np.uint8)
+                tab = np.zeros(64, np.int64)
+                tab[_JPEG_ZIGZAG] = z
+                qtabs[tq] = tab.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                htabs[(tc, th)] = _HuffTable(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "only 1x1 sampling (4:4:4) baseline JPEG"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline sequential SOF0")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            pos = pos + 2 + size
+            break
+        pos += 2 + size
+    if sof is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, nc = sof
+
+    # un-stuff entropy bytes up to EOI
+    end = b.rfind(b"\xff\xd9")
+    raw = b[pos : end if end > pos else len(b)]
+    data = raw.replace(b"\xff\x00", b"\xff")
+
+    rd_bits = _BitReader(data)
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    t = _jpeg_dct_matrix()
+    zz = np.zeros((nc, hb, wb, 64), np.int64)
+    prev_dc = [0] * nc
+    for by in range(hb):
+        for bx in range(wb):
+            for ci in range(nc):
+                td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
+                dct, act = htabs[(0, td)], htabs[(1, ta)]
+                z = zz[ci, by, bx]
+                s = rd_bits.decode(dct)
+                diff = _jpeg_extend(rd_bits.read(s), s)
+                prev_dc[ci] += diff
+                z[0] = prev_dc[ci]
+                k = 1
+                while k <= 63:
+                    rs = rd_bits.decode(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    z[k] = _jpeg_extend(rd_bits.read(s), s)
+                    k += 1
+
+    # dequantize, inverse zigzag, batched IDCT
+    out = np.empty((hb * 8, wb * 8, nc), np.float64)
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        q = qtabs[tq].reshape(64)
+        deq = zz[ci] * q[None, None, :]
+        blocks = np.zeros((hb, wb, 64), np.float64)
+        blocks[..., _JPEG_ZIGZAG] = deq
+        blocks = blocks.reshape(hb, wb, 8, 8)
+        spat = np.einsum("ji,bwjk,kl->bwil", t, blocks, t) + 128.0
+        planes.append(
+            spat.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+        )
+    out = np.stack(planes, axis=-1)[:h, :w]
+
+    if nc == 3:  # YCbCr -> RGB (JFIF)
+        y, cb, cr = out[..., 0], out[..., 1] - 128.0, out[..., 2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    else:
+        rgb = np.repeat(out, 3, axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -1497,14 +1497,50 @@ def test_png_codec_all_filters_roundtrip():
         decode_png(b"not a png at all")
 
 
+def test_jpeg_codec_roundtrips():
+    """Baseline JPEG: deterministic encode+decode, near-lossless on
+    smooth gradients and flat blocks at high quality, odd shapes handled
+    via edge-pad + crop, non-baseline streams rejected loudly."""
+    import pytest as _pytest
+
+    from graphsetintersection_ray.stages.multimodal import (
+        decode_jpeg,
+        jpeg_bytes,
+    )
+
+    for h, w in [(8, 8), (17, 23), (24, 40), (1, 1)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], -1
+        ).astype(np.uint8)
+        dec = decode_jpeg(jpeg_bytes(img, quality=95))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+    flat = np.full((16, 16, 3), 120, np.uint8)
+    flat[8:] = 40
+    assert np.array_equal(decode_jpeg(jpeg_bytes(flat, quality=95)), flat)
+    # determinism: same bytes, same pixels, twice
+    noisy = np.random.default_rng(3).integers(
+        0, 256, size=(11, 9, 3)
+    ).astype(np.uint8)
+    b1, b2 = jpeg_bytes(noisy, 80), jpeg_bytes(noisy, 80)
+    assert b1 == b2
+    assert np.array_equal(decode_jpeg(b1), decode_jpeg(b2))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
 def test_image_decode_mixed_formats(ray_session):
-    """DecodeStage sniffs BMP vs PNG by magic and both decode to the
-    identical grayscale frame for the same Philox image."""
+    """DecodeStage sniffs BMP / PNG / JPEG by magic; lossless formats
+    decode to the exact grayscale frame, JPEG rows to the deterministic
+    re-encoded frame, for the same Philox image."""
     import ray.data as rd
 
     from graphsetintersection_ray.stages.multimodal import (
         DecodeStage,
         attach_media_payload,
+        decode_jpeg,
+        jpeg_bytes,
     )
 
     df = pd.DataFrame(
@@ -1521,6 +1557,8 @@ def test_image_decode_mixed_formats(ray_session):
         img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.int64).astype(
             np.uint8
         )
+        if did % 3 == 2:
+            img = decode_jpeg(jpeg_bytes(img, quality=90))
         want = (
             img.astype(np.float32).mean(axis=2) / np.float32(255.0)
         ).ravel()

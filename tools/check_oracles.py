@@ -951,17 +951,20 @@ def _check_weighted_sample(sf_dir: str, rdf: pd.DataFrame) -> dict:
 
 def _check_image_decode(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """image_decode vs a byte-free replay: regenerate each doc's 8x8 RGB
-    image from the same Philox(doc_id) stream (no BMP/PNG bytes
-    involved), recompute the grayscale mean through the identical
-    float32 path, require EXACT equality for every row — proving both
-    image codecs (BMP and all-five-filter PNG, mixed by doc parity) are
-    lossless. Plus bit-exact PNG roundtrips across every scanline
-    filter on random shapes."""
+    image from the same Philox(doc_id) stream, recompute the grayscale
+    mean through the identical float32 path, require EXACT equality for
+    every row. BMP/PNG rows (doc_id % 3 in {0, 1}) prove those codecs
+    lossless; JPEG rows (% 3 == 2) replay the deterministic
+    encode+decode pair, proving the lossy path is bit-reproducible.
+    Plus bit-exact PNG roundtrips across every scanline filter and a
+    JPEG gradient-image quality bound on random shapes."""
     import numpy as np
 
     from graphsetintersection_ray.functions.kernels import round_half_away
     from graphsetintersection_ray.stages.multimodal import (
+        decode_jpeg,
         decode_png,
+        jpeg_bytes,
         png_bytes,
     )
 
@@ -972,6 +975,8 @@ def _check_image_decode(sf_dir: str, rdf: pd.DataFrame) -> dict:
         img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.int64).astype(
             np.uint8
         )
+        if int(did) % 3 == 2:
+            img = decode_jpeg(jpeg_bytes(img, quality=90))
         gray = (
             img.astype(np.float32).mean(axis=2) / np.float32(255.0)
         ).ravel()
@@ -1000,12 +1005,27 @@ def _check_image_decode(sf_dir: str, rdf: pd.DataFrame) -> dict:
         for ft in range(5)
         for h, w in rng.integers(1, 24, size=(4, 2))
     )
+
+    # JPEG: lossy but bounded on smooth content — a gradient image must
+    # come back within a few grey levels at quality 95, any shape
+    jpeg_ok = True
+    for h, w in rng.integers(9, 40, size=(3, 2)):
+        yy, xx = np.mgrid[0 : int(h), 0 : int(w)]
+        img = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], -1
+        ).astype(np.uint8)
+        dec = decode_jpeg(jpeg_bytes(img, quality=95))
+        if dec.shape != img.shape or (
+            np.abs(dec.astype(int) - img.astype(int)).max() > 8
+        ):
+            jpeg_ok = False
     return {
-        "check": "philox_replay_exact+png_filter_roundtrips",
+        "check": "philox_replay_exact+png_filter_roundtrips+jpeg_bound",
         "replay_exact_rows": int(ok_rows),
         "replay_exact": bool(replay_exact),
         "png_roundtrips": bool(png_rt),
-        "pass": bool(replay_exact and png_rt),
+        "jpeg_gradient_bound": bool(jpeg_ok),
+        "pass": bool(replay_exact and png_rt and jpeg_ok),
     }
 
 
