@@ -88,36 +88,45 @@ def sessionize(events: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
         [pa.field("user_id", pa.int64()), pa.field("n_sessions", pa.int64())]
     )
 
-    def per_bucket(b: pd.DataFrame) -> pa.Table:
-        if len(b) == 0:
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return sess_schema.empty_table()
-        order = np.lexsort(
-            (b["event_id"].to_numpy(), b["ts"].to_numpy(), b["user_id"].to_numpy())
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t["ts"]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        user = b["user_id"].to_numpy()[order]
-        ts = b["ts"].to_numpy()[order].astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        user, ts = user[order], ts[order]
         starts = segment_starts(user)
         is_start = np.zeros(len(user), bool)
         is_start[starts] = True
         gap_break = np.zeros(len(user), bool)
         if len(user) > 1:
             gap_break[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
-        new_session = is_start | gap_break
-        df = pd.DataFrame({"user_id": user, "s": new_session.astype(np.int64)})
-        out = df.groupby("user_id", sort=False)["s"].sum().reset_index(
-            name="n_sessions"
+        new_session = (is_start | gap_break).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(user[starts], pa.int64()),
+                "n_sessions": pa.array(np.add.reduceat(new_session, starts)),
+            }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     from graphsetintersection_ray.stages.shuffle import bucket_groups
 
-    bucketed = events.map_batches(
-        lambda b: b.assign(
-            __bucket=(b["user_id"].to_numpy() % num_buckets)
-        ),
-        batch_format="pandas",
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__bucket", pa.array(uid % num_buckets, pa.int64())
+        )
+
+    bucketed = events.map_batches(add_bucket, batch_format="pyarrow")
+    return bucket_groups(
+        bucketed, per_bucket, num_buckets, batch_format="pyarrow"
     )
-    return bucket_groups(bucketed, per_bucket, num_buckets)
 
 
 def stratified_sample(
@@ -449,18 +458,20 @@ def funnel_counts(
         ]
     )
 
-    def per_bucket(b: pd.DataFrame) -> pa.Table:
-        if len(b) == 0:
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return out_schema.empty_table()
-        order = np.lexsort(
-            (
-                b["event_id"].to_numpy(),
-                b["ts"].to_numpy(),
-                b["user_id"].to_numpy(),
-            )
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t["ts"]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        user = b["user_id"].to_numpy()[order]
-        etype = b["event_type"].to_numpy(object)[order]
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        user = user[order]
+        etype = t["event_type"].to_numpy(zero_copy_only=False)[order]
         uids, uidx = np.unique(user, return_inverse=True)
         nu = len(uids)
         pos = np.arange(len(user), dtype=np.int64)
@@ -482,11 +493,16 @@ def funnel_counts(
             }
         )
 
-    bucketed = events.map_batches(
-        lambda b: b.assign(__bucket=(b["user_id"].to_numpy() % num_buckets)),
-        batch_format="pandas",
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__bucket", pa.array(uid % num_buckets, pa.int64())
+        )
+
+    bucketed = events.map_batches(add_bucket, batch_format="pyarrow")
+    partials = bucket_groups(
+        bucketed, per_bucket, num_buckets, batch_format="pyarrow"
     )
-    partials = bucket_groups(bucketed, per_bucket, num_buckets)
     return sum_by(
         partials, ["stage", "step"], "n_users", num_buckets=1
     )
