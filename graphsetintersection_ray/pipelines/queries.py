@@ -2226,6 +2226,18 @@ def q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k=3)
 
 
+def q_bm25_scores(sf_dir: str):
+    """(doc_id, score): Okapi BM25 (k1=1.2, b=0.75, Lucene idf) of every
+    document matching the fixed query {merge, sort, spark} — the
+    ranked-retrieval primitive behind benchmark-similarity curation.
+    Integer micro-unit per-term components keep the per-doc sum
+    reduction-order-free; the SQL oracle mirrors the exact
+    parenthesization."""
+    from graphsetintersection_ray.stages.text import bm25_scores
+
+    return bm25_scores(_docs(sf_dir))
+
+
 def q_curation_filter(sf_dir: str):
     """(doc_id, lang_pred, quality, rep_ratio): the documents a
     curation pipeline KEEPS — English, quality >= 0.3, bigram
@@ -2508,6 +2520,7 @@ QUERIES = {
     "range_join": q_range_join,
     "hopping_windows": q_hopping_windows,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_scores": q_bm25_scores,
     "media_decode": q_media_decode,
     "image_decode": q_image_decode,
     "betweenness": q_betweenness,
@@ -4203,6 +4216,37 @@ r AS (
   FROM s
 )
 SELECT doc_id, term, score, rk FROM r WHERE rk <= 3""",
+    "bm25_scores": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nn AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) AS total
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('merge', 'sort', 'spark') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+comp AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (ln((nn.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+            * (tf.tf * (1.2 + 1.0))
+            / (tf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * dl.dl
+                                / (CAST(nn.total AS DOUBLE) / nn.n))))
+           * 1000000) AS BIGINT) AS micro
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN nn
+)
+SELECT doc_id, sum(micro) / 1000000.0 AS score FROM comp GROUP BY doc_id""",
     "shipping_priority": """
 SELECT l.l_orderkey,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -1677,3 +1677,150 @@ class QualityLogistic:
                 "lr_score": pa.array(round_half_away(score, 6), pa.float64()),
             }
         )
+
+
+def bm25_scores(
+    docs,
+    query_terms: tuple[str, ...] = ("spark", "sort", "merge"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """(doc_id, score): Okapi BM25 relevance of every document matching
+    at least one of ``query_terms`` — the ranked-retrieval primitive a
+    curation/decontamination pipeline runs against a benchmark query
+    set. idf is the Lucene non-negative variant
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)``.
+
+    Exactness: the per-term component is computed with the SAME
+    parenthesization as the SQL oracle (bit-identical IEEE doubles),
+    rounded to integer micro-units per (doc, term), and summed as
+    int64 — so the per-doc score is reduction-order-free at any
+    parallelism.
+
+    Scale shape: tokenize is map-only; only rows for QUERY terms leave
+    the map (shuffle volume ~ matching docs x |query|, not tokens); df
+    is a |query|-row reduce; avgdl comes from per-batch (token, doc)
+    count partials folded on the driver (O(#blocks) rows); the final
+    per-doc sum is one bounded doc-bucketed shuffle of the matching
+    rows."""
+    import ray
+
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    qset = sorted(set(query_terms))
+    n_docs = docs.count()
+
+    def tf_rows(batch: pd.DataFrame) -> pa.Table:
+        import itertools
+
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        total = int(lens.sum())
+        dids = batch["doc_id"].to_numpy(np.int64)
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.fromiter(
+            itertools.chain.from_iterable(toks), dtype=object, count=total
+        )
+        doc_of = np.repeat(dids, lens)
+        dl_of = np.repeat(lens, lens)
+        hit = np.isin(flat, qset)
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": doc_of[hit],
+                    "term": flat[hit],
+                    "dl": dl_of[hit],
+                }
+            )
+            .groupby(["doc_id", "term", "dl"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "term": pa.array(g["term"].to_numpy(object), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(np.int64)),
+                "dl": pa.array(g["dl"].to_numpy(np.int64)),
+            }
+        )
+
+    def dl_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        return pd.DataFrame(
+            {
+                "tok_sum": [int(toks.str.len().sum())],
+                "n": [len(batch)],
+            }
+        )
+
+    parts = docs.map_batches(dl_partials, batch_format="pandas").to_pandas()
+    total_tokens = int(parts["tok_sum"].sum())
+    avgdl = total_tokens / n_docs
+
+    matches = docs.map_batches(
+        tf_rows, batch_format="pandas"
+    ).materialize()
+
+    # df per query term: (doc, term) rows are distinct by construction
+    ones = matches.map_batches(
+        lambda t: pa.table(
+            {
+                "term": t["term"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    df_tbl = sum_by(ones, ["term"], "one", out_col="df", num_buckets=1)
+    df_map = {
+        r["term"]: int(r["df"]) for r in df_tbl.take_all()
+    }
+    df_ref = ray.put(df_map)
+
+    def micro(t: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        dfv = np.array([dfm[x] for x in terms], np.float64)
+        # parenthesization mirrored by the SQL oracle — keep in sync
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        comp = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "micro": pa.array(
+                    round_half_away(comp * 1e6, 0).astype(np.int64)
+                ),
+            }
+        )
+
+    summed = sum_by(
+        matches.map_batches(micro, batch_format="pyarrow"),
+        ["doc_id"],
+        "micro",
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = t["micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(m / 1e6, pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
