@@ -294,6 +294,28 @@ def mis(art: GraphArtifacts, seed: int = MIS_SEED) -> tuple:
     return xform(eng.collect_mis()), stats
 
 
+def greedy_coloring(art: GraphArtifacts, seed: int = MIS_SEED) -> tuple:
+    """(v, color): deterministic greedy coloring by iterated Luby-MIS
+    layers on the symmetric adjacency (layer c = a full seeded MIS on
+    the residual uncolored graph). Proper by construction — two adjacent
+    vertices can never join the same layer's independent set; exactly
+    replayable driver-side (the semantic oracle recomputes the run)."""
+    eng = engine_for(art, None)
+    stats = eng.greedy_coloring(seed=seed)
+
+    def xform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": t["v"].cast(pa.int32()), "color": t["color"]}
+        )
+
+    if eng.n_total > _collect_max_vertices():
+        return (
+            eng.coloring_dataset().map_batches(xform, batch_format="pyarrow"),
+            stats,
+        )
+    return xform(eng.collect_coloring()), stats
+
+
 def ensure_directed_csr(art: GraphArtifacts) -> tuple[str, str]:
     """Build (once, manifest-guarded) the DIRECTED CSR pair next to the
     symmetric one: out-CSR partitioned by src, in-CSR (reversed edges)

@@ -549,6 +549,18 @@ def q_mis_luby(sf_dir: str):
     return res
 
 
+def q_graph_coloring(sf_dir: str):
+    """(v, color): greedy coloring by iterated Luby-MIS layers — proper
+    by construction (adjacent vertices never share a layer's MIS),
+    deterministic via layer-salted splitmix64 priorities. No SQL oracle
+    (iterative round structure); the semantic check verifies properness
+    on every edge, per-layer MIS maximality, and an exact driver-side
+    replay."""
+    art = build_graph(sf_dir)
+    res, _ = it.greedy_coloring(art)
+    return res
+
+
 def q_scc_sizes(sf_dir: str):
     """(size, n_sccs): size distribution of the tool-flow SCCs (how many
     recurrent tool-loop cores of each size the corpus has). One
@@ -2429,6 +2441,7 @@ QUERIES = {
     "turn_latency": q_turn_latency,
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
+    "graph_coloring": q_graph_coloring,
     "densest_subgraph": q_densest_subgraph,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,

@@ -691,6 +691,28 @@ class PartitionWorker:
             }
         )
 
+    # -- greedy coloring via iterated MIS layers ---------------------------
+
+    def color_init(self) -> None:
+        self.color = np.full(len(self.u), -1, np.int64)
+
+    def color_round_init(self, seed: int) -> None:
+        """Start one MIS layer: already-colored vertices enter decided-out
+        (state 2) so the Luby round runs on the residual graph only."""
+        self._mis_seed = int(seed)
+        self.mis = np.where(self.color >= 0, np.int8(2), np.int8(0))
+
+    def color_assign(self, c: int) -> int:
+        """Color this layer's MIS members; returns the uncolored count."""
+        sel = self.mis == 1
+        self.color[sel] = int(c)
+        return int((self.color < 0).sum())
+
+    def color_table(self) -> pa.Table:
+        return pa.table(
+            {"v": pa.array(self.u), "color": pa.array(self.color)}
+        )
+
     # -- HyperBall (approximate neighborhood function) ------------------------
     # HLL primitives shared with the approx-distinct operator live in
     # functions/hll.py.
@@ -1446,6 +1468,81 @@ class SuperstepEngine:
 
     def collect_mis(self) -> pa.Table:
         tables = ray.get([w.mis_table.remote() for w in self.workers])
+        return pa.concat_tables([t for t in tables if t.num_rows])
+
+    def greedy_coloring(
+        self, seed: int = 7, max_colors: int = 512, max_rounds: int = 200
+    ) -> dict:
+        """Greedy graph coloring by iterated Luby-MIS layers: layer c runs
+        a full MIS on the residual (uncolored) graph and assigns color c
+        to its members — every vertex is adjacent to some member of each
+        earlier layer's MIS (maximality), so layer count stays near the
+        degeneracy in practice and is hard-capped loudly. Deterministic:
+        layer c reuses the seeded splitmix64 priorities with a
+        layer-salted seed, so the run replays exactly at any
+        partitioning."""
+        ray.get([w.color_init.remote() for w in self.workers])
+        t0 = time.time()
+        total_rounds = 0
+        c = 0
+        while True:
+            if c >= max_colors:
+                raise RuntimeError(
+                    f"coloring exceeded {max_colors} layers"
+                )
+            layer_seed = int(seed) + 1_000_003 * c
+            ray.get(
+                [w.color_round_init.remote(layer_seed) for w in self.workers]
+            )
+            rnd = 0
+            while True:
+                rnd += 1
+                if rnd > max_rounds:
+                    raise RuntimeError(
+                        f"mis layer {c} exceeded {max_rounds} rounds"
+                    )
+                for which in ("p", "n"):
+                    msgs = [
+                        w.mis_messages.options(num_returns=self.P).remote(
+                            rnd, which
+                        )
+                        for w in self.workers
+                    ]
+                    if self.P == 1:
+                        msgs = [[r] for r in msgs]
+                    counts = ray.get(
+                        [
+                            w.mis_apply.remote(
+                                which, *[msgs[p][q] for p in range(self.P)]
+                            )
+                            for q, w in enumerate(self.workers)
+                        ]
+                    )
+                if sum(counts) == 0:
+                    break
+            total_rounds += rnd
+            remaining = sum(
+                ray.get([w.color_assign.remote(c) for w in self.workers])
+            )
+            c += 1
+            if remaining == 0:
+                break
+        return {
+            "colors": c,
+            "layers": c,
+            "rounds": total_rounds,
+            "sec": time.time() - t0,
+        }
+
+    def coloring_dataset(self):
+        import ray.data as rd
+
+        return rd.from_arrow_refs(
+            [w.color_table.remote() for w in self.workers]
+        )
+
+    def collect_coloring(self) -> pa.Table:
+        tables = ray.get([w.color_table.remote() for w in self.workers])
         return pa.concat_tables([t for t in tables if t.num_rows])
 
     def hyperball(

@@ -1494,3 +1494,31 @@ def test_neighbor_sample_deterministic_topk(art):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_greedy_coloring_proper_and_deterministic(art, sym_df):
+    """Iterated-MIS coloring: every vertex colored, no edge with equal
+    endpoint colors, colors contiguous from 0, identical across runs."""
+    from graphsetintersection_ray.pipelines.iterative import greedy_coloring
+
+    res1, stats = greedy_coloring(art)
+    df1 = res1.to_pandas()
+    col = dict(zip(df1.v.astype(int), df1.color.astype(int)))
+    assert len(col) == art.n_vertices
+    assert min(col.values()) == 0
+    assert (df1.color >= 0).all()
+    used = sorted(set(col.values()))
+    assert used == list(range(len(used)))
+    assert stats["colors"] == len(used)
+    bad = [
+        (u, w)
+        for u, w in zip(sym_df.src.astype(int), sym_df.dst.astype(int))
+        if u != w and col[u] == col[w]
+    ]
+    assert bad == []
+
+    res2, _ = greedy_coloring(art)
+    df2 = res2.to_pandas()
+    assert df1.sort_values("v").color.tolist() == (
+        df2.sort_values("v").color.tolist()
+    )

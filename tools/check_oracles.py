@@ -1251,6 +1251,82 @@ def _check_mis_luby(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_graph_coloring(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """graph_coloring vs (a) properness — no edge with equal endpoint
+    colors — and (b) an EXACT sequential replay of the iterated
+    layer-salted Luby-MIS layers (same splitmix64 priorities and round
+    constants as the engine)."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.hll import splitmix64
+    from graphsetintersection_ray.pipelines.iterative import MIS_SEED
+
+    nbrs = _nbr_sets(sf_dir)
+    got = dict(zip(rdf.v.astype(int), rdf.color.astype(int)))
+    proper_violations = sum(
+        1
+        for v, c in got.items()
+        for w in nbrs.get(v, ())
+        if got.get(w) == c
+    )
+    n_colors = len(set(got.values()))
+    uncolored = sum(1 for c in got.values() if c < 0)
+
+    verts = np.array(sorted(got), dtype=np.int64)
+    INF = np.int64(np.iinfo(np.int64).max)
+    color = {int(v): -1 for v in verts}
+    for layer in range(512):
+        if all(c >= 0 for c in color.values()):
+            break
+        seed = MIS_SEED + 1_000_003 * layer
+        state = {
+            int(v): (2 if color[int(v)] >= 0 else 0) for v in verts
+        }
+        for rnd in range(1, 201):
+            cc = np.uint64(seed) * np.uint64(
+                0xD1B54A32D192ED03
+            ) + np.uint64(rnd)
+            h = splitmix64(verts.astype(np.uint64) + cc).view(np.int64)
+            h = np.where(h == INF, INF - 1, h)
+            pri = {
+                int(v): (int(x) if state[int(v)] == 0 else int(INF))
+                for v, x in zip(verts, h)
+            }
+            new_in = [
+                v
+                for v in state
+                if state[v] == 0
+                and all(
+                    pri[v] < pri[w] for w in nbrs.get(v, ()) if w in pri
+                )
+            ]
+            for v in new_in:
+                state[v] = 1
+            for v in state:
+                if state[v] == 0 and any(
+                    state.get(w) == 1 for w in nbrs.get(v, ())
+                ):
+                    state[v] = 2
+            if all(s != 0 for s in state.values()):
+                break
+        for v in state:
+            if state[v] == 1:
+                color[v] = layer
+    replay_mismatches = sum(1 for v in color if color[v] != got.get(v))
+    return {
+        "check": "properness_and_exact_layered_luby_replay",
+        "n_colors": n_colors,
+        "proper_violations": proper_violations,
+        "uncolored": uncolored,
+        "replay_mismatches": replay_mismatches,
+        "pass": bool(
+            proper_violations == 0
+            and uncolored == 0
+            and replay_mismatches == 0
+        ),
+    }
+
+
 def _check_densest_subgraph(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """densest_subgraph vs an independent numpy replay of the exact
     level-batched cascade, plus the Charikar bound best ≥ degeneracy/2."""
@@ -1366,6 +1442,7 @@ def _check_negative_edges(sf_dir: str, rdf: pd.DataFrame) -> dict:
 
 SEMANTIC_CHECKS = {
     "mis_luby": _check_mis_luby,
+    "graph_coloring": _check_graph_coloring,
     "densest_subgraph": _check_densest_subgraph,
     "negative_edges": _check_negative_edges,
     "embedding_dups_lsh": _check_embedding_dups_lsh,
