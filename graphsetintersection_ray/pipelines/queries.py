@@ -151,6 +151,77 @@ def q_triangle_count(sf_dir: str):
     return pa.table({"triangles": pa.array([n], pa.int64())})
 
 
+def q_approx_triangles(sf_dir: str):
+    """(triangles_est, sampled_triangles, sampled_edges): DOULION
+    approximate triangle count (Tsourakakis et al., KDD'09) — sparsify
+    the oriented edge set by a VALUE-DEFINED splitmix64 edge-key draw
+    (keep probability 1/4, partitioning-independent and exactly
+    replayable), run the exact distributed TC kernel on the sample,
+    scale by p^-3. Semantic oracle: exact replay of the sampled edge
+    set + exact triangle count on it + recorded relative error vs the
+    true count. The scale path when even the oriented pass is too much:
+    1/p^3 variance is documented in the paper; p is a parameter."""
+    from graphsetintersection_ray.functions.hll import splitmix64
+    from graphsetintersection_ray.stages.graph_build import orient_by_degree
+    from graphsetintersection_ray.stages.shuffle import sum_by
+
+    art = build_graph(sf_dir)
+    p_inv = 4
+    nv = np.int64(art.n_vertices)
+
+    def sample(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (src * nv + dst).astype(np.uint64)
+        keep = (splitmix64(key) % np.uint64(p_inv)) == 0
+        return t.filter(pa.array(keep))
+
+    # sample the CANONICAL (src < dst) edge set, then re-orient by the
+    # SAMPLED graph's own degrees — the TC kernel re-ranks vertices by
+    # the degrees of the edge set it is handed, so the full graph's
+    # orientation would break its src<dst-after-relabel invariant
+    sampled = art.edges.map_batches(
+        sample, batch_format="pyarrow"
+    ).materialize()
+    n_kept = sampled.count()
+
+    def endpoint_ones(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int32)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int32)
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([src, dst])),
+                "one": pa.array(
+                    np.ones(2 * len(src), np.int64)
+                ),
+            }
+        )
+
+    sdegs = sum_by(
+        sampled.map_batches(endpoint_ones, batch_format="pyarrow"),
+        ["v"],
+        "one",
+        out_col="degree",
+    )
+    soriented = orient_by_degree(
+        sampled, sdegs, num_partitions=art.num_partitions,
+        n_vertices=art.n_vertices,
+    )
+    tri = global_triangle_count(
+        soriented,
+        num_partitions=art.num_partitions,
+        n_vertices=art.n_vertices,
+        n_edges=max(n_kept, 1),
+    )
+    return pa.table(
+        {
+            "triangles_est": pa.array([tri * p_inv**3], pa.int64()),
+            "sampled_triangles": pa.array([tri], pa.int64()),
+            "sampled_edges": pa.array([n_kept], pa.int64()),
+        }
+    )
+
+
 def q_triangle_per_vertex(sf_dir: str):
     art = build_graph(sf_dir)
     return per_vertex_triangles(art.oriented, num_partitions=art.num_partitions, n_vertices=art.n_vertices, n_edges=art.n_edges)
@@ -2442,6 +2513,7 @@ QUERIES = {
     "lang_mix_weights": q_lang_mix_weights,
     "mis_luby": q_mis_luby,
     "graph_coloring": q_graph_coloring,
+    "approx_triangles": q_approx_triangles,
     "densest_subgraph": q_densest_subgraph,
     "eigenvector": q_eigenvector,
     "neighborhood_function": q_neighborhood_function,

@@ -1251,6 +1251,57 @@ def _check_mis_luby(sf_dir: str, rdf: pd.DataFrame) -> dict:
     }
 
 
+def _check_approx_triangles(sf_dir: str, rdf: pd.DataFrame) -> dict:
+    """approx_triangles: exact replay of the value-defined DOULION
+    sample — rebuild the degree-ordered orientation from edges_int +
+    degree_table, redraw the splitmix64 keep mask, count triangles on
+    the sampled graph exactly, require equality with the engine's
+    sampled count and estimate; relative error vs the true triangle
+    count is recorded."""
+    import numpy as np
+
+    from graphsetintersection_ray.functions.hll import splitmix64
+    from graphsetintersection_ray.pipelines.queries import QUERIES
+
+    edf = QUERIES["edges_int"](sf_dir).to_pandas()
+    ddf = QUERIES["degree_table"](sf_dir).to_pandas()
+    nv = np.int64(len(ddf))
+    src = edf.src.to_numpy(np.int64)
+    dst = edf.dst.to_numpy(np.int64)
+    # the engine samples the CANONICAL (src < dst) edge set
+    key = (src * nv + dst).astype(np.uint64)
+    keep = (splitmix64(key) % np.uint64(4)) == 0
+    ssrc, sdst = src[keep], dst[keep]
+
+    # exact triangle count on the sampled (undirected) edge set
+    es = set(zip(ssrc.tolist(), sdst.tolist()))
+    nbr: dict[int, set] = {}
+    for a, b in es:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in es:
+        tri += len(nbr[a] & nbr[b])
+    tri //= 3  # each triangle counted once per edge
+
+    exact = int(
+        QUERIES["triangle_count"](sf_dir).to_pandas().triangles.iloc[0]
+    )
+    got = rdf.iloc[0]
+    est_ok = int(got.sampled_triangles) == tri
+    edges_ok = int(got.sampled_edges) == int(keep.sum())
+    scale_ok = int(got.triangles_est) == tri * 64
+    rel_err = abs(tri * 64 - exact) / max(exact, 1)
+    return {
+        "check": "doulion_exact_sample_replay",
+        "sampled_triangles_match": bool(est_ok),
+        "sampled_edges_match": bool(edges_ok),
+        "estimate_scaling_match": bool(scale_ok),
+        "info_relative_error_vs_exact": round(float(rel_err), 4),
+        "pass": bool(est_ok and edges_ok and scale_ok),
+    }
+
+
 def _check_graph_coloring(sf_dir: str, rdf: pd.DataFrame) -> dict:
     """graph_coloring vs (a) properness — no edge with equal endpoint
     colors — and (b) an EXACT sequential replay of the iterated
@@ -1443,6 +1494,7 @@ def _check_negative_edges(sf_dir: str, rdf: pd.DataFrame) -> dict:
 SEMANTIC_CHECKS = {
     "mis_luby": _check_mis_luby,
     "graph_coloring": _check_graph_coloring,
+    "approx_triangles": _check_approx_triangles,
     "densest_subgraph": _check_densest_subgraph,
     "negative_edges": _check_negative_edges,
     "embedding_dups_lsh": _check_embedding_dups_lsh,
