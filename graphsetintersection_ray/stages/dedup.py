@@ -237,6 +237,71 @@ _PAIR_SCHEMA = pa.schema(
 )
 
 
+def _shingle_pair_rows(
+    ds, max_df: int | None, num_buckets: int
+):
+    """(doc_a, doc_b) co-occurrence rows, one per (shingle, unordered
+    doc pair) with doc_a < doc_b — the VECTORIZED replacement for
+    applying ``_pairs_for_shingle_group`` per shingle group. Inside each
+    bucket, groups are batched BY SIZE: all shingles with df = s emit
+    their pairs in one ``triu_indices(s)`` gather over an
+    (n_groups_of_size_s, s) matrix, so the work is a handful of numpy
+    calls per DISTINCT group size instead of a Python call per group
+    (millions of tiny groups dominated dedup-family wall time), and
+    peak memory is exactly the emitted pair count."""
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _PAIR_SCHEMA.empty_table()
+        codes, _ = pd.factorize(g["shingle"], sort=False)
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        n = len(ids)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]
+        )
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        if max_df is not None:
+            big = sizes > max_df
+            if big.any():
+                logger.info(
+                    "jaccard skew guard: dropping %d shingles with "
+                    "df > max_df=%d", int(big.sum()), max_df,
+                )
+                starts, sizes = starts[~big], sizes[~big]
+        out_a, out_b = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            sel = starts[sizes == s]
+            mat = ids[sel[:, None] + np.arange(s)]
+            ai, bi = np.triu_indices(int(s), k=1)
+            out_a.append(mat[:, ai].ravel())
+            out_b.append(mat[:, bi].ravel())
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a)),
+                "doc_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    return bucket_groups(
+        ds.map_batches(
+            lambda b: _add_bucket(b, ["shingle"], num_buckets),
+            batch_format="pandas",
+        ),
+        per_bucket,
+        num_buckets,
+    )
+
+
 def _pairs_for_shingle_group(max_df: int | None):
     def pairs(g: pd.DataFrame) -> pa.Table:
         ids = np.sort(g["doc_id"].to_numpy())
@@ -348,13 +413,7 @@ def jaccard_pairs(
     nb = _sized_buckets(sh.count())
     counts = counted_groups(sh, ["doc_id"], count_col="n_sh", num_buckets=nb)
     pair_counts = counted_groups(
-        grouped_apply(
-            sh,
-            ["shingle"],
-            _pairs_for_shingle_group(max_df),
-            out_schema=_PAIR_SCHEMA,
-            num_buckets=nb,
-        ),
+        _shingle_pair_rows(sh, max_df, num_buckets=nb),
         ["doc_a", "doc_b"],
         count_col="i",
         num_buckets=nb,
@@ -480,16 +539,14 @@ def winnow_dup_pairs(
     nb = _sized_buckets(fp.count())
     counts = counted_groups(fp, ["doc_id"], count_col="n_fp", num_buckets=nb)
     pair_counts = counted_groups(
-        grouped_apply(
+        _shingle_pair_rows(
             fp.map_batches(
                 lambda t: pa.table(
                     {"doc_id": t["doc_id"], "shingle": t["fp"]}
                 ),
                 batch_format="pyarrow",
             ),
-            ["shingle"],
-            _pairs_for_shingle_group(max_df),
-            out_schema=_PAIR_SCHEMA,
+            max_df,
             num_buckets=nb,
         ),
         ["doc_a", "doc_b"],
@@ -697,13 +754,7 @@ def minhash_lsh_pairs(
         sh_cand, ["doc_id"], count_col="n_sh", num_buckets=nb
     )
     pair_counts = counted_groups(
-        grouped_apply(
-            sh_cand,
-            ["shingle"],
-            _pairs_for_shingle_group(verify_max_df),
-            out_schema=_PAIR_SCHEMA,
-            num_buckets=nb,
-        ),
+        _shingle_pair_rows(sh_cand, verify_max_df, num_buckets=nb),
         ["doc_a", "doc_b"],
         count_col="i",
         num_buckets=nb,
