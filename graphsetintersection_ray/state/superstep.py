@@ -630,9 +630,13 @@ class PartitionWorker:
     def _mis_pri(self, rnd: int) -> np.ndarray:
         from graphsetintersection_ray.functions.hll import splitmix64
 
-        c = np.uint64(self._mis_seed) * np.uint64(
-            0xD1B54A32D192ED03
-        ) + np.uint64(rnd)
+        # python-int modular product, identical to the uint64 wraparound
+        # (numpy's scalar multiply warns on overflow for large layer-
+        # salted seeds; the wrap itself is intended)
+        c = np.uint64(
+            (self._mis_seed * 0xD1B54A32D192ED03 + rnd)
+            & 0xFFFFFFFFFFFFFFFF
+        )
         h = splitmix64(self.u.astype(np.uint64) + c).view(np.int64)
         # keep the INF sentinel unambiguous (remap the one colliding value)
         h = np.where(h == self._MIS_INF, self._MIS_INF - 1, h)

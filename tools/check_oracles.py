@@ -1214,7 +1214,9 @@ def _check_mis_luby(sf_dir: str, rdf: pd.DataFrame) -> dict:
     INF = np.int64(np.iinfo(np.int64).max)
     state = {int(v): 0 for v in verts}  # 0 undecided / 1 IN / 2 OUT
     for rnd in range(1, 201):
-        c = np.uint64(MIS_SEED) * np.uint64(0xD1B54A32D192ED03) + np.uint64(rnd)
+        c = np.uint64(
+            (MIS_SEED * 0xD1B54A32D192ED03 + rnd) & 0xFFFFFFFFFFFFFFFF
+        )
         h = splitmix64(verts.astype(np.uint64) + c).view(np.int64)
         h = np.where(h == INF, INF - 1, h)
         pri = {
@@ -1334,9 +1336,9 @@ def _check_graph_coloring(sf_dir: str, rdf: pd.DataFrame) -> dict:
             int(v): (2 if color[int(v)] >= 0 else 0) for v in verts
         }
         for rnd in range(1, 201):
-            cc = np.uint64(seed) * np.uint64(
-                0xD1B54A32D192ED03
-            ) + np.uint64(rnd)
+            cc = np.uint64(
+                (seed * 0xD1B54A32D192ED03 + rnd) & 0xFFFFFFFFFFFFFFFF
+            )
             h = splitmix64(verts.astype(np.uint64) + cc).view(np.int64)
             h = np.where(h == INF, INF - 1, h)
             pri = {
