@@ -120,6 +120,29 @@ def _with(prelude_and_query: str) -> str:
     return "WITH " + GRAPH_PRELUDE + sep + prelude_and_query
 
 
+# The same graph prelude over ONLY the first half of event time: t is
+# filtered at the integer-microsecond midpoint lo + (hi - lo) // 2 of the
+# global [min(ts), max(ts)] — mirrored exactly by the engine's
+# q_temporal_pagerank cutoff arithmetic.
+_TEMPORAL_PRELUDE = GRAPH_PRELUDE.replace(
+    f"t AS ({TRANSCRIPTS_SQL}),",
+    f"""t0 AS ({TRANSCRIPTS_SQL}),
+mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM t0),
+t AS (
+  SELECT t0.* FROM t0, mm
+  WHERE epoch_us(t0.ts) < mm.lo + (mm.hi - mm.lo) // 2
+),""",
+    1,
+)
+assert _TEMPORAL_PRELUDE != GRAPH_PRELUDE
+
+
+def _with_temporal(prelude_and_query: str) -> str:
+    q = prelude_and_query.lstrip()
+    sep = "" if q.upper().startswith("SELECT") else ", "
+    return "WITH " + _TEMPORAL_PRELUDE + sep + prelude_and_query
+
+
 # --------------------------------------------------------------------------
 # Query implementations
 # --------------------------------------------------------------------------
@@ -465,6 +488,63 @@ def q_pagerank_fixed(sf_dir: str):
     art = build_graph(sf_dir)
     out, _ = it.pagerank(
         art, max_iters=PAGERANK_ORACLE_ITERS, tol=0.0, resume=False, round_to=6
+    )
+    return out
+
+
+def q_temporal_pagerank(sf_dir: str):
+    """(v, score): PageRank over the TEMPORAL SNAPSHOT graph — the edge
+    set derived from only the first half of event time (cutoff =
+    integer-microsecond midpoint lo + (hi - lo) // 2 of the global ts
+    range, mirrored exactly by the SQL oracle's epoch_us arithmetic).
+    The temporal-slice composition check: windowed transcript filter →
+    the SAME edge derivation, vertex encoding, and fixed-iteration
+    superstep engine as the full-corpus pagerank_fixed. At 10^12 turns
+    the window filter is a map-only pass before the build — snapshots
+    cost one graph build each, nothing engine-side changes."""
+    from graphsetintersection_ray.pipelines.graph import (
+        build_graph_from_transcripts,
+        transcripts_from_sf,
+    )
+
+    tr = transcripts_from_sf(sf_dir).materialize()
+
+    def mm(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if len(ts) == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table({"lo": [int(ts.min())], "hi": [int(ts.max())]})
+
+    parts = tr.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
+    cutoff = lo + (hi - lo) // 2
+
+    def filt(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"]
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return t.filter(pa.array(ts < cutoff))
+
+    half = tr.map_batches(filt, batch_format="pyarrow")
+    art = build_graph_from_transcripts(
+        half, cache_key=f"temporal:{sf_dir}:{cutoff}"
+    )
+    out, _ = it.pagerank(
+        art, max_iters=PAGERANK_ORACLE_ITERS, tol=0.0, resume=False,
+        round_to=6,
     )
     return out
 
@@ -2492,6 +2572,7 @@ QUERIES = {
     "coreness": q_coreness,
     "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
+    "temporal_pagerank": q_temporal_pagerank,
     "katz_fixed": q_katz_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
@@ -3276,6 +3357,25 @@ FROM sym a JOIN sym b ON b.src = a.dst AND b.dst <> a.src
 GROUP BY a.src"""
     ),
     "pagerank_fixed": _with(
+        f"""pr AS (
+  WITH RECURSIVE prr(v, score, it) AS (
+    SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv), 0 FROM deg
+    UNION ALL
+    SELECT s.dst,
+           CAST(0.15 AS DOUBLE) / (SELECT n FROM nv)
+             + CAST(0.85 AS DOUBLE) * sum(p.score / d.degree),
+           p.it + 1
+    FROM prr p
+    JOIN deg d ON d.v = p.v
+    JOIN sym s ON s.src = p.v
+    WHERE p.it < {PAGERANK_ORACLE_ITERS}
+    GROUP BY s.dst, p.it
+  )
+  SELECT v, score FROM prr WHERE it = {PAGERANK_ORACLE_ITERS}
+)
+SELECT v, round(score, 6) AS score FROM pr"""
+    ),
+    "temporal_pagerank": _with_temporal(
         f"""pr AS (
   WITH RECURSIVE prr(v, score, it) AS (
     SELECT v, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv), 0 FROM deg
