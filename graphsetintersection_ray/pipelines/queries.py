@@ -492,16 +492,16 @@ def q_pagerank_fixed(sf_dir: str):
     return out
 
 
-def q_temporal_pagerank(sf_dir: str):
-    """(v, score): PageRank over the TEMPORAL SNAPSHOT graph — the edge
-    set derived from only the first half of event time (cutoff =
-    integer-microsecond midpoint lo + (hi - lo) // 2 of the global ts
-    range, mirrored exactly by the SQL oracle's epoch_us arithmetic).
-    The temporal-slice composition check: windowed transcript filter →
-    the SAME edge derivation, vertex encoding, and fixed-iteration
-    superstep engine as the full-corpus pagerank_fixed. At 10^12 turns
-    the window filter is a map-only pass before the build — snapshots
-    cost one graph build each, nothing engine-side changes."""
+def _temporal_snapshot_art(sf_dir: str):
+    """Graph artifacts for the TEMPORAL SNAPSHOT — the edge set derived
+    from only the first half of event time (cutoff = integer-microsecond
+    midpoint lo + (hi - lo) // 2 of the global ts range, mirrored
+    exactly by the SQL oracles' epoch_us arithmetic). Windowed
+    transcript filter → the SAME edge derivation, vertex encoding and
+    CSR build as the full corpus; cached per (sf_dir, cutoff), so the
+    temporal query family shares one snapshot build. At 10^12 turns the
+    window filter is a map-only pass before the build — snapshots cost
+    one graph build each, nothing engine-side changes."""
     from graphsetintersection_ray.pipelines.graph import (
         build_graph_from_transcripts,
         transcripts_from_sf,
@@ -539,13 +539,29 @@ def q_temporal_pagerank(sf_dir: str):
         return t.filter(pa.array(ts < cutoff))
 
     half = tr.map_batches(filt, batch_format="pyarrow")
-    art = build_graph_from_transcripts(
+    return build_graph_from_transcripts(
         half, cache_key=f"temporal:{sf_dir}:{cutoff}"
     )
+
+
+def q_temporal_pagerank(sf_dir: str):
+    """(v, score): fixed-iteration PageRank over the first-half-of-time
+    snapshot graph (see _temporal_snapshot_art); exact recursive-CTE
+    SQL oracle over the identically windowed prelude."""
+    art = _temporal_snapshot_art(sf_dir)
     out, _ = it.pagerank(
         art, max_iters=PAGERANK_ORACLE_ITERS, tol=0.0, resume=False,
         round_to=6,
     )
+    return out
+
+
+def q_temporal_cc(sf_dir: str):
+    """(v, component): connected components of the first-half-of-time
+    snapshot graph — min-label BSP fixpoint on the shared snapshot
+    artifacts; exact recursive-closure SQL oracle."""
+    art = _temporal_snapshot_art(sf_dir)
+    out, _ = it.connected_components(art, resume=False)
     return out
 
 
@@ -2573,6 +2589,7 @@ QUERIES = {
     "trussness": q_trussness,
     "pagerank_fixed": q_pagerank_fixed,
     "temporal_pagerank": q_temporal_pagerank,
+    "temporal_cc": q_temporal_cc,
     "katz_fixed": q_katz_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
@@ -3393,6 +3410,17 @@ SELECT v, round(score, 6) AS score FROM pr"""
   SELECT v, score FROM prr WHERE it = {PAGERANK_ORACLE_ITERS}
 )
 SELECT v, round(score, 6) AS score FROM pr"""
+    ),
+    "temporal_cc": _with_temporal(
+        """reach AS (
+  WITH RECURSIVE r(v, w) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT r.v, s.dst FROM r JOIN sym s ON s.src = r.w
+  )
+  SELECT v, w FROM r
+)
+SELECT v, CAST(min(w) AS BIGINT) AS component FROM reach GROUP BY v"""
     ),
     # Exact replay of the engine's truncated Katz series: alpha = 2^-7
     # is dyadic so every term alpha^j (S^j . 1) is an exact binary
