@@ -1343,3 +1343,53 @@ def gb_ensure(b):
     from graphsetintersection_ray.stages.graph_build import _ensure_arrow
 
     return _ensure_arrow(b)
+
+
+def khop_sample(art, k1: int = 3, k2: int = 2) -> "ray.data.Dataset":
+    """(u, hop, v): deterministic 2-layer neighbor sampling — the
+    GraphSAGE mini-batch fan-out one layer deeper: hop 1 is each seed's
+    ``k1``-sample, hop 2 the ``k2``-sample of every hop-1 node (per-node
+    samples are shared across seeds, exactly as a GNN sampler caches
+    them within a batch; no self-avoidance, matching the algorithm).
+    Rows are distinct per (u, hop, v).
+
+    Plan: two ``neighbor_sample`` passes (each map-side-combined to
+    <= k.V rows), ONE hash join hop1.v = sample2.node — the joined side
+    is the k2-sample, never the adjacency — and a bounded distinct
+    shuffle. At 10^12 turns nothing exceeds k1*k2*V rows."""
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+    from graphsetintersection_ray.stages.shuffle import distinct_by
+
+    s1 = neighbor_sample(art, k=k1).materialize()
+    s2 = neighbor_sample(art, k=k2).map_batches(
+        lambda t: pa.table({"w": t["u"], "x": t["v"]}),
+        batch_format="pyarrow",
+    )
+    joined = compact_blocks(s1).join(
+        compact_blocks(s2),
+        join_type="inner",
+        num_partitions=art.num_partitions,
+        on=("v",),
+        right_on=("w",),
+    )
+    hop1 = s1.map_batches(
+        lambda t: pa.table(
+            {
+                "u": t["u"],
+                "hop": pa.array(np.ones(t.num_rows, np.int64)),
+                "v": t["v"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hop2 = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "u": t["u"],
+                "hop": pa.array(np.full(t.num_rows, 2, np.int64)),
+                "v": t["x"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_by(hop1.union(hop2), ["u", "hop", "v"])

@@ -1043,6 +1043,16 @@ def q_neighbor_sample(sf_dir: str):
     return neighbor_sample(build_graph(sf_dir), k=3)
 
 
+def q_khop_sample(sf_dir: str):
+    """(u, hop, v): deterministic 2-layer GraphSAGE-style fan-out —
+    hop 1 = each vertex's 3-sample, hop 2 = the 2-sample of every hop-1
+    node (per-node samples shared across seeds); distinct rows.
+    Exact window-function SQL oracle."""
+    from graphsetintersection_ray.pipelines.linkpred import khop_sample
+
+    return khop_sample(build_graph(sf_dir), k1=3, k2=2)
+
+
 def q_modularity(sf_dir: str):
     """(modularity,): exact Newman modularity of the deterministic
     entity-type vertex partition — intra-edge count and per-community
@@ -2624,6 +2634,7 @@ QUERIES = {
     "transitivity": q_transitivity,
     "rich_club": q_rich_club,
     "neighbor_sample": q_neighbor_sample,
+    "khop_sample": q_khop_sample,
     "modularity": q_modularity,
     "label_propagation": q_label_propagation,
     "bfs_distances": q_bfs_distances,
@@ -3292,6 +3303,30 @@ FROM curve WHERE n_k >= 2"""
     ORDER BY (dst * 2654435761 + src * 40503) % 1000000007, dst
   ) AS rn FROM sym
 ) WHERE rn <= 3"""
+    ),
+    "khop_sample": _with(
+        """s1 AS (
+  SELECT src AS u, dst AS v FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src
+      ORDER BY (dst * 2654435761 + src * 40503) % 1000000007, dst
+    ) AS rn FROM sym
+  ) WHERE rn <= 3
+),
+s2 AS (
+  SELECT src AS w, dst AS x FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src
+      ORDER BY (dst * 2654435761 + src * 40503) % 1000000007, dst
+    ) AS rn FROM sym
+  ) WHERE rn <= 2
+)
+SELECT DISTINCT u, hop, v FROM (
+  SELECT u, CAST(1 AS BIGINT) AS hop, v FROM s1
+  UNION ALL
+  SELECT s1.u, CAST(2 AS BIGINT) AS hop, s2.x AS v
+  FROM s1 JOIN s2 ON s2.w = s1.v
+)"""
     ),
     # #C4 = sum over unordered pairs of C(common-neighbors, 2) / 2 —
     # every 4-cycle has exactly two opposite-corner pairs
