@@ -1353,18 +1353,43 @@ def khop_sample(art, k1: int = 3, k2: int = 2) -> "ray.data.Dataset":
     them within a batch; no self-avoidance, matching the algorithm).
     Rows are distinct per (u, hop, v).
 
-    Plan: two ``neighbor_sample`` passes (each map-side-combined to
-    <= k.V rows), ONE hash join hop1.v = sample2.node — the joined side
-    is the k2-sample, never the adjacency — and a bounded distinct
+    Plan: ONE ``neighbor_sample`` edge pass (map-side-combined to
+    <= k1.V rows). For ``k2 <= k1`` the k2-sample is derivable from the
+    materialized k1-sample — the hash ranking is identical, so each
+    node's top-k2 is a re-rank of its top-k1 rows (no second |E| scan);
+    a vertex's sample rows co-locate in one bucket block out of
+    ``neighbor_sample``'s boundary sort, which ``batch_size=None``
+    preserves. Then ONE hash join hop1.v = sample2.node — the joined
+    side is the k2-sample, never the adjacency — and a bounded distinct
     shuffle. At 10^12 turns nothing exceeds k1*k2*V rows."""
     from graphsetintersection_ray.stages.graph_build import compact_blocks
     from graphsetintersection_ray.stages.shuffle import distinct_by
 
     s1 = neighbor_sample(art, k=k1).materialize()
-    s2 = neighbor_sample(art, k=k2).map_batches(
-        lambda t: pa.table({"w": t["u"], "x": t["v"]}),
-        batch_format="pyarrow",
-    )
+    if k2 <= k1:
+
+        def rerank(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"w": pa.array([], pa.int32()),
+                     "x": pa.array([], pa.int32())}
+                )
+            s = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            su, sv = _ns_partial_top_k(s, d, k2)
+            return pa.table(
+                {
+                    "w": pa.array(su.astype(np.int32), pa.int32()),
+                    "x": pa.array(sv.astype(np.int32), pa.int32()),
+                }
+            )
+
+        s2 = s1.map_batches(rerank, batch_format="pyarrow", batch_size=None)
+    else:
+        s2 = neighbor_sample(art, k=k2).map_batches(
+            lambda t: pa.table({"w": t["u"], "x": t["v"]}),
+            batch_format="pyarrow",
+        )
     joined = compact_blocks(s1).join(
         compact_blocks(s2),
         join_type="inner",

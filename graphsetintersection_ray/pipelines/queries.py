@@ -492,16 +492,22 @@ def q_pagerank_fixed(sf_dir: str):
     return out
 
 
+_TEMPORAL_ART_CACHE: dict = {}
+
+
 def _temporal_snapshot_art(sf_dir: str):
     """Graph artifacts for the TEMPORAL SNAPSHOT — the edge set derived
     from only the first half of event time (cutoff = integer-microsecond
     midpoint lo + (hi - lo) // 2 of the global ts range, mirrored
     exactly by the SQL oracles' epoch_us arithmetic). Windowed
     transcript filter → the SAME edge derivation, vertex encoding and
-    CSR build as the full corpus; cached per (sf_dir, cutoff), so the
-    temporal query family shares one snapshot build. At 10^12 turns the
+    CSR build as the full corpus; the ARTIFACTS are cached per sf_dir,
+    so the temporal query family pays the transcript derivation,
+    min/max scan and snapshot build exactly once. At 10^12 turns the
     window filter is a map-only pass before the build — snapshots cost
     one graph build each, nothing engine-side changes."""
+    if sf_dir in _TEMPORAL_ART_CACHE:
+        return _TEMPORAL_ART_CACHE[sf_dir]
     from graphsetintersection_ray.pipelines.graph import (
         build_graph_from_transcripts,
         transcripts_from_sf,
@@ -539,9 +545,11 @@ def _temporal_snapshot_art(sf_dir: str):
         return t.filter(pa.array(ts < cutoff))
 
     half = tr.map_batches(filt, batch_format="pyarrow")
-    return build_graph_from_transcripts(
+    art = build_graph_from_transcripts(
         half, cache_key=f"temporal:{sf_dir}:{cutoff}"
     )
+    _TEMPORAL_ART_CACHE[sf_dir] = art
+    return art
 
 
 def q_temporal_pagerank(sf_dir: str):

@@ -390,10 +390,15 @@ def _conv_key(conv_ids: np.ndarray) -> tuple[np.ndarray, bool]:
     ex = pd.Series(conv_ids, dtype=object).str.extract(r"^c(\d+)_(\d+)$")
     if ex.isna().any().any():
         return np.full(len(conv_ids), -1, np.int64), False
-    u = ex[0].astype(np.int64).to_numpy()
-    s = ex[1].astype(np.int64).to_numpy()
-    if (s >= (1 << 20)).any():
+    # parse as python ints (no silent int64 wrap on huge user ids) and
+    # bound u so u << 20 stays inside int64 — anything outside takes the
+    # lexicographic fallback instead of crashing or mis-ordering
+    u_int = ex[0].map(int)
+    s_int = ex[1].map(int)
+    if (u_int >= (1 << 43)).any() or (s_int >= (1 << 20)).any():
         return np.full(len(conv_ids), -1, np.int64), False
+    u = u_int.astype(np.int64).to_numpy()
+    s = s_int.astype(np.int64).to_numpy()
     return (u << 20) | s, True
 
 

@@ -242,7 +242,7 @@ def _shingle_pair_rows(
 ):
     """(doc_a, doc_b) co-occurrence rows, one per (shingle, unordered
     doc pair) with doc_a < doc_b — the VECTORIZED replacement for
-    applying ``_pairs_for_shingle_group`` per shingle group. Inside each
+    applying a pair-builder per shingle group. Inside each
     bucket, groups are batched BY SIZE: all shingles with df = s emit
     their pairs in one ``triu_indices(s)`` gather over an
     (n_groups_of_size_s, s) matrix, so the work is a handful of numpy
@@ -300,30 +300,6 @@ def _shingle_pair_rows(
         per_bucket,
         num_buckets,
     )
-
-
-def _pairs_for_shingle_group(max_df: int | None):
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if max_df is not None and len(ids) > max_df:
-            logger.info(
-                "jaccard skew guard: dropping shingle with df=%d > max_df=%d",
-                len(ids), max_df,
-            )
-            ids = ids[:0]
-        if len(ids) < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[a_idx], pa.int64()),
-                "doc_b": pa.array(ids[b_idx], pa.int64()),
-            }
-        )
-
-    return pairs
 
 
 def _attach_pair_counts(

@@ -564,6 +564,12 @@ def lsh_topk(
     planes = rng.standard_normal((n_tables, dim, n_planes))
     planes_ref = ray.put(planes)
 
+    if not 0 <= flip_bits <= 2:
+        raise ValueError(
+            f"flip_bits={flip_bits} unsupported: only 0, 1 or 2-bit "
+            "multiprobe is implemented"
+        )
+
     def _probe_masks() -> np.ndarray:
         masks = [0]
         if flip_bits >= 1:

@@ -1710,6 +1710,12 @@ def bm25_scores(
 
     qset = sorted(set(query_terms))
     n_docs = docs.count()
+    if n_docs == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [pa.field("doc_id", pa.int64()), pa.field("score", pa.float64())]
+            ).empty_table()
+        )
 
     def tf_rows(batch: pd.DataFrame) -> pa.Table:
         import itertools

@@ -255,3 +255,12 @@ def test_conv_pack_matches_pandas_scan(ray_session):
     got = conv_pack(rd.from_pandas(mixed), seq_len=64).to_pandas()
     order = got.sort_values("start_offset")["conv_id"].tolist()
     assert order == sorted(mixed["conv_id"].unique())
+
+    # huge user ids that would overflow (or wrap) the u<<20 numeric key
+    # must fall back to lexicographic order, not crash or mis-order
+    huge = df.copy()
+    huge.loc[0, "conv_id"] = "c99999999999999999999_1"   # > int64
+    huge.loc[1, "conv_id"] = "c9223372036854775_1"       # u<<20 wraps
+    got = conv_pack(rd.from_pandas(huge), seq_len=64).to_pandas()
+    order = got.sort_values("start_offset")["conv_id"].tolist()
+    assert order == sorted(huge["conv_id"].unique())

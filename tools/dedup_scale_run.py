@@ -56,7 +56,8 @@ def synth_corpus(path: str, n_docs: int, seed: int = 42) -> None:
 
 
 def peak_rss_gib() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    # ru_maxrss is KiB on Linux; 2**20 KiB = 1 GiB
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
 
 
 def main() -> None:
