@@ -207,6 +207,9 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
         )
 
     def keep_first(g: pd.DataFrame) -> pa.Table:
+        # one C-level pass over the WHOLE bucket: equal texts always share
+        # a bucket (their hashes are equal), so bucket-wide dedup-by-text
+        # equals per-hash-group dedup without a Python loop over groups
         g = g.sort_values("doc_id").drop_duplicates("text", keep="first")
         return pa.table(
             {
@@ -215,15 +218,20 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    from graphsetintersection_ray.stages.shuffle import grouped_apply
+    from graphsetintersection_ray.stages.shuffle import (
+        _add_bucket,
+        bucket_groups,
+        sized_buckets,
+    )
 
-    return grouped_apply(
-        docs.map_batches(add_hash, batch_format="pandas"),
-        ["h"],
-        keep_first,
-        out_schema=pa.schema(
-            [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
+    num_buckets = sized_buckets(docs.count())
+    return bucket_groups(
+        docs.map_batches(add_hash, batch_format="pandas").map_batches(
+            lambda b: _add_bucket(b, ["h"], num_buckets),
+            batch_format="pandas",
         ),
+        keep_first,
+        num_buckets,
     )
 
 
