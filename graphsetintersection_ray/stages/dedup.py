@@ -245,18 +245,24 @@ _PAIR_SCHEMA = pa.schema(
 )
 
 
-def _shingle_pair_rows(
-    ds, max_df: int | None, num_buckets: int
+def _keyed_pair_rows(
+    ds,
+    key_cols: list,
+    max_df: int | None,
+    num_buckets: int,
+    dedup_ids: bool = False,
 ):
-    """(doc_a, doc_b) co-occurrence rows, one per (shingle, unordered
+    """(doc_a, doc_b) co-occurrence rows, one per (key group, unordered
     doc pair) with doc_a < doc_b — the VECTORIZED replacement for
-    applying a pair-builder per shingle group. Inside each
-    bucket, groups are batched BY SIZE: all shingles with df = s emit
-    their pairs in one ``triu_indices(s)`` gather over an
+    applying a pair-builder per key group (shingles, LSH band buckets).
+    Inside each bucket, groups are batched BY SIZE: all groups of size s
+    emit their pairs in one ``triu_indices(s)`` gather over an
     (n_groups_of_size_s, s) matrix, so the work is a handful of numpy
     calls per DISTINCT group size instead of a Python call per group
     (millions of tiny groups dominated dedup-family wall time), and
-    peak memory is exactly the emitted pair count."""
+    peak memory is exactly the emitted pair count. ``dedup_ids`` drops
+    duplicate (group, doc) rows first (the LSH banding case, where a
+    doc can land in a band bucket once per batch)."""
     from graphsetintersection_ray.stages.shuffle import (
         _add_bucket,
         bucket_groups,
@@ -265,10 +271,21 @@ def _shingle_pair_rows(
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:
             return _PAIR_SCHEMA.empty_table()
-        codes, _ = pd.factorize(g["shingle"], sort=False)
+        if len(key_cols) == 1:
+            codes, _ = pd.factorize(g[key_cols[0]], sort=False)
+        else:
+            mat = np.stack(
+                [g[c].to_numpy(np.int64) for c in key_cols], axis=1
+            )
+            _, codes = np.unique(mat, axis=0, return_inverse=True)
         ids = g["doc_id"].to_numpy(np.int64)
         order = np.lexsort((ids, codes))
         codes, ids = codes[order], ids[order]
+        if dedup_ids:
+            keep = np.concatenate(
+                [[True], (codes[1:] != codes[:-1]) | (ids[1:] != ids[:-1])]
+            )
+            codes, ids = codes[keep], ids[keep]
         n = len(ids)
         starts = np.concatenate(
             [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]
@@ -302,7 +319,7 @@ def _shingle_pair_rows(
 
     return bucket_groups(
         ds.map_batches(
-            lambda b: _add_bucket(b, ["shingle"], num_buckets),
+            lambda b: _add_bucket(b, list(key_cols), num_buckets),
             batch_format="pandas",
         ),
         per_bucket,
@@ -373,6 +390,13 @@ def _sized_buckets(n_rows: int, rows_per_bucket: int = 250_000) -> int:
     from graphsetintersection_ray.stages.shuffle import sized_buckets
 
     return sized_buckets(n_rows, rows_per_bucket=rows_per_bucket)
+
+
+def _shingle_pair_rows(ds, max_df: int | None, num_buckets: int):
+    """Single-key (shingle) entry point over ``_keyed_pair_rows``."""
+    return _keyed_pair_rows(
+        ds, ["shingle"], max_df, num_buckets, dedup_ids=False
+    )
 
 
 def jaccard_pairs(
@@ -671,35 +695,20 @@ def minhash_lsh_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
-        if len(ids) < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[a_idx], pa.int64()),
-                "doc_b": pa.array(ids[b_idx], pa.int64()),
-            }
-        )
-
     from graphsetintersection_ray.stages.graph_build import compact_blocks
     from graphsetintersection_ray.stages.shuffle import (
         counted_groups,
         distinct_by,
-        grouped_apply,
     )
 
     candidates = compact_blocks(
         distinct_by(
-            grouped_apply(
+            _keyed_pair_rows(
                 sigs.map_batches(band_rows, batch_format="pyarrow"),
                 ["band", "bh"],
-                bucket_pairs,
-                out_schema=_PAIR_SCHEMA,
+                None,
                 num_buckets=nb,
+                dedup_ids=True,
             ),
             ["doc_a", "doc_b"],
             num_buckets=nb,
