@@ -1856,3 +1856,43 @@ def test_bigram_logprob_paths_match_brute(ray_session, monkeypatch):
         for r in out.itertuples()
     }
     assert got == want
+
+
+def test_keyed_pair_rows_multikey_matches_bruteforce(ray_session):
+    """_keyed_pair_rows over a composite (band, bh) key equals the
+    brute-force per-group triu pair multiset, with duplicate
+    (group, doc) rows collapsed by dedup_ids."""
+    import itertools as it_
+
+    import ray.data as rd
+
+    from graphsetintersection_ray.stages.dedup import _keyed_pair_rows
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "band": rng.integers(0, 4, n),
+            "bh": rng.integers(0, 12, n),
+            "doc_id": rng.integers(0, 40, n),
+        }
+    )
+    got = (
+        _keyed_pair_rows(
+            rd.from_pandas(df).repartition(3),
+            ["band", "bh"],
+            None,
+            num_buckets=4,
+            dedup_ids=True,
+        )
+        .to_pandas()
+        .groupby(["doc_a", "doc_b"])
+        .size()
+        .to_dict()
+    )
+    want: dict = {}
+    for (_b, _h), g in df.drop_duplicates().groupby(["band", "bh"]):
+        ids = sorted(g["doc_id"].unique())
+        for a, b in it_.combinations(ids, 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
