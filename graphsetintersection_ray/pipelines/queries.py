@@ -857,6 +857,91 @@ def q_role_alternation(sf_dir: str):
     return role_alternation(transcripts_from_sf(sf_dir))
 
 
+def q_conv_near_dups(sf_dir: str):
+    """(conv_a, conv_b, jaccard): CONVERSATION-level near-duplicate
+    pairs — word-3-shingle Jaccard >= 0.2 over the chat-template render
+    (conv_flatten's conv_text), the transcript-native complement of the
+    document near-dedup family. Composition: render -> dense-rank conv
+    keys (the S9 vertex encoding, rank order == lexicographic order) ->
+    the SAME distributed jaccard shuffle as jaccard_pairs -> keys joined
+    back, so conv_a < conv_b lexicographically. Exact SQL oracle over
+    the identically rendered prelude."""
+    from graphsetintersection_ray.pipelines.graph import transcripts_from_sf
+    from graphsetintersection_ray.stages import graph_build as gb
+    from graphsetintersection_ray.stages.conversations import conv_flatten
+    from graphsetintersection_ray.stages.dedup import jaccard_pairs
+    from graphsetintersection_ray.stages.graph_build import compact_blocks
+
+    tr = transcripts_from_sf(sf_dir)
+    cf = conv_flatten(tr).select_columns(["conv_id", "conv_text"])
+
+    keys = cf.map_batches(
+        lambda t: pa.table({"src_key": t["conv_id"], "dst_key": t["conv_id"]}),
+        batch_format="pyarrow",
+    )
+    verts = gb.encode_vertices(keys).materialize()
+
+    docs = compact_blocks(cf).join(
+        compact_blocks(verts),
+        join_type="inner",
+        num_partitions=8,
+        on=("conv_id",),
+        right_on=("key",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["vid"].cast(pa.int64()),
+                "text": t["conv_text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = jaccard_pairs(docs, threshold=0.2, max_df=None).materialize()
+    if pairs.count() == 0:
+        # a typed pa.Table, not rd.from_arrow: Ray drops the schema of an
+        # all-empty dataset on to_pandas, losing the column names
+        return pa.schema(
+            [
+                pa.field("conv_a", pa.string()),
+                pa.field("conv_b", pa.string()),
+                pa.field("jaccard", pa.float64()),
+            ]
+        ).empty_table()
+
+    back = verts.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"].cast(pa.int64()), "key": t["key"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j1 = compact_blocks(pairs).join(
+        compact_blocks(back), join_type="inner", num_partitions=8,
+        on=("doc_a",), right_on=("vid",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "conv_a": t["key"],
+                "doc_b": t["doc_b"],
+                "jaccard": t["jaccard"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return compact_blocks(j1).join(
+        compact_blocks(back), join_type="inner", num_partitions=8,
+        on=("doc_b",), right_on=("vid",),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "conv_a": t["conv_a"],
+                "conv_b": t["key"],
+                "jaccard": t["jaccard"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_conv_pack(sf_dir: str):
     """(conv_id, n_chars, start_offset, pack_id): greedy context-window
     packing of whole rendered conversations in (user, seq) order —
@@ -2619,6 +2704,7 @@ QUERIES = {
     "scc_sizes": q_scc_sizes,
     "conv_flatten": q_conv_flatten,
     "conv_dedup": q_conv_dedup,
+    "conv_near_dups": q_conv_near_dups,
     "conv_pack": q_conv_pack,
     "pack_stats": q_pack_stats,
     "role_alternation": q_role_alternation,
@@ -3063,6 +3149,42 @@ SELECT conv_id,
        min(conv_id) OVER (PARTITION BY sig) AS canonical_conv,
        count(*) OVER (PARTITION BY sig) AS group_size
 FROM cfsig"""
+    ),
+    "conv_near_dups": _with(
+        """cfr AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+  FROM t GROUP BY conv_id
+),
+ctoks AS (
+  SELECT conv_id, regexp_extract_all(lower(text), '[a-zA-Z0-9_]+') AS ws
+  FROM cfr
+),
+csh3 AS (
+  SELECT conv_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+  FROM ctoks
+),
+csh AS (
+  SELECT DISTINCT conv_id, s FROM (
+    SELECT conv_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+    FROM csh3
+    UNION ALL
+    SELECT conv_id, array_to_string(ws, ' ') FROM ctoks
+      WHERE len(ws) BETWEEN 1 AND 2
+  )
+),
+ccnt AS (SELECT conv_id, count(*) AS n FROM csh GROUP BY conv_id),
+cinter AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS i
+  FROM csh a JOIN csh b ON a.s = b.s AND a.conv_id < b.conv_id
+  GROUP BY 1, 2
+)
+SELECT conv_a, conv_b,
+       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+FROM cinter
+JOIN ccnt ca ON ca.conv_id = conv_a
+JOIN ccnt cb ON cb.conv_id = conv_b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2"""
     ),
     "pack_stats": _with(
         f"""cfp AS (
