@@ -564,6 +564,21 @@ def q_temporal_pagerank(sf_dir: str):
     return out
 
 
+def q_temporal_triangles(sf_dir: str):
+    """(triangles,): exact triangle count of the first-half-of-time
+    snapshot graph — the structural-drift readout (how much closure the
+    early corpus already has); same shared snapshot artifacts and TC
+    kernel as the full-corpus count."""
+    art = _temporal_snapshot_art(sf_dir)
+    n = global_triangle_count(
+        art.oriented,
+        num_partitions=art.num_partitions,
+        n_vertices=art.n_vertices,
+        n_edges=art.n_edges,
+    )
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
 def q_temporal_cc(sf_dir: str):
     """(v, component): connected components of the first-half-of-time
     snapshot graph — min-label BSP fixpoint on the shared snapshot
@@ -2693,6 +2708,7 @@ QUERIES = {
     "pagerank_fixed": q_pagerank_fixed,
     "temporal_pagerank": q_temporal_pagerank,
     "temporal_cc": q_temporal_cc,
+    "temporal_triangles": q_temporal_triangles,
     "katz_fixed": q_katz_fixed,
     "ppr_fixed": q_ppr_fixed,
     "hits": q_hits,
@@ -3575,6 +3591,11 @@ SELECT v, round(score, 6) AS score FROM pr"""
   SELECT v, score FROM prr WHERE it = {PAGERANK_ORACLE_ITERS}
 )
 SELECT v, round(score, 6) AS score FROM pr"""
+    ),
+    "temporal_triangles": _with_temporal(
+        "SELECT count(*) AS triangles FROM edges e1 "
+        "JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst"
     ),
     "temporal_cc": _with_temporal(
         """reach AS (
